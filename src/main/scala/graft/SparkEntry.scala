@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{QueryDef, Relational, TextVector}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY §2 plus
+  * the LLM-data-pipeline layer; `oracleSql` the DuckDB-equivalent SQL for
+  * every SQL-expressible query (hash-compared by the driver at sf0.01).
+  */
 object SparkEntry {
+
+  def allDefs: Seq[QueryDef] = Relational.defs ++ TextVector.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1.fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
 }

@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (backward) join — the reference's `join_asof(strategy="backward")`
+  * (`/root/reference/src/dataprep/features/engineering/utils.py:60`).
+  *
+  * Spark has no native as-of join; this is the union + `last(ignoreNulls)`
+  * window construction: tag both sides, union on (keys..., time), sort within
+  * each key partition, carry the right side's values forward, keep left rows.
+  *
+  * Scale: ONE shuffle on the `by` keys (the window partition); no broadcast
+  * or nested-loop range join. Both inputs are shuffled once regardless of
+  * size skew between sides, which is the right trade at 100 TB where both
+  * sides are large. For a tiny right side, broadcast+filter would also work,
+  * but this form is uniformly safe.
+  */
+object AsOf {
+
+  /** Left as-of-backward join.
+    *
+    * For each left row, attaches `valueCols` from the latest right row with
+    * `right(timeCol) <= left(timeCol)` within the same `by` keys (ties on the
+    * time column resolve to the right row — i.e. "at or before", inclusive).
+    * Right rows that share an exact timestamp with a left row ARE visible to
+    * that left row. If several right rows share one timestamp, the last one
+    * in `tieBreak` order wins (pass e.g. a sequence column for determinism).
+    *
+    * @param left      left frame; must contain `by` and `timeCol`
+    * @param right     right frame; must contain `by`, `timeCol`, `valueCols`
+    * @param by        equality keys (e.g. ticker / user_id)
+    * @param timeCol   ordering column name, present on both sides
+    * @param valueCols right columns to attach
+    * @param tieBreak  optional extra ordering among same-timestamp right rows
+    */
+  def joinBackward(left: DataFrame, right: DataFrame, by: Seq[String],
+                   timeCol: String, valueCols: Seq[String],
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val leftCols = left.columns
+    require(!leftCols.exists(valueCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    // side: right=0 sorts before left=1 at equal time => right visible to left.
+    val taggedLeft = left.withColumn("__side", lit(1))
+    val taggedRight = right.select(
+      (by.map(col) :+ col(timeCol) :+ lit(0).as("__side")) ++ valueCols.map(col): _*)
+
+    val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(timeCol).asc +: col("__side").asc +: tieBreak): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Time-series plan helpers re-expressing the reference's per-frame scalar
+  * computations (SURVEY §2.6) as distributed window/aggregate expressions.
+  * Every helper is a pure Column/plan builder — zero UDFs, stays inside
+  * whole-stage codegen.
+  */
+object SeriesOps {
+
+  /** Cumulative product over a window via exp(sum(log)).
+    * Reference: `split_ratio.cum_prod()` (`engineering/utils.py:49-56`).
+    * Requires strictly positive inputs (true for split ratios, 1+returns).
+    * 1-ulp transcendental error — round at output boundaries if hashing.
+    */
+  def cumProd(c: Column, w: WindowSpec): Column =
+    exp(sum(log(c)).over(w))
+
+  /** Keep-last dedup with explicit arrival order
+    * (reference `unique(subset=..., keep="last")`, `ticker_batch_runner.py:250,310,495`).
+    * Spark has no positional row identity, so the caller supplies `order`
+    * columns whose descending-max row wins. One shuffle on `keys`.
+    */
+  def keepLastBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Running peak + max drawdown, the window form of the reference's Python
+    * loop (`price_features.py:48-74`): peak = running max, drawdown =
+    * max((peak - x)/peak) over the partition. Returns (peakCol, drawdownExpr)
+    * building blocks; see queries for composition. */
+  def runningPeak(c: Column, w: WindowSpec): Column =
+    max(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+  /** Split back-adjustment (reference `adjust_series_for_splits`,
+    * `engineering/utils.py:21-72`): divide each value by the product of all
+    * split ratios strictly AFTER its date.
+    *
+    * totalProd / cumProdUpToAndIncluding(date) == product of later ratios;
+    * implemented as an as-of join of the cumulative ratio then a divide, so
+    * it costs one shuffle on `by` and scales to arbitrarily many rows.
+    *
+    * @param series (by, dateCol, valueCol) long-form series
+    * @param splits (by, dateCol, ratioCol) split events
+    */
+  def adjustForSplits(series: DataFrame, splits: DataFrame, by: Seq[String],
+                      dateCol: String, valueCol: String, ratioCol: String): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val cum = splits
+      .withColumn("__cum_ratio", cumProd(col(ratioCol), w))
+      .withColumn("__total_ratio", max(col("__cum_ratio")).over(wAll))
+      .select(by.map(col) :+ col(dateCol) :+ col("__cum_ratio") :+ col("__total_ratio"): _*)
+    // A value at date d is divided by product of ratios with splitDate > d:
+    // total / cum(<= d); rows before the first split divide by total.
+    val joined = AsOf.joinBackward(series, cum, by, dateCol,
+      Seq("__cum_ratio", "__total_ratio"))
+    val total = first(col("__total_ratio"), ignoreNulls = true)
+      .over(Window.partitionBy(by.map(col): _*))
+    joined
+      .withColumn("__tot", total)
+      .withColumn(valueCol,
+        when(col("__tot").isNull, col(valueCol)) // no splits at all
+          .otherwise(col(valueCol) / (col("__tot") / coalesce(col("__cum_ratio"), lit(1.0)))))
+      .drop("__cum_ratio", "__total_ratio", "__tot")
+  }
+
+  /** Point-in-time "nearest value at or before" aggregate: max_by over a
+    * filtered slice (reference `find_nearest_price`, `utils.py:14-18`). */
+  def lastValueAtOrBefore(valueCol: Column, dateCol: Column, cutoff: Column): Column =
+    max_by(when(dateCol <= cutoff, valueCol), when(dateCol <= cutoff, dateCol))
+
+  /** Value within a grace window around a target date, latest wins
+    * (reference `find_value_near_date`, `growth_features.py:10-27`). */
+  def valueNearDate(valueCol: Column, dateCol: Column, lo: Column, hi: Column): Column =
+    max_by(when(dateCol.between(lo, hi), valueCol),
+           when(dateCol.between(lo, hi), dateCol))
+
+  /** CAGR: (end/start)^(1/years) - 1, null-safe (reference
+    * `growth_features.py:30-56`: NaN when start/end missing or <= 0). */
+  def cagr(endV: Column, startV: Column, years: Column): Column =
+    when(endV.isNotNull && startV.isNotNull && startV > 0 && endV > 0 && years > 0,
+      pow(endV / startV, lit(1.0) / years) - 1)
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline layer: tokenizing,
+  * shingling, quality scoring, language-ID heuristics, MinHash signatures.
+  * All native `functions._` expressions (codegen'd, no UDFs) so they run at
+  * full scan speed over 100 TB of documents.
+  */
+object TextFns {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Word k-grams ("shingles") as space-joined strings.
+    * Empty array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  /** Exact n-gram Jaccard similarity between two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded murmur3 functions,
+    * the minimum hash over the shingle set. Returns array<int> of length
+    * `numHashes`; empty shingle set yields nulls.
+    * Murmur3 via Spark's `hash()` with a per-function salt prefix. */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => hash(concat(lit(s"mh$i|"), s))))
+    }: _*)
+
+  /** LSH band keys from a minhash signature: `numBands` strings, each hashing
+    * `rows = numHashes / numBands` consecutive signature slots. Two docs share
+    * a band key iff that band's slots all match. */
+  def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      concat_ws(",", (lit(b) +:
+        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1))): _*)
+    }: _*)
+
+  /** Characters remaining after stripping whitespace. */
+  def nonWsChars(text: Column): Column =
+    length(regexp_replace(text, "\\s+", ""))
+
+  /** Ratio of tokens found in `vocab` (e.g. stopwords) to all tokens. */
+  def vocabTokenRatio(text: Column, vocab: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, x => x.isin(vocab.map(lit(_)): _*)))
+    when(size(t) > 0, hits.cast("double") / size(t).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Count of tokens found in `vocab`. */
+  def vocabTokenCount(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(vocab.map(lit(_)): _*)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (non-whitespace chars / token count). */
+  def meanTokenLen(text: Column): Column = {
+    val nTok = size(tokens(text))
+    when(nTok > 0, nonWsChars(text).cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** A deterministic "winnowing-lite" document fingerprint: the minimum md5
+    * over the document's word k-shingles. Oracle-friendly (md5 is standard)
+    * and stable under content reordering-free edits. */
+  def minShingleFingerprint(text: Column, k: Int): Column = {
+    val sh = shingleSet(text, k)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s)))).otherwise(md5(trim(text)))
+  }
+
+  /** Per-language stopword seed lists for the language-ID heuristic. Tiny on
+    * purpose — they inline into codegen'd `isin` filters. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "dans", "est", "pour", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Heuristic language ID: argmax of per-language stopword hits with a fixed
+    * tie-break order (list order above); "und" when no list scores > 0. */
+  def langIdHeuristic(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> vocabTokenCount(text, words)
+    }
+    // score of the winner
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

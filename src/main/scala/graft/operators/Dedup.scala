@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, SimHash, VectorFns}
+
+/** Document deduplication operators for the training-data pipeline layer:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison by
+  * blocking (hash buckets / LSH bands / simhash prefixes), so the expensive
+  * verify step only runs inside buckets. All shuffles are on bucket keys,
+  * which are high-cardinality by construction (no skew hot-spots).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content, keep the minimum id per group.
+    * One shuffle on the md5 key. Returns one row per distinct content with
+    * the keeper id and the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup, keeping one row per distinct content (min id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified with exact
+    * shingle Jaccard.
+    *
+    * shingle(k) -> minhash(numHashes) -> band keys(numBands) ->
+    * explode bands -> self-join on band key -> distinct pairs -> verify.
+    *
+    * The band join shuffles (bandKey) with one row per (doc, band) — linear
+    * in corpus size; only same-bucket pairs are verified. Pairs are emitted
+    * once with idA < idB.
+    */
+  def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 3, numHashes: Int = 32,
+                            numBands: Int = 8, jaccardThreshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", TextFns.shingleSet(col("text"), shingleK))
+      .filter(size(col("sh")) > 0)
+    val banded = sh
+      .withColumn("sig", TextFns.minHashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)))
+      .select(col("band"), col("id"), col("sh"))
+    val a = banded
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        TextFns.jaccard(col("sh"), col("sh_b")).as("jaccard"))
+      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** SimHash near-duplicates: 64-bit sketch, block on 4 × 16-bit sub-keys
+    * (any pair within hamming distance <= 3 shares at least one exact 16-bit
+    * quarter by pigeonhole), verify with bit_count(xor). */
+  def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"),
+      SimHash.simhash64(TextFns.tokens(col(textCol))).as("sk"))
+    val quarters = (0 until 4).map { q =>
+      sk.select(col("id"), col("sk"),
+        concat(lit(q.toString), lit(":"),
+          (shiftrightunsigned(col("sk"), q * 16).bitwiseAND(lit(0xffffL))).cast("string"))
+          .as("bucket"))
+    }.reduce(_.unionByName(_))
+    val a = quarters
+    val b = quarters.select(col("bucket"), col("id").as("id_b"), col("sk").as("sk_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        SimHash.hamming(col("sk"), col("sk_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over pairs within a blocking key (e.g. source or
+    * language) — the quadratic verify kept inside small blocks. */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, shingleK: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      TextFns.shingleSet(col(textCol), shingleK).as("sh"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    sh.join(b, Seq("block"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("jaccard", TextFns.jaccard(col("sh"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
+    * exact cosine verify inside buckets. */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, bits: Int = 12,
+                              cosineThreshold: Double = 0.95): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFns.hyperplaneSignature(col("v"), bits, dim))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    sig.join(b, Seq("bucket"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("cosine", VectorFns.cosine(col("v"), col("v_b")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("id").as("id_a"), col("id_b"), col("cosine"))
+  }
+}

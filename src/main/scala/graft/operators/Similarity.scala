@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * - `bruteForceTopK`: exact baseline — queries × corpus. Broadcast the
+  *   (small) query side so the corpus streams through without a shuffle;
+  *   correct at any corpus size, cost linear in |corpus| × |queries|.
+  * - `ivfTopK`: the scale path — partition the corpus into cells around
+  *   centroids, search only the `nProbe` closest cells per query. Corpus
+  *   assignment is one narrow pass; the probe join is corpus-rows × nProbe /
+  *   nCells of the brute cost.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank), self-pairs excluded.
+    * Ranking uses (round(cosine, 9) desc, neighbor_id) so ties are stable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Assign each corpus vector to its nearest centroid (by cosine).
+    * `centroids`: (centroid_id, vector). Broadcast-sized by construction. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                  vecCol: String): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col("centroid_vec"))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(c))
+      .withColumn("sim", VectorFns.cosine(col("v"), col("centroid_vec")))
+    val w = Window.partitionBy("id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` closest cells per query, exact cosine
+    * within probed cells. Recall < 1.0 by design (ANN); rank ties stable. */
+  def ivfTopK(queries: DataFrame, corpusWithCells: DataFrame,
+              centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("qv"))
+    val probes = q.crossJoin(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"))))
+      .withColumn("sim", VectorFns.cosine(col("qv"), col("centroid_vec")))
+    val wp = Window.partitionBy("query_id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val joined = probed.join(corpusWithCells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 9).desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

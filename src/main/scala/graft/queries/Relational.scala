@@ -1,0 +1,565 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Tables, AsOf, SeriesOps}
+import graft.operators.Validation
+import graft.operators.Validation.{RangeRule, JumpRule, ConsistencyRule}
+import graft.features.Encoding
+import QueryDef.{dec, moneySum, ONE}
+
+/** Relational operator coverage (SURVEY §2.3-§2.9, §2.10, §2.12) expressed
+  * over the driver's TPC-H-ish testdata. Each query maps one or more
+  * inventory rows; the oracle SQL mirrors the Spark plan exactly (same
+  * column names, same deterministic ORDER BY, decimal-exact money math).
+  */
+object Relational {
+
+  def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q28, q29, q30)
+
+  /** A1-A8/P3/P7-ish: TPC-H Q1-style pricing summary. Partial aggregation is
+    * free (Catalyst); the groupBy key has 6 groups so AQE coalesces. */
+  val q1 = QueryDef("q1_pricing_summary",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(DateType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (ONE - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** P1/P3/P5: projection + date-range + value predicates; filters and the
+    * 4-column ReadSchema push down to the parquet scan. */
+  val q2 = QueryDef("q2_filter_project",
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(lit("1996-01-01").cast(DateType),
+        lit("1996-12-31").cast(DateType)) &&
+        col("l_quantity") > 40 && col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        AND l_quantity > 40 AND l_discount >= 0.05
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** J1/J4: multi-way equi-join; nation/customer broadcast (small dims), the
+    * big fact shuffles once on l_orderkey. */
+  val q3 = QueryDef("q3_join_revenue_by_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (ONE - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** O4: top-k most recent per key (sort desc -> head k, reference
+    * `ratios.py:41`) as a rank window — one shuffle on the key. */
+  val q4 = QueryDef("q4_topk_recent_orders",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_date"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, CAST(rn AS INT) AS rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** W1/W12: lag + delta per entity series. */
+  val q5 = QueryDef("q5_lag_delta",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("delta", col("o_totalprice") - col("prev_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "delta")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** J2: as-of backward join (reference `join_asof`) — for each purchase,
+    * the latest click by the same user at or before it. Union+window form:
+    * one shuffle on user_id, no range explosion. */
+  val q6 = QueryDef("q6_asof_purchase_click",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_value"))
+        .select("event_id", "user_id", "click_id", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** U1/U2/A7: union + keep-last dedup with explicit arrival order. */
+  val q7 = QueryDef("q7_union_keep_last",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val v1 = o.select(col("o_orderkey"), col("o_totalprice").as("val"), lit(1).as("src"))
+      val v2 = o.select(col("o_orderkey"), (col("o_totalprice") * 2).as("val"), lit(2).as("src"))
+      SeriesOps.keepLastBy(v1.unionByName(v2), Seq("o_orderkey"), Seq(col("src")))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, val, src
+      FROM (SELECT o_orderkey, val, src,
+              row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+            FROM (SELECT o_orderkey, o_totalprice AS val, 1 AS src FROM orders
+                  UNION ALL
+                  SELECT o_orderkey, o_totalprice * 2 AS val, 2 AS src FROM orders) u) t
+      WHERE rn = 1 ORDER BY o_orderkey"""))
+
+  /** A5: running peak + max drawdown — the window form of the reference's
+    * Python loop (`price_features.py:48-74`). */
+  val q8 = QueryDef("q8_max_drawdown",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("peak", SeriesOps.runningPeak(col("o_totalprice"), w))
+        .groupBy("o_custkey")
+        .agg(max((col("peak") - col("o_totalprice")) / col("peak")).as("max_drawdown"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, MAX((peak - o_totalprice) / peak) AS max_drawdown
+      FROM (SELECT o_custkey, o_totalprice,
+              MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+            FROM orders) t
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** A6: cumulative product via exp(sum(log)) (reference `cum_prod`). */
+  val q9 = QueryDef("q9_cumprod_growth",
+    (s, dir) => {
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.lineitem(s, dir)
+        .withColumn("cum_growth",
+          round(SeriesOps.cumProd(col("l_discount") + 1, w), 6))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "cum_growth")
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_partkey, l_orderkey, l_linenumber,
+      ROUND(EXP(SUM(LN(1 + l_discount)) OVER (PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cum_growth
+      FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  /** A2: exact median / interpolated percentile (reference uses Polars
+    * median; `percentile` is the exact form, not approx). */
+  val q10 = QueryDef("q10_median",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_extendedprice, 0.5) AS median_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A4/A8: min/max/count/count-distinct coverage stats. */
+  val q11 = QueryDef("q11_coverage_stats",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(min(col("l_shipdate")).cast(DateType).as("first_ship"),
+        max(col("l_shipdate")).cast(DateType).as("last_ship"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_suppkey"),
+    Some("""SELECT l_suppkey, CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+      CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+      COUNT(*) AS n_items, COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  /** A9: first row per calendar year (reference macro year extraction). */
+  val q12 = QueryDef("q12_first_in_year",
+    (s, dir) => {
+      val w = Window.partitionBy(col("yr")).orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("yr"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("first_date"))
+        .orderBy("yr")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderkey,
+      CAST(o_orderdate AS DATE) AS first_date
+      FROM (SELECT *, row_number() OVER (PARTITION BY year(o_orderdate)
+              ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
+      WHERE rn = 1 ORDER BY yr"""))
+
+  /** A11/A1: Pearson correlation + sample stddev per group (rounded — both
+    * engines accumulate doubles in different orders). */
+  val q13 = QueryDef("q13_corr_stddev",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(stddev_samp(l_quantity), 6) AS sd_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** F4: vocab one-hot with `_other` bucket (reference encode_sector). */
+  val q14 = QueryDef("q14_onehot_segment",
+    (s, dir) => {
+      val vocab = Seq("AUTOMOBILE", "BUILDING", "FURNITURE")
+      Encoding.oneHot(Tables.customer(s, dir), "c_mktsegment", vocab, "seg")
+        .select("c_custkey", "seg_automobile", "seg_building", "seg_furniture", "seg_other")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_automobile,
+      CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_building,
+      CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furniture,
+      CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE') THEN 1 ELSE 0 END AS seg_other
+      FROM customer ORDER BY c_custkey"""))
+
+  /** P7/F6: conditional cap with flag (reference EBIT-cover cap pattern). */
+  val q15 = QueryDef("q15_capped_ratio",
+    (s, dir) => Tables.lineitem(s, dir)
+      .withColumn("unit_price_capped",
+        when(col("l_quantity") > 0,
+          least(col("l_extendedprice") / col("l_quantity"), lit(1000.0))))
+      .withColumn("is_capped",
+        when(col("l_quantity") > 0 &&
+          col("l_extendedprice") / col("l_quantity") > 1000.0, 1).otherwise(0))
+      .select("l_orderkey", "l_linenumber", "unit_price_capped", "is_capped")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_quantity > 0 THEN LEAST(l_extendedprice / l_quantity, 1000.0) END AS unit_price_capped,
+      CASE WHEN l_quantity > 0 AND l_extendedprice / l_quantity > 1000.0 THEN 1 ELSE 0 END AS is_capped
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** F3: slug / case / concat_ws / prefix-test string functions. */
+  val q16 = QueryDef("q16_string_fns",
+    (s, dir) => Tables.part(s, dir)
+      .select(col("p_partkey"),
+        Encoding.slugCol(col("p_name")).as("name_slug"),
+        upper(col("p_brand")).as("brand_uc"),
+        concat_ws(";", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_type").startsWith("STANDARD"), 1).otherwise(0).as("is_standard"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      lower(regexp_replace(p_name, '[^A-Za-z0-9]+', '_', 'g')) AS name_slug,
+      upper(p_brand) AS brand_uc,
+      concat_ws(';', p_brand, p_type) AS brand_type,
+      CASE WHEN p_type LIKE 'STANDARD%' THEN 1 ELSE 0 END AS is_standard
+      FROM part ORDER BY p_partkey"""))
+
+  /** F1: date arithmetic — year/month extraction, month-add with end-of-month
+    * clamp, last_day, quarter-end snap (reference `fetcher/utils.py:30-46`). */
+  val q17 = QueryDef("q17_date_fns",
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("od", col("o_orderdate").cast(DateType))
+      .select(col("o_orderkey"),
+        year(col("od")).as("yr"),
+        month(col("od")).as("mo"),
+        add_months(col("od"), 6).as("plus_6m"),
+        last_day(col("od")).as("month_end"),
+        date_sub(add_months(date_trunc("quarter", col("od")).cast(DateType), 3), 1)
+          .as("quarter_end"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH AS DATE) AS plus_6m,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS quarter_end
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** P10: the reference's save-path numeric policy round(2)+Float32, done
+    * through exact decimals so both engines agree bit-for-bit. */
+  val q18 = QueryDef("q18_round_f32_policy",
+    (s, dir) => Tables.lineitem(s, dir)
+      .withColumn("gross_f32",
+        round(dec(col("l_extendedprice")) * (ONE + dec(col("l_tax"))), 2)
+          .cast(FloatType))
+      .select("l_orderkey", "l_linenumber", "gross_f32")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))), 2) AS FLOAT) AS gross_f32
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P6/P8: null injection + coalesce/fill. */
+  val q19 = QueryDef("q19_null_fill",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("value_filled",
+        coalesce(when(col("value") > 150, lit(null)).otherwise(col("value")), lit(-1.0)))
+      .withColumn("was_masked", when(col("value") > 150, 1).otherwise(0))
+      .select("event_id", "value_filled", "was_masked")
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      COALESCE(CASE WHEN value > 150 THEN NULL ELSE value END, -1.0) AS value_filled,
+      CASE WHEN value > 150 THEN 1 ELSE 0 END AS was_masked
+      FROM events ORDER BY event_id"""))
+
+  /** J6: anti-join by key set (reference skip-existing incrementality). */
+  val q20 = QueryDef("q20_anti_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Semi-join (EXISTS) — completes the join surface. */
+  val q21 = QueryDef("q21_semi_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** O2/O4: global sort desc + limit (top-k). */
+  val q22 = QueryDef("q22_top10_orders",
+    (s, dir) => Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  /** V2/V5: range-check validation pass with ";"-joined violations. */
+  val q23 = QueryDef("q23_validate_ranges",
+    (s, dir) => {
+      Validation.validate(Tables.lineitem(s, dir),
+        ranges = Seq(
+          RangeRule("l_quantity", 1, 45),
+          RangeRule("l_discount", 0, 0.08, hiInclusive = true)),
+        consistencies = Seq(
+          ConsistencyRule(col("l_extendedprice") <= 0, "l_extendedprice: nonpositive")))
+        .select("l_orderkey", "l_linenumber", "validation_status", "violations")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CASE WHEN v = '' THEN 'ok' ELSE 'flagged' END AS validation_status,
+      v AS violations
+      FROM (SELECT l_orderkey, l_linenumber, concat_ws(';',
+        CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity >= 45) THEN 'l_quantity: out-of-bounds' END,
+        CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 'l_discount: out-of-bounds' END,
+        CASE WHEN l_extendedprice <= 0 THEN 'l_extendedprice: nonpositive' END) AS v
+      FROM lineitem) t ORDER BY l_orderkey, l_linenumber"""))
+
+  /** V3/W12: relative-jump validation against the previous row per entity. */
+  val q24 = QueryDef("q24_validate_jumps",
+    (s, dir) => {
+      Validation.validate(Tables.orders(s, dir),
+        jumps = Seq(JumpRule("o_totalprice", limit = 3.0, prevFloor = 100.0)),
+        entityCols = Seq("o_custkey"),
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select("o_custkey", "o_orderkey", "validation_status", "violations")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CASE WHEN v = '' THEN 'ok' ELSE 'flagged' END AS validation_status,
+      v AS violations
+      FROM (SELECT o_custkey, o_orderkey, concat_ws(';',
+        CASE WHEN prev IS NOT NULL AND o_totalprice IS NOT NULL
+               AND abs(prev) >= 100.0 AND abs(o_totalprice / prev) > 3.0
+             THEN 'o_totalprice: abnormal change' END) AS v
+      FROM (SELECT *, lag(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) t) u
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** W13: YoY growth over year buckets (reference macro pipeline). */
+  val q25 = QueryDef("q25_yoy_growth",
+    (s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy("yr")
+      yearly
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("yoy", (col("rev") - col("prev")) / col("prev"))
+        .select("yr", "rev", "yoy")
+        .orderBy("yr")
+    },
+    Some("""WITH yearly AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1)
+      SELECT yr, rev, (rev - prev) / prev AS yoy
+      FROM (SELECT yr, rev, lag(rev) OVER (ORDER BY yr) AS prev FROM yearly) t
+      ORDER BY yr"""))
+
+  /** A3/W8: trailing SMA windows + delta (reference SMA50/200). */
+  val q26 = QueryDef("q26_sma_delta",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val sma20 = avg(col("l_quantity")).over(w.rowsBetween(-19, 0))
+      val sma100 = avg(col("l_quantity")).over(w.rowsBetween(-99, 0))
+      Tables.lineitem(s, dir)
+        .withColumn("sma_delta",
+          round(when(sma100 > 0, (sma20 - sma100) / sma100), 6))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "sma_delta")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      ROUND(CASE WHEN sma100 > 0 THEN (sma20 - sma100) / sma100 END, 6) AS sma_delta
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS sma100
+      FROM lineitem) t ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** W5: CAGR between first and last yearly value per entity. */
+  val q27 = QueryDef("q27_spend_cagr",
+    (s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
+      yearly.groupBy("o_custkey")
+        .agg(min(col("yr")).as("yr_first"), max(col("yr")).as("yr_last"),
+          min_by(col("spend"), col("yr")).as("spend_first"),
+          max_by(col("spend"), col("yr")).as("spend_last"))
+        .withColumn("spend_cagr",
+          round(SeriesOps.cagr(col("spend_last"), col("spend_first"),
+            col("yr_last") - col("yr_first")), 6))
+        .select("o_custkey", "yr_first", "yr_last", "spend_cagr")
+        .orderBy("o_custkey")
+    },
+    Some("""WITH yearly AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1, 2)
+      SELECT o_custkey, MIN(yr) AS yr_first, MAX(yr) AS yr_last,
+        ROUND(CASE WHEN MAX(yr) > MIN(yr) AND arg_min(spend, yr) > 0 AND arg_max(spend, yr) > 0
+          THEN POWER(arg_max(spend, yr) / arg_min(spend, yr), 1.0 / (MAX(yr) - MIN(yr))) - 1 END, 6) AS spend_cagr
+      FROM yearly GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** B1/P4/W2: (entity × as_of) grid with point-in-time cutoff — the grid
+    * architecture of SURVEY §7.1. Equi-key on custkey carries the range
+    * predicate, so this is a hash join + filter, not a nested loop. */
+  val q28 = QueryDef("q28_grid_asof_spend",
+    (s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val dates = Seq("1996-12-31", "1997-12-31", "1998-12-31", "1999-12-31", "2000-12-31")
+        .toDF("d").select(col("d").cast(DateType).as("as_of"))
+      val grid = Tables.customer(s, dir).select("c_custkey").crossJoin(dates)
+      val o = Tables.orders(s, dir)
+      grid.join(o, col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") <= col("as_of"), "left")
+        .groupBy("c_custkey", "as_of")
+        .agg(coalesce(sum(dec(col("o_totalprice"))).cast(DoubleType), lit(0.0)).as("cum_spend"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey", "as_of")
+    },
+    Some("""WITH dates AS (SELECT CAST(x AS DATE) AS as_of FROM (VALUES
+        ('1996-12-31'),('1997-12-31'),('1998-12-31'),('1999-12-31'),('2000-12-31')) t(x)),
+      grid AS (SELECT c_custkey, as_of FROM customer CROSS JOIN dates)
+      SELECT g.c_custkey, g.as_of,
+        COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS cum_spend,
+        COUNT(o.o_orderkey) AS n_orders
+      FROM grid g LEFT JOIN orders o
+        ON o.o_custkey = g.c_custkey AND o.o_orderdate <= g.as_of
+      GROUP BY g.c_custkey, g.as_of ORDER BY g.c_custkey, g.as_of"""))
+
+  /** W7: group-relative return — first/last of each group's series vs the
+    * global series (reference sector-relative return). */
+  val q29 = QueryDef("q29_relative_return",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val perSeg = monthly.groupBy("seg")
+        .agg(min_by(col("rev"), col("mon")).as("f"), max_by(col("rev"), col("mon")).as("l"))
+      val overallMonthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val overall = overallMonthly
+        .agg(min_by(col("rev"), col("mon")).as("of"), max_by(col("rev"), col("mon")).as("ol"))
+      perSeg.crossJoin(overall)
+        .withColumn("relative_return",
+          (col("l") / col("f") - 1) - (col("ol") / col("of") - 1))
+        .select("seg", "relative_return")
+        .orderBy("seg")
+    },
+    Some("""WITH m AS (SELECT c_mktsegment AS seg, date_trunc('month', o_orderdate) AS mon,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      s AS (SELECT seg, arg_min(rev, mon) AS f, arg_max(rev, mon) AS l FROM m GROUP BY 1),
+      am AS (SELECT date_trunc('month', o_orderdate) AS mon,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev FROM orders GROUP BY 1),
+      o AS (SELECT arg_min(rev, mon) AS "of", arg_max(rev, mon) AS ol FROM am)
+      SELECT seg, (l / f - 1) - (ol / "of" - 1) AS relative_return
+      FROM s CROSS JOIN o ORDER BY seg"""))
+
+  /** A1/W1: annualized volatility of per-entity return series. */
+  val q30 = QueryDef("q30_volatility",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("ret", col("o_totalprice") / col("prev") - 1)
+        .groupBy("o_custkey")
+        .agg(round(stddev_samp(col("ret")) * sqrt(lit(252.0)), 6).as("volatility"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+      ROUND(STDDEV_SAMP(ret) * SQRT(252.0), 6) AS volatility
+      FROM (SELECT o_custkey, o_totalprice / lag(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) - 1 AS ret FROM orders) t
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+}

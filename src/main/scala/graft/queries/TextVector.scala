@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.{TextFns, VectorFns, SimHash}
+import graft.operators.{Dedup, Similarity}
+import QueryDef.dec
+
+/** LLM-training-data pipeline coverage: dedup, similarity search, text
+  * analysis over `documents` / `embeddings`, and the streaming-shaped event
+  * queries (batch equivalents of the Structured Streaming jobs in
+  * `graft.streaming`). Queries whose hashing scheme can't be replicated in
+  * DuckDB (murmur3 minhash / simhash) have no oracle — the driver records a
+  * rows-only check for those.
+  */
+object TextVector {
+
+  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8,
+    e1, e2, e3, s1, s2)
+
+  /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
+  val d1 = QueryDef("d1_exact_dedup",
+    (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("fingerprint"),
+    Some("""SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper_id,
+      COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY fingerprint"""))
+
+  /** Token counting + mean token length (text statistics). */
+  val d2 = QueryDef("d2_token_stats",
+    (s, dir) => {
+      val doc = Tables.documents(s, dir)
+      doc.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        TextFns.nonWsChars(col("text")).cast(LongType).as("n_chars_nows"),
+        TextFns.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nows,
+      CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+'))
+        ELSE 0.0 END AS mean_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio, punctuation count, length gate. */
+  val d3 = QueryDef("d3_quality_score",
+    (s, dir) => {
+      val en = TextFns.langStopwords.toMap.apply("en")
+      val doc = Tables.documents(s, dir)
+      val nTok = size(TextFns.tokens(col("text")))
+      doc.select(col("doc_id"),
+        TextFns.vocabTokenCount(col("text"), en).cast(LongType).as("stopword_hits"),
+        TextFns.vocabTokenRatio(col("text"), en).as("stop_ratio"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast(LongType).as("punct_chars"),
+        when(TextFns.vocabTokenRatio(col("text"), en) > 0.02 &&
+          nTok.between(20, 2000), 1).otherwise(0).as("is_quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stopword_hits,
+      CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+'))
+        ELSE 0.0 END AS stop_ratio,
+      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_chars,
+      CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+          THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+            x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+'))
+          ELSE 0.0 END) > 0.02
+        AND len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 20 AND 2000
+        THEN 1 ELSE 0 END AS is_quality
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: per-language stopword scores + argmax with a
+    * fixed priority order (en > de > es > fr > zh). */
+  val d4 = QueryDef("d4_lang_id",
+    (s, dir) => {
+      val doc = Tables.documents(s, dir)
+      val scored = TextFns.langStopwords.foldLeft(doc) { case (d, (lang, words)) =>
+        d.withColumn(s"s_$lang",
+          TextFns.vocabTokenCount(col("text"), words).cast(LongType))
+      }
+      scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+        col("s_fr"), col("s_zh"),
+        TextFns.langIdHeuristic(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sc AS (SELECT doc_id,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS s_de,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('el','la','de','que','y','en','un','por','con','para'))) AS s_es,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('le','la','les','et','un','une','dans','est','pour','que'))) AS s_fr,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS s_zh
+      FROM documents)
+      SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        CASE
+          WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+          WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+          WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+          WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+          WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+          ELSE 'und' END AS predicted_lang
+      FROM sc ORDER BY doc_id"""))
+
+  /** MinHash+LSH near-dup pairs (murmur3 signatures — no DuckDB oracle;
+    * rows-only check). */
+  val d5 = QueryDef("d5_minhash_dedup",
+    (s, dir) => Dedup.minHashNearDuplicates(Tables.documents(s, dir),
+      "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 8,
+      jaccardThreshold = 0.3)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** Exact blocked n-gram Jaccard pairs (verify step of near-dup). */
+  val d6 = QueryDef("d6_ngram_jaccard",
+    (s, dir) => Dedup.blockedJaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", blockCol = "source", shingleK = 3, threshold = 0.05)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH sh AS (SELECT doc_id, source,
+        list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+      ORDER BY id_a, id_b"""))
+
+  /** SimHash near-dup pairs (custom Catalyst expression — rows-only). */
+  val d7 = QueryDef("d7_simhash_dedup",
+    (s, dir) => Dedup.simHashNearDuplicates(Tables.documents(s, dir),
+      "doc_id", "text", maxHamming = 12)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** Winnowing-lite document fingerprint: min md5 over word 5-shingles. */
+  val d8 = QueryDef("d8_doc_fingerprint",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.minShingleFingerprint(col("text"), 5).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      COALESCE(list_min(list_transform(range(1, greatest(len(t) - 3, 1)),
+        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))),
+        md5(trim(text))) AS fingerprint
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Per-label centroids: element-wise mean via posexplode — shuffles on
+    * (label, dim), the scalable layout for wide fleets. */
+  val e1 = QueryDef("e1_label_centroids",
+    (s, dir) => Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("centroid"))
+      .orderBy("label", "dim"),
+    Some("""SELECT label, i AS dim,
+      ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i ORDER BY label, dim"""))
+
+  /** Brute-force cosine top-k (exact ANN baseline; query side broadcast). */
+  val e2 = QueryDef("e2_knn_brute",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 30)
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 30),
+      pairs AS (SELECT q.qid, c.vec_id AS nid,
+        list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        AS sim
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid)
+      SELECT qid AS query_id, nid AS neighbor_id, ROUND(sim, 4) AS cosine_r, CAST(rank AS INT) AS rank
+      FROM (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, nid) AS rank
+            FROM pairs) t
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** IVF ANN: label centroids as cells, probe 3 cells per query (the scale
+    * path; approximate by design — rows-only). */
+  val e3 = QueryDef("e3_knn_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast(DoubleType)).as("cv"))
+        .groupBy(col("label").as("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("centroid_id"), expr("transform(pairs, p -> p.cv)").as("centroid_vec"))
+      val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopK(queries, cells, centroids, k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Tumbling-window event aggregation — batch twin of the Structured
+    * Streaming job (graft.streaming.EventPipeline). */
+  val s1 = QueryDef("s1_event_hourly",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type"),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Gap-based sessionization (30-min inactivity), microsecond-truncated on
+    * both engines so the ns-precision parquet column compares equal. */
+  val s2 = QueryDef("s2_sessionize",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      marked AS (SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id, event_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against DuckDB oracles and diff values. Dev tool only (driver-side python);
+the shipped library is pure Scala/Spark.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        spark_tbl = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+        if name not in oracle:
+            results[name] = f"rows-only: {spark_tbl.shape[0]} rows"
+            continue
+        try:
+            duck_tbl = con.sql(oracle[name])
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {e}"
+            continue
+        s_cols = sorted(spark_tbl.columns)
+        d_cols = sorted(duck_tbl.columns)
+        if s_cols != d_cols:
+            results[name] = f"SCHEMA-MISMATCH: spark={s_cols} duck={d_cols}"
+            continue
+        s_rows = con.sql(
+            f"SELECT {', '.join(quote(c) for c in s_cols)} FROM spark_tbl").fetchall()
+        duck_tbl2 = duck_tbl  # noqa
+        d_rows = con.sql(
+            f"SELECT {', '.join(quote(c) for c in d_cols)} FROM duck_tbl2").fetchall()
+        if len(s_rows) != len(d_rows):
+            results[name] = f"ROWCOUNT-MISMATCH: spark={len(s_rows)} duck={len(d_rows)}"
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            if tuple(map(norm, sr)) != tuple(map(norm, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            results[name] = f"VALUE-MISMATCH at row {bad[0]}: spark={bad[1]} duck={bad[2]}"
+        else:
+            results[name] = f"OK ({len(s_rows)} rows)"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("rows-only"))
+    for k, v in sorted(results.items()):
+        flag = "  " if v.startswith(("OK", "rows-only")) else "XX"
+        print(f"{flag} {k}: {v}")
+    print(f"\n{n_ok} OK, {n_rows_only} rows-only, "
+          f"{len(results) - n_ok - n_rows_only} failing, {len(results)} total")
+
+
+def quote(c):
+    return '"' + c.replace('"', '""') + '"'
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
