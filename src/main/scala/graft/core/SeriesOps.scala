@@ -38,13 +38,16 @@ object SeriesOps {
   def runningPeak(c: Column, w: WindowSpec): Column =
     max(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
-  /** Split back-adjustment (reference `adjust_series_for_splits`,
-    * `engineering/utils.py:21-72`): divide each value by the product of all
-    * split ratios strictly AFTER its date.
+  /** Split adjustment exactly as the reference's `adjust_series_for_splits`
+    * (`engineering/utils.py:21-72`): each value is divided by the cumulative
+    * product of split ratios at or BEFORE its date (`join_asof backward` on
+    * the cum-prod, fill_null(1.0)). Rows before the first split are
+    * unchanged; rows after a 2:1 split are halved — pinned by the
+    * reference's own test ([1.0, 1.2, 1.5] + mid-series 2:1 → [1.0, 1.2,
+    * 0.75], `test_features_utils.py:52-74`).
     *
-    * totalProd / cumProdUpToAndIncluding(date) == product of later ratios;
-    * implemented as an as-of join of the cumulative ratio then a divide, so
-    * it costs one shuffle on `by` and scales to arbitrarily many rows.
+    * Implemented as an as-of join of the cumulative ratio then a divide —
+    * one shuffle on `by`, scales to arbitrarily long series.
     *
     * @param series (by, dateCol, valueCol) long-form series
     * @param splits (by, dateCol, ratioCol) split events
@@ -53,23 +56,12 @@ object SeriesOps {
                       dateCol: String, valueCol: String, ratioCol: String): DataFrame = {
     val w = Window.partitionBy(by.map(col): _*).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(by.map(col): _*)
     val cum = splits
       .withColumn("__cum_ratio", cumProd(col(ratioCol), w))
-      .withColumn("__total_ratio", max(col("__cum_ratio")).over(wAll))
-      .select(by.map(col) :+ col(dateCol) :+ col("__cum_ratio") :+ col("__total_ratio"): _*)
-    // A value at date d is divided by product of ratios with splitDate > d:
-    // total / cum(<= d); rows before the first split divide by total.
-    val joined = AsOf.joinBackward(series, cum, by, dateCol,
-      Seq("__cum_ratio", "__total_ratio"))
-    val total = first(col("__total_ratio"), ignoreNulls = true)
-      .over(Window.partitionBy(by.map(col): _*))
-    joined
-      .withColumn("__tot", total)
-      .withColumn(valueCol,
-        when(col("__tot").isNull, col(valueCol)) // no splits at all
-          .otherwise(col(valueCol) / (col("__tot") / coalesce(col("__cum_ratio"), lit(1.0)))))
-      .drop("__cum_ratio", "__total_ratio", "__tot")
+      .select(by.map(col) :+ col(dateCol) :+ col("__cum_ratio"): _*)
+    AsOf.joinBackward(series, cum, by, dateCol, Seq("__cum_ratio"))
+      .withColumn(valueCol, col(valueCol) / coalesce(col("__cum_ratio"), lit(1.0)))
+      .drop("__cum_ratio")
   }
 
   /** Point-in-time "nearest value at or before" aggregate: max_by over a

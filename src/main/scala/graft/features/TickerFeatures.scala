@@ -1,0 +1,290 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.SeriesOps
+
+/** The reference's ticker feature engine (SURVEY §2.6, §3.1, the
+  * `engineering` modules and `aggregation/ticker_row_builder.py:26-97`
+  * under `/root/reference/src/dataprep/features/`) re-expressed grid-first:
+  * instead of slicing a small frame per (ticker, as_of) cell and reducing to
+  * Python scalars, every feature is a conditional aggregate over a
+  * grid⋈input join, so ALL cells compute in one distributed plan.
+  *
+  * Scale: each block shuffles once on (ticker, as_of); input amplification
+  * is #as_of-dates per ticker (single digits). Null/0.0/NaN conventions are
+  * ported exactly (SURVEY §7.5): point-to-point returns default 0.0 on
+  * missing data, CAGRs go NaN, valuation picks default 0.0, the
+  * EBIT-interest-cover triple keeps the reference's inf-on-cap and
+  * boolean-flag quirks.
+  */
+object TickerFeatures {
+
+  /** Long-form inputs, all keyed by `ticker` with day-level `date`. */
+  final case class Inputs(prices: DataFrame, dividends: DataFrame,
+                          splits: DataFrame, ratios: DataFrame,
+                          income: DataFrame, balance: DataFrame,
+                          sectorIndex: DataFrame)
+
+  private val T = "ticker"
+  private val K = Seq("ticker", "as_of")
+  private def gcols = Seq(col("ticker"), col("as_of"))
+  private val nan = lit(Double.NaN)
+
+  /** All 18 dynamic features + 6 `has_` flags for every (ticker, as_of)
+    * grid cell. Grid: (ticker DATE-typed as_of). */
+  def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame = {
+    val price = priceBlock(grid, in.prices)
+    val sector = sectorRelativeBlock(grid, in.prices, in.sectorIndex)
+    val fund = fundamentalsBlock(grid, in.income, in.balance)
+    val growth = incomeGrowthBlock(grid, in.income)
+    val ratio = ratiosBlock(grid, in.ratios)
+    val div = dividendBlock(grid, in.dividends, in.splits)
+
+    val joined = Seq(price, sector, fund, growth, ratio, div)
+      .foldLeft(grid)((acc, block) => acc.join(block, K, "left"))
+
+    def hasFlag(c: Column): Column =
+      when(c.isNull || isnan(c), lit(0)).otherwise(lit(1))
+
+    joined.select(
+      col("ticker"), col("as_of"),
+      col("6m_return"), col("12m_return"), col("volatility"),
+      col("max_drawdown_1y"), col("sector_relative_6m"), col("sma_50_200_delta"),
+      col("net_debt_to_ebitda"), col("ebit_interest_cover"),
+      col("ebit_interest_cover_capped"),
+      col("eps_cagr_3y"), col("fcf_cagr_3y"),
+      col("dividend_yield"), col("dividend_cagr_3y"), col("dividend_cagr_5y"),
+      col("yield_vs_5y_median"), col("pe_ratio"), col("pfcf_ratio"),
+      col("payout_ratio"),
+      hasFlag(col("eps_cagr_3y")).as("has_eps_cagr_3y"),
+      hasFlag(col("fcf_cagr_3y")).as("has_fcf_cagr_3y"),
+      hasFlag(col("dividend_yield")).as("has_dividend_yield"),
+      hasFlag(col("dividend_cagr_3y")).as("has_dividend_cagr_3y"),
+      hasFlag(col("dividend_cagr_5y")).as("has_dividend_cagr_5y"),
+      hasFlag(col("ebit_interest_cover")).as("has_ebit_interest_cover"))
+  }
+
+  /** 6m/12m point-to-point returns, annualized volatility, 1y max drawdown,
+    * SMA(50)/SMA(200) delta — `price_features.py`. */
+  def priceBlock(grid: DataFrame, prices: DataFrame): DataFrame = {
+    // daily returns are a prefix-stable per-ticker computation: the lag at
+    // any date <= as_of only sees earlier dates, so compute once globally.
+    val wT = Window.partitionBy(T).orderBy("date")
+    val p = prices.withColumn("__ret", col("close") / lag(col("close"), 1).over(wT) - 1)
+
+    val sliced = grid.join(p, Seq(T)).filter(col("date") <= col("as_of"))
+
+    val wCell = Window.partitionBy(gcols: _*).orderBy(col("date"))
+    val wCellAll = Window.partitionBy(gcols: _*)
+    val wDesc = Window.partitionBy(gcols: _*).orderBy(col("date").desc)
+
+    // drawdown window: [last price date - 365*1y - 15d grace, last date]
+    val endDate = max(col("date")).over(wCellAll)
+    val inDd = col("date") >= date_sub(endDate, 365 + 15)
+    val peak = max(when(inDd, col("close"))).over(wCell.rowsBetween(Window.unboundedPreceding, 0))
+    val dd = when(inDd, (peak - col("close")) / peak)
+
+    val staged = sliced
+      .withColumn("__rn_desc", row_number().over(wDesc))
+      .withColumn("__dd", dd)
+      .withColumn("__in_dd", when(inDd, 1).otherwise(0))
+
+    staged.groupBy(gcols: _*).agg(
+      max_by(col("close"), col("date")).as("__p_now"),
+      max_by(when(col("date") <= add_months(col("as_of"), -6), col("close")),
+        when(col("date") <= add_months(col("as_of"), -6), col("date"))).as("__p_6m"),
+      max_by(when(col("date") <= add_months(col("as_of"), -12), col("close")),
+        when(col("date") <= add_months(col("as_of"), -12), col("date"))).as("__p_12m"),
+      stddev_samp(col("__ret")).as("__ret_sd"),
+      avg(when(col("__rn_desc") <= 50, col("close"))).as("__sma50"),
+      avg(when(col("__rn_desc") <= 200, col("close"))).as("__sma200"),
+      count(lit(1)).as("__n"),
+      sum(col("__in_dd")).as("__n_dd"),
+      max(col("__dd")).as("__max_dd"))
+    .select(
+      col("ticker"), col("as_of"),
+      when(col("__p_6m").isNotNull && col("__p_now").isNotNull,
+        (col("__p_now") - col("__p_6m")) / col("__p_6m")).otherwise(0.0).as("6m_return"),
+      when(col("__p_12m").isNotNull && col("__p_now").isNotNull,
+        (col("__p_now") - col("__p_12m")) / col("__p_12m")).otherwise(0.0).as("12m_return"),
+      coalesce(col("__ret_sd") * sqrt(lit(252.0)), lit(0.0)).as("volatility"),
+      when(col("__n") < 2 || col("__n_dd") < 2, 0.0)
+        .otherwise(coalesce(col("__max_dd"), lit(0.0))).as("max_drawdown_1y"),
+      when(col("__n") >= 200,
+        when(col("__sma200") =!= 0, (col("__sma50") - col("__sma200")) / col("__sma200"))
+          .otherwise(0.0)).as("sma_50_200_delta"))
+  }
+
+  /** Stock-vs-sector-ETF relative return over a 365-day window — the
+    * reference's `sector_relative_6m` (named 6m, computed over 365 days;
+    * the quirk is contract, SURVEY §7.5). */
+  def sectorRelativeBlock(grid: DataFrame, prices: DataFrame,
+                          sectorIndex: DataFrame): DataFrame = {
+    def sideAgg(df: DataFrame, prefix: String): DataFrame = {
+      val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
+      grid.join(df, Seq(T)).filter(in365)
+        .groupBy(gcols: _*).agg(
+          min_by(col("close"), col("date")).as(s"__${prefix}_first"),
+          max_by(col("close"), col("date")).as(s"__${prefix}_last"),
+          count(lit(1)).as(s"__${prefix}_n"))
+    }
+    val stock = sideAgg(prices, "s")
+    val sector = sideAgg(sectorIndex, "x")
+    stock.join(sector, K, "left").select(
+      col("ticker"), col("as_of"),
+      when(col("__x_n").isNull, nan) // no sector series at all => NaN
+        .when(col("__s_n") < 2 || col("__x_n") < 2, 0.0)
+        .when(col("__s_first") <= 0 || col("__s_last") <= 0 ||
+          col("__x_first") <= 0 || col("__x_last") <= 0, 0.0)
+        .otherwise((col("__s_last") / col("__s_first") - 1) -
+          (col("__x_last") / col("__x_first") - 1)).as("sector_relative_6m"))
+  }
+
+  /** Net-debt/EBITDA + EBIT interest cover triple on the latest
+    * income⨝balance row at or before as_of — `fundamental_features.py`.
+    * Missing fundamentals entirely => the reference's safe_get defaults
+    * (0.0 / 0.0 / false). */
+  def fundamentalsBlock(grid: DataFrame, income: DataFrame,
+                        balance: DataFrame): DataFrame = {
+    def safeCol(df: DataFrame, name: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(0)
+
+    val fund = income.join(balance, Seq(T, "date"))
+    val ebitda = safeCol(fund, "incomeBeforeTax") + safeCol(fund, "interestExpense") +
+      safeCol(fund, "depreciationAndAmortization")
+    val netDebt = safeCol(fund, "totalDebt") - safeCol(fund, "cashAndShortTermInvestments")
+    val ndeRaw = netDebt / ebitda
+    // Polars is_finite => null on inf/NaN (div by 0 EBITDA)
+    val nde = when(!isnan(ndeRaw) && ndeRaw =!= Double.PositiveInfinity &&
+      ndeRaw =!= Double.NegativeInfinity, ndeRaw)
+
+    val ebit =
+      if (fund.columns.contains("operatingIncome")) col("operatingIncome")
+      else if (fund.columns.contains("incomeBeforeTax")) col("incomeBeforeTax")
+      else throw new IllegalArgumentException(
+        "Missing both operatingIncome and incomeBeforeTax — cannot compute EBIT")
+    val interest = if (fund.columns.contains("interestExpense")) col("interestExpense")
+      else lit(null)
+    val cap = 1000.0
+    val eicRaw = when(interest.isNotNull && interest =!= 0, ebit / interest)
+    // reference: when(raw < cap).then(raw).otherwise(inf) — null raw => inf
+    val eic = when(eicRaw < cap, eicRaw).otherwise(lit(Double.PositiveInfinity))
+    val eicCapFlag = when(eicRaw.isNull || eicRaw >= cap, lit(true)).otherwise(lit(false))
+
+    val enriched = fund
+      .withColumn("__nde", nde)
+      .withColumn("__eic", eic)
+      .withColumn("__eic_capped", eicCapFlag)
+
+    grid.join(enriched, Seq(T), "left")
+      .filter(col("date").isNull || col("date") <= col("as_of"))
+      .groupBy(gcols: _*).agg(
+        max_by(col("__nde"), col("date")).as("__nde_last"),
+        max_by(col("__eic"), col("date")).as("__eic_last"),
+        max_by(col("__eic_capped"), col("date")).as("__eic_capped_last"),
+        count(col("date")).as("__n"))
+      .select(col("ticker"), col("as_of"),
+        when(col("__n") > 0, col("__nde_last")).otherwise(0.0).as("net_debt_to_ebitda"),
+        when(col("__n") > 0, col("__eic_last")).otherwise(0.0).as("ebit_interest_cover"),
+        when(col("__n") > 0, coalesce(col("__eic_capped_last"), lit(false)))
+          .otherwise(lit(false)).as("ebit_interest_cover_capped"))
+  }
+
+  /** Generic CAGR aggregate over a grid-joined series slice: end = last
+    * value at or before as_of; start = last value within the grace window
+    * around (end_date - 365*years); NaN when <2 rows / missing / <= 0
+    * (`growth_features.py:30-56`). Returns aggregate columns keyed by
+    * (ticker, as_of): "<out>" */
+  private def cagrAgg(df: DataFrame, grid: DataFrame, valueCol: String,
+                      years: Int, graceDays: Int, graceMonths: Int,
+                      out: String): DataFrame = {
+    val sliced = grid.join(df, Seq(T)).filter(col("date") <= col("as_of"))
+    val wCellAll = Window.partitionBy(gcols: _*)
+    val endDate = max(col("date")).over(wCellAll)
+    val startTarget = date_sub(endDate, 365 * years)
+    val (lo, hi) =
+      if (graceMonths > 0) (add_months(startTarget, -graceMonths), add_months(startTarget, graceMonths))
+      else (date_sub(startTarget, graceDays), date_add(startTarget, graceDays))
+    val inWin = col("date").between(lo, hi)
+    sliced
+      .withColumn("__in_win", inWin)
+      .groupBy(gcols: _*).agg(
+        max_by(col(valueCol), col("date")).as("__end"),
+        max_by(when(col("__in_win"), col(valueCol)), when(col("__in_win"), col("date"))).as("__start"),
+        count(lit(1)).as("__n"))
+      .select(col("ticker"), col("as_of"),
+        when(col("__n") >= 2 && col("__start").isNotNull && col("__start") > 0 &&
+          col("__end").isNotNull && col("__end") > 0,
+          pow(col("__end") / col("__start"), lit(1.0) / years) - 1)
+          .otherwise(nan).as(out))
+  }
+
+  /** EPS CAGR (3y, 90-day grace) — `compute_eps_cagr`. */
+  def incomeGrowthBlock(grid: DataFrame, income: DataFrame): DataFrame =
+    cagrAgg(income.select(col(T), col("date"), col("eps")), grid,
+      "eps", years = 3, graceDays = 90, graceMonths = 0, out = "eps_cagr_3y")
+
+  /** FCF/share CAGR, dividend yield, yield-vs-5y-median, latest valid
+    * P/E + P/FCF, payout ratio — all from the `ratios` table. */
+  def ratiosBlock(grid: DataFrame, ratios: DataFrame): DataFrame = {
+    val fcf = cagrAgg(ratios.select(col(T), col("date"), col("freeCashFlowPerShare")),
+      grid, "freeCashFlowPerShare", years = 3, graceDays = 90, graceMonths = 0,
+      out = "fcf_cagr_3y")
+
+    val sliced = grid.join(ratios, Seq(T), "left")
+      .filter(col("date").isNull || col("date") <= col("as_of"))
+    val wCellAll = Window.partitionBy(gcols: _*)
+    val endDate = max(col("date")).over(wCellAll)
+    // 5y window with 90d grace, positive yields only (dividend_features.py)
+    val yLo = date_sub(add_months(endDate, -60), 90)
+    val yValid = col("dividendYield").isNotNull && col("dividendYield") > 0 &&
+      col("date") >= yLo
+    val pvValid = col("priceEarningsRatio") > 0 && col("priceToFreeCashFlowsRatio") > 0
+    val poValid = col("payoutRatio").isNotNull && col("payoutRatio") > 0
+
+    val agg = sliced
+      .withColumn("__y_valid", yValid)
+      .groupBy(gcols: _*).agg(
+        count(col("date")).as("__n"),
+        max_by(col("dividendYield"), col("date")).as("__dy_last"),
+        max_by(when(col("__y_valid"), col("dividendYield")),
+          when(col("__y_valid"), col("date"))).as("__y_cur"),
+        percentile(when(col("__y_valid"), col("dividendYield")), lit(0.5)).as("__y_med"),
+        count(when(col("__y_valid"), 1)).as("__y_n"),
+        max_by(when(pvValid, col("priceEarningsRatio")), when(pvValid, col("date"))).as("__pe"),
+        max_by(when(pvValid, col("priceToFreeCashFlowsRatio")), when(pvValid, col("date"))).as("__pfcf"),
+        max_by(when(poValid, col("payoutRatio")), when(poValid, col("date"))).as("__po"))
+      .select(col("ticker"), col("as_of"),
+        when(col("__n") > 0, coalesce(col("__dy_last"), lit(0.0))).otherwise(0.0)
+          .as("dividend_yield"),
+        when(col("__n") < 2, nan)
+          .when(col("__y_n") === 0, nan)
+          .when(col("__y_med") === 0, 0.0)
+          .otherwise((col("__y_cur") - col("__y_med")) / col("__y_med"))
+          .as("yield_vs_5y_median"),
+        coalesce(col("__pe"), lit(0.0)).as("pe_ratio"),
+        coalesce(col("__pfcf"), lit(0.0)).as("pfcf_ratio"),
+        coalesce(col("__po"), lit(0.0)).as("payout_ratio"))
+
+    agg.join(fcf, K, "left")
+  }
+
+  /** Split-adjusted dividend CAGR at 3y and 5y horizons with 3-month grace
+    * — `compute_dividend_cagr`. */
+  def dividendBlock(grid: DataFrame, dividends: DataFrame,
+                    splits: DataFrame): DataFrame = {
+    // cum split ratio at or before a dividend's date never looks past as_of
+    // (splits after the dividend date don't contribute), so adjust once.
+    val adjusted = SeriesOps.adjustForSplits(dividends, splits, Seq(T),
+      "date", "dividend", "split_ratio")
+      .select(col(T), col("date"), col("dividend"))
+    val c3 = cagrAgg(adjusted, grid, "dividend", years = 3, graceDays = 0,
+      graceMonths = 3, out = "dividend_cagr_3y")
+    val c5 = cagrAgg(adjusted, grid, "dividend", years = 5, graceDays = 0,
+      graceMonths = 3, out = "dividend_cagr_5y")
+    c3.join(c5, K, "left")
+  }
+}

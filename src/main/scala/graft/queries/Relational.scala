@@ -50,18 +50,24 @@ object Relational {
 
   /** P1/P3/P5: projection + date-range + value predicates; filters and the
     * 4-column ReadSchema push down to the parquet scan. */
+  // NB: (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+  // the unique composite is (orderkey, linenumber, suppkey, shipdate), so
+  // every row-level lineitem query sorts (and emits) all four.
   val q2 = QueryDef("q2_filter_project",
     (s, dir) => Tables.lineitem(s, dir)
       .filter(col("l_shipdate").between(lit("1996-01-01").cast(DateType),
         lit("1996-12-31").cast(DateType)) &&
         col("l_quantity") > 40 && col("l_discount") >= 0.05)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        col("l_partkey"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "ship_date"),
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+      CAST(l_shipdate AS DATE) AS ship_date, l_partkey, l_extendedprice
       FROM lineitem
       WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         AND l_quantity > 40 AND l_discount >= 0.05
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** J1/J4: multi-way equi-join; nation/customer broadcast (small dims), the
     * big fact shuffles once on l_orderkey. */
@@ -182,19 +188,23 @@ object Relational {
   val q9 = QueryDef("q9_cumprod_growth",
     (s, dir) => {
       val w = Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey")
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.lineitem(s, dir)
         .withColumn("cum_growth",
           round(SeriesOps.cumProd(col("l_discount") + 1, w), 6))
-        .select("l_partkey", "l_orderkey", "l_linenumber", "cum_growth")
-        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_shipdate").cast(DateType).as("ship_date"),
+          col("cum_growth"))
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey", "ship_date")
     },
-    Some("""SELECT l_partkey, l_orderkey, l_linenumber,
+    Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey,
+      CAST(l_shipdate AS DATE) AS ship_date,
       ROUND(EXP(SUM(LN(1 + l_discount)) OVER (PARTITION BY l_partkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cum_growth
-      FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+      FROM lineitem
+      ORDER BY l_partkey, l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** A2: exact median / interpolated percentile (reference uses Polars
     * median; `percentile` is the exact form, not approx). */
@@ -278,12 +288,15 @@ object Relational {
       .withColumn("is_capped",
         when(col("l_quantity") > 0 &&
           col("l_extendedprice") / col("l_quantity") > 1000.0, 1).otherwise(0))
-      .select("l_orderkey", "l_linenumber", "unit_price_capped", "is_capped")
-      .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber,
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        col("unit_price_capped"), col("is_capped"))
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "ship_date"),
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+      CAST(l_shipdate AS DATE) AS ship_date,
       CASE WHEN l_quantity > 0 THEN LEAST(l_extendedprice / l_quantity, 1000.0) END AS unit_price_capped,
       CASE WHEN l_quantity > 0 AND l_extendedprice / l_quantity > 1000.0 THEN 1 ELSE 0 END AS is_capped
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** F3: slug / case / concat_ws / prefix-test string functions. */
   val q16 = QueryDef("q16_string_fns",
@@ -329,11 +342,13 @@ object Relational {
       .withColumn("gross_f32",
         round(dec(col("l_extendedprice")) * (ONE + dec(col("l_tax"))), 2)
           .cast(FloatType))
-      .select("l_orderkey", "l_linenumber", "gross_f32")
-      .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber,
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_shipdate").cast(DateType).as("ship_date"), col("gross_f32"))
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "ship_date"),
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+      CAST(l_shipdate AS DATE) AS ship_date,
       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))), 2) AS FLOAT) AS gross_f32
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** P6/P8: null injection + coalesce/fill. */
   val q19 = QueryDef("q19_null_fill",
@@ -386,17 +401,20 @@ object Relational {
           RangeRule("l_discount", 0, 0.08, hiInclusive = true)),
         consistencies = Seq(
           ConsistencyRule(col("l_extendedprice") <= 0, "l_extendedprice: nonpositive")))
-        .select("l_orderkey", "l_linenumber", "validation_status", "violations")
-        .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          col("validation_status"), col("violations"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "ship_date")
     },
-    Some("""SELECT l_orderkey, l_linenumber,
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+      CAST(l_shipdate AS DATE) AS ship_date,
       CASE WHEN v = '' THEN 'ok' ELSE 'flagged' END AS validation_status,
       v AS violations
-      FROM (SELECT l_orderkey, l_linenumber, concat_ws(';',
+      FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, concat_ws(';',
         CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity >= 45) THEN 'l_quantity: out-of-bounds' END,
         CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 'l_discount: out-of-bounds' END,
         CASE WHEN l_extendedprice <= 0 THEN 'l_extendedprice: nonpositive' END) AS v
-      FROM lineitem) t ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem) t ORDER BY l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** V3/W12: relative-jump validation against the previous row per entity. */
   val q24 = QueryDef("q24_validate_jumps",
@@ -449,17 +467,19 @@ object Relational {
       Tables.lineitem(s, dir)
         .withColumn("sma_delta",
           round(when(sma100 > 0, (sma20 - sma100) / sma100), 6))
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "sma_delta")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast(DateType).as("ship_date"), col("sma_delta"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "ship_date")
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      CAST(l_shipdate AS DATE) AS ship_date,
       ROUND(CASE WHEN sma100 > 0 THEN (sma20 - sma100) / sma100 END, 6) AS sma_delta
-      FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
         AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS sma100
-      FROM lineitem) t ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+      FROM lineitem) t ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_date"""))
 
   /** W5: CAGR between first and last yearly value per entity. */
   val q27 = QueryDef("q27_spend_cagr",

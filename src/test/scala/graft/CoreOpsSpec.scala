@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{AsOf, SchemaOps, SeriesOps}
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("asof backward join attaches latest right value at or before") {
+    val left = Seq(("A", d("2024-01-05")), ("A", d("2024-01-10")),
+      ("A", d("2024-01-01")), ("B", d("2024-01-05")))
+      .toDF("k", "date")
+    val right = Seq(("A", d("2024-01-02"), 1.0), ("A", d("2024-01-05"), 2.0),
+      ("A", d("2024-01-09"), 3.0))
+      .toDF("k", "date", "v")
+    val out = AsOf.joinBackward(left, right, Seq("k"), "date", Seq("v"))
+      .orderBy("k", "date").collect()
+    // A@01-01: nothing before -> null; A@01-05: exact-date match 2.0;
+    // A@01-10: 3.0; B: no right rows -> null
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 2.0)
+    assert(out(2).getDouble(2) == 3.0)
+    assert(out(3).isNullAt(2))
+  }
+
+  test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
+    val divs = Seq(("T", d("2023-01-01"), 1.0), ("T", d("2023-06-01"), 1.2),
+      ("T", d("2024-01-01"), 1.5)).toDF("ticker", "date", "dividend")
+    val splits = Seq(("T", d("2023-09-01"), 2.0)).toDF("ticker", "date", "split_ratio")
+    val out = SeriesOps.adjustForSplits(divs, splits, Seq("ticker"),
+      "date", "dividend", "split_ratio")
+      .orderBy("date").select("dividend").as[Double].collect()
+    assert(out(0) ~= 1.0)
+    assert(out(1) ~= 1.2)
+    assert(out(2) ~= (0.75, 1e-9))
+  }
+
+  test("adjustForSplits with no splits is identity") {
+    val divs = Seq(("T", d("2023-01-01"), 1.0)).toDF("ticker", "date", "dividend")
+    val splits = Seq.empty[(String, java.sql.Date, Double)]
+      .toDF("ticker", "date", "split_ratio")
+    val out = SeriesOps.adjustForSplits(divs, splits, Seq("ticker"),
+      "date", "dividend", "split_ratio").select("dividend").as[Double].collect()
+    assert(out.head ~= 1.0)
+  }
+
+  test("keepLastBy keeps the row with the highest arrival order") {
+    val df = Seq((1, "old", 0), (1, "new", 1), (2, "only", 0))
+      .toDF("k", "v", "gen")
+    val out = SeriesOps.keepLastBy(df, Seq("k"), Seq(col("gen")))
+      .orderBy("k").select("v").as[String].collect()
+    assert(out.toSeq == Seq("new", "only"))
+  }
+
+  test("cumProd over window equals running product") {
+    val df = Seq(("T", 1, 2.0), ("T", 2, 3.0), ("T", 3, 0.5))
+      .toDF("k", "i", "x")
+    val w = Window.partitionBy("k").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = df.withColumn("cp", SeriesOps.cumProd(col("x"), w))
+      .orderBy("i").select("cp").as[Double].collect()
+    assert(out(0) ~= (2.0, 1e-12))
+    assert(out(1) ~= (6.0, 1e-12))
+    assert(out(2) ~= (3.0, 1e-12))
+  }
+
+  test("unionHarmonized resolves dtype drift via the lattice") {
+    val a = Seq((1, 1.5)).toDF("k", "x") // x: double
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(2, 7, "s"))),
+      StructType(Seq(StructField("k", IntegerType), StructField("x", IntegerType),
+        StructField("extra", StringType))))
+    val out = SchemaOps.unionHarmonized(Seq(a, b))
+    assert(out.schema("x").dataType == DoubleType)
+    assert(out.columns.toSeq == Seq("extra", "k", "x")) // sorted superset
+    assert(out.count() == 2)
+    // missing column backfilled as null
+    assert(out.filter(col("extra").isNull).count() == 1)
+  }
+
+  test("round2f32 applies round(2) + Float32 to numerics only") {
+    val df = Seq((1, 1.23456, "s")).toDF("k", "x", "t")
+    val out = SchemaOps.round2f32(df, except = Set("k"))
+    assert(out.schema("x").dataType == FloatType)
+    assert(out.schema("k").dataType == IntegerType)
+    assert(out.select("x").as[Float].head() == 1.23f)
+  }
+}

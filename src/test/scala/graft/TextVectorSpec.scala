@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns, SimHash}
+import graft.operators.{Dedup, Similarity}
+
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word trigrams of a 5-token doc") {
+    val df = Seq("a b c d e").toDF("text")
+    val out = df.select(TextFns.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shingles of a too-short doc are empty") {
+    val df = Seq("a b").toDF("text")
+    assert(df.select(TextFns.shingles(col("text"), 3)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("jaccard of identical shingle sets is 1.0, disjoint is 0.0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z")).toDF("t1", "t2")
+    val out = df.select(TextFns.jaccard(
+      TextFns.shingleSet(col("t1"), 2), TextFns.shingleSet(col("t2"), 2)).as("j"))
+      .as[Double].collect()
+    assert(out(0) ~= 1.0)
+    assert(out(1) ~= 0.0)
+  }
+
+  test("simhash: identical docs have hamming 0, different docs differ") {
+    val df = Seq(("same text here okay", "same text here okay", "totally different words now"))
+      .toDF("a", "b", "c")
+    val row = df.select(
+      SimHash.hamming(SimHash.simhash64(TextFns.tokens(col("a"))),
+        SimHash.simhash64(TextFns.tokens(col("b")))).as("h_same"),
+      SimHash.hamming(SimHash.simhash64(TextFns.tokens(col("a"))),
+        SimHash.simhash64(TextFns.tokens(col("c")))).as("h_diff")).collect()(0)
+    assert(row.getInt(0) == 0)
+    assert(row.getInt(1) > 0)
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, "doc_id", "text",
+      jaccardThreshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dedup groups identical content under min id") {
+    val df = Seq((5L, "dup"), (2L, "dup"), (9L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L) // keeper 2, n=2
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+  }
+
+  test("cosine similarity: parallel vectors 1.0, orthogonal 0.0") {
+    val df = Seq((Array(1.0f, 0f), Array(2.0f, 0f), Array(0f, 3.0f)))
+      .toDF("a", "b", "c")
+    val row = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("par"),
+      VectorFns.cosine(col("a"), col("c")).as("orth")).collect()(0)
+    assert(row.getDouble(0) ~= 1.0)
+    assert(row.getDouble(1) ~= 0.0)
+  }
+
+  test("brute-force top-k ranks the closest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0),
+      vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L)) // 2 ties 3 on cosine 0; id breaks tie
+  }
+
+  test("langId picks the language with the most stopword hits") {
+    val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
+      .toDF("text")
+    val out = df.select(TextFns.langIdHeuristic(col("text"))).as[String].collect()
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+  }
+}

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.features.TickerFeatures
+
+/** Golden values ported 1:1 from the reference's pytest suite
+  * (tests/dataprep/features/engineering/) — they pin the 0.0/NaN/null
+  * conventions of every feature (SURVEY §5 item 1).
+  */
+class TickerFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private def gridAt(asOf: String): DataFrame =
+    Seq(("T", d(asOf))).toDF("ticker", "as_of")
+
+  private def prices(rows: (String, Double)*): DataFrame =
+    rows.map { case (dt, c) => ("T", d(dt), c) }.toDF("ticker", "date", "close")
+
+  private def priceRow(name: String, grid: DataFrame, p: DataFrame): Double =
+    TickerFeatures.priceBlock(grid, p).select(name).as[Double].head()
+
+  test("6m return: 100 -> 120 = 0.2 (test_compute_6m_return)") {
+    val p = prices("2024-01-01" -> 100.0, "2024-07-01" -> 120.0)
+    assert(priceRow("6m_return", gridAt("2024-07-01"), p) ~= (0.2, 1e-9))
+  }
+
+  test("6m return precise dates: (211.26-228)/228 (test_compute_6m_return_precise_date)") {
+    val p = prices("2024-11-17" -> 228.0, "2025-05-17" -> 211.26)
+    val expected = (211.26 - 228.0) / 228.0
+    assert(priceRow("6m_return", gridAt("2025-05-17"), p) ~= (expected, 1e-9))
+  }
+
+  test("12m return: 100 -> 130 = 0.3 (test_compute_12m_return)") {
+    val p = prices("2023-07-01" -> 100.0, "2024-07-01" -> 130.0)
+    assert(priceRow("12m_return", gridAt("2024-07-01"), p) ~= (0.3, 1e-9))
+  }
+
+  test("6m return with no past price defaults to 0.0") {
+    val p = prices("2024-06-30" -> 100.0, "2024-07-01" -> 120.0)
+    assert(priceRow("6m_return", gridAt("2024-07-01"), p) ~= 0.0)
+  }
+
+  test("max drawdown basic: peak 150 trough 90 = 0.4 (test_compute_max_drawdown_basic)") {
+    val p = prices("2023-01-01" -> 100.0, "2023-06-01" -> 150.0, "2023-12-31" -> 90.0)
+    assert(priceRow("max_drawdown_1y", gridAt("2023-12-31"), p) ~= ((150.0 - 90.0) / 150.0, 1e-9))
+  }
+
+  test("max drawdown multi-peak within window: 120 -> 80 = 1/3") {
+    val closes = Seq(50.0, 100.0, 110.0, 95.0, 120.0, 80.0, 90.0, 130.0, 125.0)
+    val p = prices(closes.zipWithIndex.map { case (c, i) =>
+      f"2023-${i + 1}%02d-01" -> c
+    }: _*)
+    assert(priceRow("max_drawdown_1y", gridAt("2023-12-31"), p) ~= (1.0 / 3.0, 1e-9))
+  }
+
+  test("volatility equals stddev(daily returns) * sqrt(252)") {
+    val p = prices("2024-01-01" -> 100.0, "2024-01-02" -> 101.0, "2024-01-03" -> 102.0)
+    val r1 = 101.0 / 100.0 - 1
+    val r2 = 102.0 / 101.0 - 1
+    val mean = (r1 + r2) / 2
+    val sd = math.sqrt((math.pow(r1 - mean, 2) + math.pow(r2 - mean, 2)) / 1)
+    assert(priceRow("volatility", gridAt("2024-01-03"), p) ~= (sd * math.sqrt(252.0), 1e-9))
+  }
+
+  test("volatility of a single price is 0.0") {
+    val p = prices("2024-01-01" -> 100.0)
+    assert(priceRow("volatility", gridAt("2024-01-03"), p) ~= 0.0)
+  }
+
+  test("sma 50/200 delta on 250-day ramp ~= 0.065 (test_compute_sma_delta_with_enough_data)") {
+    val p = prices((0 until 250).map { i =>
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString -> (100.0 + i * 0.1)
+    }: _*)
+    val sma50 = (0 until 50).map(i => 100.0 + (200 + i) * 0.1).sum / 50
+    val sma200 = (0 until 200).map(i => 100.0 + (50 + i) * 0.1).sum / 200
+    val expected = (sma50 - sma200) / sma200
+    assert(priceRow("sma_50_200_delta", gridAt("2023-12-31"), p) ~= (expected, 1e-9))
+  }
+
+  test("sma delta with all-zero closes is 0.0 (zero-division guard)") {
+    val p = prices((0 until 200).map { i =>
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString -> 0.0
+    }: _*)
+    assert(priceRow("sma_50_200_delta", gridAt("2023-12-31"), p) ~= 0.0)
+  }
+
+  test("sma delta with <200 rows is null (reference raises; gate filters)") {
+    val p = prices("2023-01-01" -> 1.0, "2023-01-02" -> 2.0)
+    val row = TickerFeatures.priceBlock(gridAt("2023-12-31"), p)
+      .select("sma_50_200_delta").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("sector relative return (365d window): (120/100) - (210/200) = 0.15") {
+    val stock = prices("2023-07-05" -> 100.0, "2024-01-01" -> 120.0)
+    val etf = Seq(("T", d("2023-07-05"), 200.0), ("T", d("2024-01-01"), 210.0))
+      .toDF("ticker", "date", "close")
+    val out = TickerFeatures.sectorRelativeBlock(gridAt("2024-01-01"), stock, etf)
+      .select("sector_relative_6m").as[Double].head()
+    assert(out ~= (0.15, 1e-9))
+  }
+
+  test("sector relative return with <2 sector rows is 0.0") {
+    val stock = prices("2023-07-05" -> 100.0, "2024-01-01" -> 120.0)
+    val etf = Seq(("T", d("2024-01-01"), 210.0)).toDF("ticker", "date", "close")
+    val out = TickerFeatures.sectorRelativeBlock(gridAt("2024-01-01"), stock, etf)
+      .select("sector_relative_6m").as[Double].head()
+    assert(out ~= 0.0)
+  }
+
+  private def income(rows: (String, Double)*): DataFrame =
+    rows.map { case (dt, e) => ("T", d(dt), e) }.toDF("ticker", "date", "eps")
+
+  test("eps CAGR: [2.0 .. 4.0] over 3y = 2^(1/3)-1 (test_compute_cagr_basic)") {
+    val inc = income("2021-01-01" -> 2.0, "2022-01-01" -> 2.5,
+      "2023-01-01" -> 3.0, "2024-01-01" -> 4.0)
+    val out = TickerFeatures.incomeGrowthBlock(gridAt("2024-01-01"), inc)
+      .select("eps_cagr_3y").as[Double].head()
+    assert(out ~= (math.pow(2.0, 1.0 / 3) - 1, 1e-9))
+  }
+
+  test("eps CAGR single point is NaN (insufficient data)") {
+    val inc = income("2024-01-01" -> 2.0)
+    val out = TickerFeatures.incomeGrowthBlock(gridAt("2024-01-01"), inc)
+      .select("eps_cagr_3y").as[Double].head()
+    assert(out.isNaN)
+  }
+
+  test("eps CAGR grace-window miss is NaN") {
+    // 3y lookback from 2024 lands at 2021 +/- 90d; earliest row is 2022.
+    val inc = income("2022-01-01" -> 2.0, "2023-01-01" -> 2.5, "2024-01-01" -> 3.0)
+    val out = TickerFeatures.incomeGrowthBlock(gridAt("2024-01-01"), inc)
+      .select("eps_cagr_3y").as[Double].head()
+    assert(out.isNaN)
+  }
+
+  test("dividend CAGR 5y with empty splits: 2^(1/5)-1 (test_compute_dividend_cagr_basic)") {
+    val divs = Seq(("T", d("2019-01-01"), 1.0), ("T", d("2020-01-01"), 1.1),
+      ("T", d("2024-01-01"), 2.0)).toDF("ticker", "date", "dividend")
+    val splits = Seq.empty[(String, java.sql.Date, Double)]
+      .toDF("ticker", "date", "split_ratio")
+    val out = TickerFeatures.dividendBlock(gridAt("2024-01-01"), divs, splits)
+      .select("dividend_cagr_5y").as[Double].head()
+    assert(out ~= (math.pow(2.0, 1.0 / 5) - 1, 1e-9))
+  }
+
+  test("net debt / EBITDA on latest row: (1000-200)/480 (test_compute_net_debt_to_ebitda)") {
+    val inc = Seq(("T", d("2023-12-31"), 400.0, 50.0, 30.0, 999.0),
+      ("T", d("2022-12-31"), 300.0, 60.0, 40.0, 999.0))
+      .toDF("ticker", "date", "incomeBeforeTax", "interestExpense",
+        "depreciationAndAmortization", "operatingIncome")
+    val bal = Seq(("T", d("2023-12-31"), 200.0, 1000.0),
+      ("T", d("2022-12-31"), 300.0, 1200.0))
+      .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt")
+    val out = TickerFeatures.fundamentalsBlock(gridAt("2024-01-01"), inc, bal)
+      .select("net_debt_to_ebitda").as[Double].head()
+    assert(out ~= ((1000.0 - 200.0) / 480.0, 1e-9))
+  }
+
+  test("ebit interest cover falls back to incomeBeforeTax: 500/100 = 5.0") {
+    val inc = Seq(("T", d("2023-12-31"), 500.0, 100.0, 0.0),
+      ("T", d("2022-12-31"), 400.0, 200.0, 0.0))
+      .toDF("ticker", "date", "incomeBeforeTax", "interestExpense",
+        "depreciationAndAmortization")
+    val bal = Seq(("T", d("2023-12-31"), 0.0, 0.0), ("T", d("2022-12-31"), 0.0, 0.0))
+      .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt")
+    val out = TickerFeatures.fundamentalsBlock(gridAt("2024-01-01"), inc, bal)
+    val row = out.select("ebit_interest_cover", "ebit_interest_cover_capped").collect()(0)
+    assert(row.getDouble(0) ~= 5.0)
+    assert(!row.getBoolean(1))
+  }
+
+  test("ebit interest cover above cap stores inf + capped flag") {
+    val inc = Seq(("T", d("2023-12-31"), 5000.0, 1.0, 0.0))
+      .toDF("ticker", "date", "incomeBeforeTax", "interestExpense",
+        "depreciationAndAmortization")
+    val bal = Seq(("T", d("2023-12-31"), 0.0, 0.0))
+      .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt")
+    val row = TickerFeatures.fundamentalsBlock(gridAt("2024-01-01"), inc, bal)
+      .select("ebit_interest_cover", "ebit_interest_cover_capped").collect()(0)
+    assert(row.getDouble(0).isPosInfinity)
+    assert(row.getBoolean(1))
+  }
+
+  private def ratios(rows: (String, Double, Double, Double, Double, Double)*): DataFrame =
+    rows.map { case (dt, pe, pfcf, po, dy, fcf) => ("T", d(dt), pe, pfcf, po, dy, fcf) }
+      .toDF("ticker", "date", "priceEarningsRatio", "priceToFreeCashFlowsRatio",
+        "payoutRatio", "dividendYield", "freeCashFlowPerShare")
+
+  test("latest valid P/E + P/FCF skips non-positive rows (test_valuation)") {
+    val r = ratios(
+      ("2022-01-01", 32.9, 32.6, 0.3, 0.02, 1.0),
+      ("2023-01-01", 0.0, 0.0, 0.4, 0.02, 1.2))
+    val row = TickerFeatures.ratiosBlock(gridAt("2024-01-01"), r)
+      .select("pe_ratio", "pfcf_ratio", "payout_ratio").collect()(0)
+    assert(row.getDouble(0) ~= 32.9)
+    assert(row.getDouble(1) ~= 32.6)
+    assert(row.getDouble(2) ~= 0.4) // payout takes latest positive independently
+  }
+
+  test("no valid P/E rows defaults to (0.0, 0.0)") {
+    val r = ratios(("2023-01-01", 0.0, 0.0, 0.0, 0.0, 1.0))
+    val row = TickerFeatures.ratiosBlock(gridAt("2024-01-01"), r)
+      .select("pe_ratio", "pfcf_ratio", "payout_ratio").collect()(0)
+    assert(row.getDouble(0) ~= 0.0)
+    assert(row.getDouble(1) ~= 0.0)
+    assert(row.getDouble(2) ~= 0.0)
+  }
+
+  test("yield vs 5y median: positive-only, (cur - med)/med") {
+    val r = ratios(
+      ("2021-01-01", 10.0, 10.0, 0.3, 0.02, 1.0),
+      ("2022-01-01", 10.0, 10.0, 0.3, 0.04, 1.0),
+      ("2023-01-01", 10.0, 10.0, 0.3, 0.06, 1.0))
+    val out = TickerFeatures.ratiosBlock(gridAt("2024-01-01"), r)
+      .select("yield_vs_5y_median").as[Double].head()
+    // median of (0.02, 0.04, 0.06) = 0.04; current = 0.06
+    assert(out ~= ((0.06 - 0.04) / 0.04, 1e-9))
+  }
+
+  test("has_ flags: NaN CAGR -> 0, present value -> 1, default 0.0 yield -> 1") {
+    val grid = gridAt("2024-01-01")
+    val in = TickerFeatures.Inputs(
+      prices = prices((0 until 250).map { i =>
+        java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString -> (100.0 + i)
+      }: _*),
+      dividends = Seq(("T", d("2023-01-01"), 1.0)).toDF("ticker", "date", "dividend"),
+      splits = Seq.empty[(String, java.sql.Date, Double)].toDF("ticker", "date", "split_ratio"),
+      ratios = ratios(("2023-06-01", 10.0, 10.0, 0.3, 0.02, 1.0)),
+      income = Seq(("T", d("2023-06-01"), 2.0, 100.0, 10.0, 5.0))
+        .toDF("ticker", "date", "eps", "incomeBeforeTax", "interestExpense",
+          "depreciationAndAmortization"),
+      balance = Seq(("T", d("2023-06-01"), 0.0, 100.0))
+        .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt"),
+      sectorIndex = Seq(("T", d("2023-01-01"), 100.0), ("T", d("2024-01-01"), 110.0))
+        .toDF("ticker", "date", "close"))
+    val row = TickerFeatures.dynamicFeatures(grid, in)
+      .select("has_eps_cagr_3y", "has_dividend_yield", "has_dividend_cagr_3y")
+      .collect()(0)
+    assert(row.getInt(0) == 0) // single-point eps -> NaN -> 0
+    assert(row.getInt(1) == 1) // yield present
+    assert(row.getInt(2) == 0) // single dividend -> NaN
+  }
+}
