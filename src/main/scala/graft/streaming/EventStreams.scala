@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming layer. The reference is batch-only (SURVEY §2.14);
+  * this subsumes its batch-incremental patterns (B2 skip-existing, B7
+  * staleness) with a file-source stream + `Trigger.AvailableNow`, and adds
+  * the event-analytics jobs a 100 TB event feed needs: watermarked tumbling
+  * windows and gap sessionization.
+  *
+  * The transforms are plain DataFrame functions shared verbatim by the
+  * batch queries (s1_event_hourly / s2_sessionize) — one definition, two
+  * execution modes, which is the Spark-native guarantee that batch backfill
+  * and live streaming agree.
+  */
+object EventStreams {
+
+  /** Tumbling 1h counts + sums per event_type. In streaming mode, late data
+    * beyond the watermark is dropped; in batch mode the same plan runs
+    * without state. */
+  def hourlyByType(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** File-source stream over an events directory (parquet), processing all
+    * available data then stopping — the `Trigger.AvailableNow` incremental
+    * pattern that replaces the reference's mtime-staleness checks. */
+  def runHourlyAvailableNow(spark: SparkSession, inputDir: String,
+                            outputDir: String, checkpoint: String,
+                            schema: StructType): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    hourlyByType(stream, withWatermark = true)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Gap-based sessionization (stateful): session_window groups events per
+    * user with a 30-min inactivity gap — Spark's native session state, the
+    * scalable path (state store per key, watermark-evicted). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     withWatermark: Boolean = true): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("sum_value"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+import graft.sinks.Sinks
+import java.nio.file.Files
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("coverage assertion passes within grace, fails outside") {
+    val df = Seq(("A", d("1995-01-05")), ("A", d("2001-06-28")))
+      .toDF("k", "date")
+    Sources.assertCoverage(df, "date", "1995-01-01", "2001-06-30", graceDays = 7)
+    intercept[Sources.ServerError] {
+      Sources.assertCoverage(df, "date", "1994-01-01", "2001-06-30", graceDays = 7)
+    }
+    intercept[Sources.NotFound] {
+      Sources.assertCoverage(df.filter(lit(false)), "date", "1995-01-01", "1995-02-01")
+    }
+  }
+
+  test("topKMostRecent keeps k latest per entity") {
+    val df = Seq(("A", d("2024-01-01"), 1), ("A", d("2024-02-01"), 2),
+      ("A", d("2024-03-01"), 3), ("B", d("2024-01-01"), 9))
+      .toDF("k", "date", "v")
+    val out = Sources.topKMostRecent(df, 2, Seq("k"))
+      .orderBy("k", "date").select("v").as[Int].collect()
+    assert(out.toSeq == Seq(2, 3, 9))
+  }
+
+  test("ticker list source trims, uppercases, drops blanks") {
+    val tmp = Files.createTempDirectory("graft-test").resolve("tickers.txt")
+    Files.writeString(tmp, " aapl \nMSFT\n\n tsla\n")
+    val out = Sources.tickerList(spark, tmp.toString)
+      .orderBy("ticker").as[String].collect()
+    assert(out.toSeq == Seq("AAPL", "MSFT", "TSLA"))
+  }
+
+  test("writeIfChanged detects identical content and skips the second write") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dir = Files.createTempDirectory("graft-sink").resolve("store").toString
+    val (changed1, h1) = Sinks.writeIfChanged(df, dir, None)
+    assert(changed1)
+    val (changed2, h2) = Sinks.writeIfChanged(df, dir, Some(h1))
+    assert(!changed2 && h2 == h1)
+    // different content -> different hash -> rewrite
+    val (changed3, _) = Sinks.writeIfChanged(df.withColumn("v", lit("x")), dir, Some(h1))
+    assert(changed3)
+  }
+
+  test("audit sidecar writes one line per flagged row") {
+    val df = Seq(("T", d("2024-01-01"), "flagged", "x out-of-bounds"),
+      ("U", d("2024-01-01"), "ok", ""))
+      .toDF("ticker", "as_of", "validation_status", "violations")
+    val dir = Files.createTempDirectory("graft-audit").resolve("_audit").toString
+    Sinks.writeAuditSidecar(df, dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.length == 1 && lines(0).startsWith("T | 2024-01-01"))
+  }
+
+  test("status JSON sink writes atomic parseable stats") {
+    val validated = Seq(("T", "ok"), ("U", "flagged"), ("V", "ok"))
+      .toDF("ticker", "validation_status")
+    val stats = Sinks.runStats(validated, "2026-01-01T00:00:00Z", "2026-01-01T00:01:00Z")
+    assert(stats.total == 3 && stats.ok == 2 && stats.flagged == 1)
+    val path = Files.createTempDirectory("graft-status").resolve("status.json").toString
+    Sinks.writeStatusJson(stats, path)
+    val content = Files.readString(java.nio.file.Paths.get(path))
+    assert(content.contains("\"ok\": 2") && content.contains("\"flagged\": 1"))
+  }
+}

@@ -84,6 +84,38 @@ class TextVectorSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L)) // 2 ties 3 on cosine 0; id breaks tie
   }
 
+  test("JVM TextExprs agree with the column reference implementations") {
+    import graft.functions.TextExprs
+    val df = Seq("a b c d e a b c", "x y", "").toDF("text")
+      .withColumn("toks", TextFns.tokens(col("text")))
+    val rows = df.select(
+      TextExprs.distinctShingles(col("toks"), 3).as("fast"),
+      TextFns.shingleSet(col("text"), 3).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).sorted == r.getSeq[String](1).sorted)
+    }
+    val jac = Seq(("a b c d", "b c d e"))
+      .toDF("t1", "t2")
+      .select(
+        TextExprs.jaccardSim(TextFns.shingleSet(col("t1"), 2),
+          TextFns.shingleSet(col("t2"), 2)).as("fast"),
+        TextFns.jaccard(TextFns.shingleSet(col("t1"), 2),
+          TextFns.shingleSet(col("t2"), 2)).as("ref")).collect()(0)
+    assert(jac.getDouble(0) == jac.getDouble(1))
+  }
+
+  test("shingleMinHash: identical token arrays give identical signatures") {
+    import graft.functions.TextExprs
+    val df = Seq(("a b c d e f g h", "a b c d e f g h", "q r s t u v w x"))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      TextExprs.shingleMinHash(TextFns.tokens(col("x")), 3, 16).as("sx"),
+      TextExprs.shingleMinHash(TextFns.tokens(col("y")), 3, 16).as("sy"),
+      TextExprs.shingleMinHash(TextFns.tokens(col("z")), 3, 16).as("sz")).collect()(0)
+    assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    assert(r.getSeq[Int](0) != r.getSeq[Int](2))
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
