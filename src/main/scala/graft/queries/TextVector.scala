@@ -18,7 +18,7 @@ import QueryDef.dec
 object TextVector {
 
   def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8,
-    e1, e2, e3, s1, s2)
+    e1, e2, e3, e4, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
   val d1 = QueryDef("d1_exact_dedup",
@@ -218,6 +218,15 @@ object TextVector {
           round(col("cosine"), 4).as("cosine_r"), col("rank"))
         .orderBy("query_id", "rank")
     },
+    None)
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
+    * exact cosine verify (rows-only: murmur-seeded hyperplanes). */
+  val e4 = QueryDef("e4_embedding_neardup",
+    (s, dir) => Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, bits = 8, cosineThreshold = 0.9)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy("id_a", "id_b"),
     None)
 
   /** Tumbling-window event aggregation — the EXACT transform the

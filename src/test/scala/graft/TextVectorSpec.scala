@@ -116,6 +116,43 @@ class TextVectorSpec extends SparkSpec {
     assert(r.getSeq[Int](0) != r.getSeq[Int](2))
   }
 
+  test("IVF ANN finds the same top neighbor as brute force on separated clusters") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i + j) % 5) },
+        if (i < 10) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val centroids = vecs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(col("label").as("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+      .select(col("centroid_id"), expr("transform(pairs, p -> p.cv)").as("centroid_vec"))
+    val cells = graft.operators.Similarity.assignCells(vecs, centroids, "vec_id", "embedding")
+    // every vector lands in its own cluster's cell
+    assert(cells.filter((col("id") < 10 && col("centroid_id") =!= 0) ||
+      (col("id") >= 10 && col("centroid_id") =!= 1)).count() == 0)
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ivf = graft.operators.Similarity.ivfTopK(queries, cells, centroids, k = 3, nProbe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("embedding near-dup LSH finds a duplicated vector") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val near = base.clone(); near(0) += 0.001f
+    val far = Array.tabulate(8)(i => (8 - i).toFloat)
+    val vecs = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup.embeddingNearDuplicates(
+      vecs, "vec_id", "embedding", dim = 8, bits = 6, cosineThreshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
