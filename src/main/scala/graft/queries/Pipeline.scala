@@ -14,7 +14,7 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2, p3)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3, m1)
 
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
@@ -95,6 +95,76 @@ object Pipeline {
         .orderBy("feature")
     },
     None)
+
+  /** The macro pipeline (grid form) over a nation×year wide table derived
+    * from orders — ORACLE-GATED: the DuckDB SQL replicates the exact
+    * backfill/YoY/difference//100 semantics. */
+  val m1 = QueryDef("m1_macro_pipeline",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val yearly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("country"), year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(QueryDef.dec(col("o_totalprice"))).cast(DoubleType).as("gdp"),
+          (sum(QueryDef.dec(col("o_totalprice"))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("gdp_pc"),
+          (count(lit(1)).cast(DoubleType) / 10.0).as("infl"),
+          (countDistinct(col("o_custkey")).cast(DoubleType)).as("unemp"))
+      val macroRaw = yearly.select(col("country"),
+        to_date(concat(col("yr"), lit("-12-31"))).as("date"),
+        col("gdp").as("GDP (USD)"),
+        col("gdp_pc").as("GDP per Capita (const USD)"),
+        col("infl").as("Inflation (%)"),
+        col("unemp").as("Unemployment (%)"),
+        lit(52.0).as("Private Consumption (% GDP)"),
+        (col("unemp") + 40.0).as("Exports (% GDP)"))
+      val s2 = s
+      import s2.implicits._
+      val grid = n.select(col("n_name").as("country"))
+        .crossJoin(Seq(1997, 1998, 1999, 2000).toDF("as_of_year"))
+      graft.pipeline.MacroPipeline.features(grid, macroRaw, todayYear = 2026)
+        .orderBy("country", "as_of_year")
+    },
+    Some("""WITH yearly AS (
+        SELECT n_name AS country, CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gdp,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gdp_pc,
+          CAST(COUNT(*) AS DOUBLE) / 10.0 AS infl,
+          CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS unemp
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      grid AS (SELECT n_name AS country, y AS as_of_year
+        FROM nation CROSS JOIN (VALUES (1997),(1998),(1999),(2000)) t(y)),
+      feat AS (SELECT g.country, g.as_of_year, g.as_of_year - 1 AS backfilled_year,
+          CASE WHEN r.gdp IS NOT NULL AND r2.gdp IS NOT NULL AND r2.gdp <> 0.0
+            THEN (r.gdp - r2.gdp) / r2.gdp END AS gdp_yoy_backfilled,
+          CASE WHEN r.gdp_pc IS NOT NULL AND r2.gdp_pc IS NOT NULL AND r2.gdp_pc <> 0.0
+            THEN (r.gdp_pc - r2.gdp_pc) / r2.gdp_pc END AS gdp_pc_yoy_backfilled,
+          sel.infl / 100.0 AS inflation_latest,
+          CASE WHEN sel.infl IS NOT NULL AND r.infl IS NOT NULL
+            THEN (sel.infl - r.infl) / 100.0 END AS inflation_yoy,
+          sel.unemp / 100.0 AS unemployment_latest,
+          52.0 / 100.0 AS consumption_backfilled_r,
+          CASE WHEN r.unemp IS NOT NULL THEN (r.unemp + 40.0) / 100.0 END AS exports_backfilled,
+          r.country AS rc
+        FROM grid g
+        LEFT JOIN yearly sel ON sel.country = g.country AND sel.yr = g.as_of_year
+        LEFT JOIN yearly r ON r.country = g.country AND r.yr = g.as_of_year - 1
+        LEFT JOIN yearly r2 ON r2.country = g.country AND r2.yr = g.as_of_year - 2)
+      SELECT as_of_year, backfilled_year, country, gdp_yoy_backfilled,
+        gdp_pc_yoy_backfilled, inflation_latest, inflation_yoy,
+        unemployment_latest,
+        CASE WHEN rc IS NOT NULL OR rc IS NULL THEN 0.52 END AS consumption_backfilled,
+        exports_backfilled
+      FROM feat
+      WHERE gdp_yoy_backfilled IS NOT NULL AND gdp_pc_yoy_backfilled IS NOT NULL
+        AND inflation_latest IS NOT NULL AND inflation_yoy IS NOT NULL
+        AND unemployment_latest IS NOT NULL AND exports_backfilled IS NOT NULL
+      ORDER BY country, as_of_year"""))
 
   /** Static one-hot rows from customer segments/nations as sector/country. */
   val p2 = QueryDef("p2_static_encoding",
