@@ -102,7 +102,7 @@ object TickerValidation {
         when(finite(cur) && finite(prev) && abs(prev) >= math.max(floor, tiny) &&
           ratio > limit,
           concat(lit(s"$name abnormal change: "),
-            format_number(prev, 4), lit(" -> "), format_number(cur, 4)))
+            format_string("%.4f", prev), lit(" -> "), format_string("%.4f", cur)))
     }
 
     // --- V4 internal consistency ---

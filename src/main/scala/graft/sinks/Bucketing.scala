@@ -1,0 +1,31 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed tables for shuffle-free co-located joins — the storage-level
+  * answer to repeated large-joins on the same key at 100 TB: both sides
+  * bucketed (and sorted) by the join key into the same bucket count join
+  * with NO Exchange, and bucket pruning serves point lookups.
+  *
+  * Spark only honors bucketing through the catalog (`saveAsTable`), not
+  * plain parquet paths.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("compression", "zstd")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — plans without a
+    * shuffle when bucket specs line up. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+}
