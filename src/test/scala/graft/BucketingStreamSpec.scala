@@ -28,6 +28,31 @@ class BucketingStreamSpec extends SparkSpec {
     }
   }
 
+  test("mapGroupsWithState keeps running per-user profiles across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.userProfiles(stream.toDS())
+      .writeStream.format("memory").queryName("profiles_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(
+        EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), "click", 10.0),
+        EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:01:00"), "purchase", 99.0))
+      q.processAllAvailable()
+      // second micro-batch: state must carry the first batch's counts
+      stream.addData(
+        EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:02:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("profiles_test")
+        .orderBy(col("n_events").desc).collect()(0)
+      assert(last.getAs[Long]("n_events") == 3L)
+      assert(last.getAs[Long]("n_purchases") == 2L)
+      assert(math.abs(last.getAs[Double]("total_value") - 110.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("AvailableNow file-stream processes a parquet directory then stops") {
     val dir = Files.createTempDirectory("graft-stream")
     val input = dir.resolve("in").toString
