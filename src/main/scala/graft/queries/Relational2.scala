@@ -71,7 +71,7 @@ object Relational2 {
     Some("""SELECT event_type,
       bool_or(value > 190) AS any_high,
       bool_and(value >= 0) AS all_nonneg,
-      SUM(CASE WHEN value > 190 THEN 1 ELSE 0 END) AS n_high
+      CAST(SUM(CASE WHEN value > 190 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** J3: column-wise outer join on a date index (the macro source pattern:

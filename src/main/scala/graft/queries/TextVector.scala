@@ -263,8 +263,8 @@ object TextVector {
           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (SELECT user_id, event_id, ts,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM marked)
       SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))

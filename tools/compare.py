@@ -45,6 +45,13 @@ def main(sf_dir, out_dir):
         if s_cols != d_cols:
             results[name] = f"SCHEMA-MISMATCH: spark={s_cols} duck={d_cols}"
             continue
+        s_types = dict(zip(spark_tbl.columns, map(str, spark_tbl.types)))
+        d_types = dict(zip(duck_tbl.columns, map(str, duck_tbl.types)))
+        type_diff = {c: (s_types[c], d_types[c]) for c in s_cols
+                     if s_types[c] != d_types[c]}
+        if type_diff:
+            results[name] = f"DTYPE-MISMATCH: {type_diff}"
+            continue
         s_rows = con.sql(
             f"SELECT {', '.join(quote(c) for c in s_cols)} FROM spark_tbl").fetchall()
         duck_tbl2 = duck_tbl  # noqa
