@@ -124,6 +124,63 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprint (Schleimer et al. 2003, public): Rabin-
+  * Karp rolling hash over the character stream with k-gram windows, then
+  * the minimum hash in each window of `w` consecutive k-gram hashes
+  * (rightmost-min rule). Output: sorted distinct selected hashes — a
+  * compact sketch whose overlap estimates shared substrings. */
+case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprint"
+
+  private val B = 1000000007L
+  private val M = (1L << 61) - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // rolling k-gram hashes
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + (bytes(i) & 0xffL)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xffL) * pow % M + M) % M
+      h = (h * B + (bytes(i + k - 1) & 0xffL)) % M
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w hashes, rightmost on ties
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var min = hashes(0); i = 1
+      while (i < nGrams) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      selected.add(min)
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var minIdx = start
+        var j = start + 1
+        while (j < start + w) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+        selected.add(hashes(minIdx))
+        start += 1
+      }
+    }
+    new GenericArrayData(selected.toArray.map(_.asInstanceOf[java.lang.Long].longValue()))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprint =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def distinctShingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(DistinctShingles(ColumnBridge.expression(tokens), k))
@@ -133,4 +190,7 @@ object TextExprs {
 
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def winnowingFingerprint(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingFingerprint(ColumnBridge.expression(text), k, w))
 }

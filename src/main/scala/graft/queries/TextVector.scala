@@ -17,7 +17,7 @@ import QueryDef.dec
   */
 object TextVector {
 
-  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8,
+  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9,
     e1, e2, e3, e4, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
@@ -27,18 +27,24 @@ object TextVector {
     Some("""SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper_id,
       COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY fingerprint"""))
 
-  /** Token counting + mean token length (text statistics). */
+  /** Token counting (whitespace + BPE-ish regex) + mean token length. */
   val d2 = QueryDef("d2_token_stats",
     (s, dir) => {
       val doc = Tables.documents(s, dir)
+      // GPT-2-flavored pre-tokenizer classes, ASCII-safe so Java regex and
+      // RE2 (DuckDB) agree: letter runs | single digits | punctuation runs
+      val bpeish = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
       doc.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"),
         TextFns.nonWsChars(col("text")).cast(LongType).as("n_chars_nows"),
         TextFns.meanTokenLen(col("text")).as("mean_token_len"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
       length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nows,
       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
         THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
@@ -162,6 +168,24 @@ object TextVector {
         md5(trim(text))) AS fingerprint
       FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
       ORDER BY doc_id"""))
+
+  /** Rolling-hash winnowing fingerprints (custom Catalyst expression) +
+    * shared-fingerprint pair detection (rows-only: custom hash). */
+  val d9 = QueryDef("d9_winnowing_pairs",
+    (s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.winnowingFingerprint(
+            col("text"), k = 20, w = 8)).as("fp"))
+      val b = fp.select(col("fp"), col("doc_id").as("doc_b"))
+      fp.join(b, Seq("fp"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("id_a"), col("doc_b").as("id_b"))
+        .agg(count(lit(1)).as("shared_fingerprints"))
+        .filter(col("shared_fingerprints") >= 3)
+        .orderBy("id_a", "id_b")
+    },
+    None)
 
   /** Per-label centroids: element-wise mean via posexplode — shuffles on
     * (label, dim), the scalable layout for wide fleets. */

@@ -153,6 +153,25 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("winnowing fingerprints: identical text shares all, disjoint shares none") {
+    import graft.functions.TextExprs
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "zzz completely unrelated content qqq with different characters xxx"
+    val df = Seq((a, a, b)).toDF("t1", "t2", "t3")
+    val r = df.select(
+      TextExprs.winnowingFingerprint(col("t1"), 10, 4).as("f1"),
+      TextExprs.winnowingFingerprint(col("t2"), 10, 4).as("f2"),
+      TextExprs.winnowingFingerprint(col("t3"), 10, 4).as("f3")).collect()(0)
+    val f1 = r.getSeq[Long](0)
+    assert(f1.nonEmpty && f1 == r.getSeq[Long](1))
+    assert(f1.intersect(r.getSeq[Long](2)).isEmpty)
+    // short text below k yields empty sketch
+    val short = Seq("tiny").toDF("t")
+      .select(TextExprs.winnowingFingerprint(col("t"), 10, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
