@@ -1,0 +1,112 @@
+package graft.analysis
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's ML phases 3-5 (README.md:78-115 — described there but
+  * `src/training/placeholder.py` is empty, SURVEY §0) built Spark-native:
+  *
+  *  - Phase 3: dividend-cut probability via MLlib `GBTClassifier` (the
+  *    MLlib-native stand-in for XGBoost) with a walk-forward split on
+  *    as_of (train strictly before the cutoff — no lookahead) and ROC-AUC
+  *    evaluation.
+  *  - Phase 4: `Final Score = AdjYield*0.5 + DivGrowth*0.3 + Stability*0.2`
+  *    with AdjYield = yield * (1 - cutProb), DivGrowth = log-scaled/capped
+  *    CAGR, Stability from (1-cutProb), drawdown, volatility, payout, debt.
+  *  - Phase 5: equal-weight portfolio with <= maxPerGroup weight per
+  *    country/sector and a minimum group count — fully declarative (rank
+  *    windows), no driver-side loop, so it scales to any universe size.
+  */
+object Scoring {
+
+  val defaultFeatures = Seq("dividend_yield", "payout_ratio", "volatility",
+    "max_drawdown_1y", "net_debt_to_ebitda", "pe_ratio", "6m_return",
+    "12m_return")
+
+  /** Phase 3: fit on rows with as_of < `cutoff`, score all rows, return
+    * (scored frame with cut_prob, holdout ROC-AUC). */
+  def fitCutProbability(df: DataFrame, labelCol: String, cutoff: String,
+                        features: Seq[String] = defaultFeatures,
+                        seed: Long = 42L): (DataFrame, Double) = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("__vec")
+      .setHandleInvalid("keep")
+    val gbt = new GBTClassifier()
+      .setFeaturesCol("__vec").setLabelCol(labelCol)
+      .setMaxIter(20).setMaxDepth(4).setSeed(seed)
+      .setProbabilityCol("__prob")
+    val pipeline = new Pipeline().setStages(Array(assembler, gbt))
+
+    val train = df.filter(col("as_of") < lit(cutoff).cast("date"))
+    val holdout = df.filter(col("as_of") >= lit(cutoff).cast("date"))
+    val model = pipeline.fit(train)
+
+    val auc = if (holdout.isEmpty) Double.NaN
+    else new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol("__prob")
+      .setMetricName("areaUnderROC")
+      .evaluate(model.transform(holdout))
+
+    val firstElem = udfFree(model.transform(df))
+    (firstElem, auc)
+  }
+
+  /** Extract P(cut=1) from the MLlib probability vector without a UDF
+    * (vector_to_array is codegen-friendly). */
+  private def udfFree(scored: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    scored.withColumn("cut_prob", element_at(vector_to_array(col("__prob")), 2))
+      .drop("__vec", "__prob", "rawPrediction", "prediction")
+  }
+
+  private def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
+
+  /** Phase 4 score formula. Expects feature columns + cut_prob. */
+  def score(df: DataFrame, growthCap: Double = 0.30): DataFrame = {
+    val adjYield = coalesce(col("dividend_yield"), lit(0.0)) * (lit(1.0) - col("cut_prob"))
+    // log-scaled, capped growth from the 3y dividend CAGR (README: "3-5Y
+    // CAGR, log-scaled/capped"); NaN CAGR -> 0 growth credit.
+    val cagr = when(col("dividend_cagr_3y").isNotNull && !isnan(col("dividend_cagr_3y")),
+      col("dividend_cagr_3y")).otherwise(0.0)
+    val divGrowth = log1p(clamp01(cagr / growthCap) * growthCap) / math.log1p(growthCap)
+    val stability = (
+      (lit(1.0) - col("cut_prob")) +
+      (lit(1.0) - clamp01(coalesce(col("max_drawdown_1y"), lit(1.0)))) +
+      (lit(1.0) - clamp01(coalesce(col("volatility"), lit(3.0)) / 3.0)) +
+      (lit(1.0) - clamp01(coalesce(col("payout_ratio"), lit(2.0)) / 2.0)) +
+      (lit(1.0) - clamp01(coalesce(col("net_debt_to_ebitda"), lit(20.0)) / 20.0))
+    ) / 5.0
+    df.withColumn("adj_yield", adjYield)
+      .withColumn("div_growth", divGrowth)
+      .withColumn("stability", stability)
+      .withColumn("final_score",
+        col("adj_yield") * 0.5 + col("div_growth") * 0.3 + col("stability") * 0.2)
+  }
+
+  /** Phase 5: equal-weight top-N portfolio under a per-group weight cap.
+    * Pre-filter: cut_prob < maxCutProb (README: 0.25). Declarative: rank
+    * within each group, keep at most floor(maxPerGroup*N) per group, then
+    * global top N by score. */
+  def constructPortfolio(scored: DataFrame, n: Int,
+                         groupCols: Seq[String] = Seq("sector"),
+                         maxPerGroup: Double = 0.2,
+                         maxCutProb: Double = 0.25): DataFrame = {
+    val perGroupCap = math.max(1, math.floor(maxPerGroup * n).toInt)
+    val eligible = scored.filter(col("cut_prob") < maxCutProb)
+    val wGroup = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("final_score").desc, col("ticker"))
+    val wGlobal = Window.orderBy(col("final_score").desc, col("ticker"))
+    eligible
+      .withColumn("__grp_rank", row_number().over(wGroup))
+      .filter(col("__grp_rank") <= perGroupCap)
+      .withColumn("__rank", row_number().over(wGlobal))
+      .filter(col("__rank") <= n)
+      .withColumn("weight", lit(1.0) / n)
+      .drop("__grp_rank", "__rank")
+  }
+}

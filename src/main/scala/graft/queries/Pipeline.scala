@@ -14,7 +14,7 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2, p3, m1)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, m1)
 
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
@@ -95,6 +95,31 @@ object Pipeline {
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
         numTrees = 10)
         .orderBy("feature")
+    },
+    None)
+
+  /** Phases 3-5 end to end over the p1 feature rows: GBT cut-probability
+    * (walk-forward), score formula, constrained equal-weight portfolio —
+    * rows-only (tree ensembles aren't an oracle surface). */
+  val p4 = QueryDef("p4_score_portfolio",
+    (s, dir) => {
+      val features = p1.fn(s, dir)
+      // synthetic label: a cut is a deep drawdown next period (derived
+      // deterministically so training is reproducible)
+      val labeled = features.withColumn("cut_label",
+        when(col("max_drawdown_1y") > 0.5, 1.0).otherwise(0.0))
+      val (scored, _) = graft.analysis.Scoring.fitCutProbability(
+        labeled, "cut_label", cutoff = "2000-01-01")
+      val withScores = graft.analysis.Scoring.score(scored)
+      val sectors = Tables.customer(s, dir)
+        .select(col("c_custkey").cast(StringType).as("ticker"),
+          col("c_mktsegment").as("sector"))
+      graft.analysis.Scoring.constructPortfolio(
+        withScores.join(sectors, Seq("ticker"), "left"),
+        n = 20, groupCols = Seq("sector"), maxPerGroup = 0.2, maxCutProb = 0.9)
+        .select(col("ticker"), col("as_of"), col("sector"),
+          round(col("final_score"), 4).as("final_score"), col("weight"))
+        .orderBy("ticker", "as_of")
     },
     None)
 

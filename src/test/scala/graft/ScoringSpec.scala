@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.Scoring
+
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  /** Synthetic feature rows: risky rows (high payout/debt/volatility) carry
+    * label 1 (cut), safe rows 0 — learnable and walk-forward splittable. */
+  private def mkRows = {
+    val rng = new scala.util.Random(7)
+    (0 until 300).map { i =>
+      val risky = i % 3 == 0
+      val year = 2018 + rng.nextInt(6) // decoupled from the risky pattern
+      val noise = rng.nextDouble() * 0.05
+      (s"T$i", d(s"$year-12-31"),
+        if (risky) 0.09 + noise else 0.03 + noise,        // dividend_yield
+        if (risky) 1.6 + noise else 0.4 + noise,          // payout_ratio
+        if (risky) 0.9 + noise else 0.2 + noise,          // volatility
+        if (risky) 0.6 + noise else 0.1 + noise,          // max_drawdown_1y
+        if (risky) 12.0 else 2.0,                         // net_debt_to_ebitda
+        if (risky) 40.0 else 15.0,                        // pe_ratio
+        0.05, 0.1,                                        // 6m/12m return
+        if (risky) 0.02 else 0.12,                        // dividend_cagr_3y
+        if (risky) 1.0 else 0.0,                          // label: cut
+        if (i % 2 == 0) "Energy" else "Tech")
+    }.toDF("ticker", "as_of", "dividend_yield", "payout_ratio", "volatility",
+      "max_drawdown_1y", "net_debt_to_ebitda", "pe_ratio", "6m_return",
+      "12m_return", "dividend_cagr_3y", "cut_label", "sector")
+  }
+
+  test("walk-forward GBT cut-probability model separates risky from safe") {
+    val (scored, auc) = Scoring.fitCutProbability(mkRows, "cut_label", "2022-01-01")
+    assert(auc > 0.9, s"holdout ROC-AUC should be high on separable data, got $auc")
+    val byLabel = scored.groupBy("cut_label").agg(avg("cut_prob").as("p"))
+      .orderBy("cut_label").select("p").as[Double].collect()
+    assert(byLabel(1) > byLabel(0)) // risky rows get higher cut_prob
+  }
+
+  test("score formula: weights and monotonicity") {
+    val base = Seq(
+      ("SAFE", 0.04, 0.3, 0.2, 0.1, 2.0, 0.12, 0.05),
+      ("RISKY", 0.04, 1.9, 2.9, 0.9, 19.0, 0.0, 0.95))
+      .toDF("ticker", "dividend_yield", "payout_ratio", "volatility",
+        "max_drawdown_1y", "net_debt_to_ebitda", "dividend_cagr_3y", "cut_prob")
+    val out = Scoring.score(base).orderBy("ticker").collect()
+    val risky = out(0); val safe = out(1)
+    assert(safe.getAs[Double]("final_score") > risky.getAs[Double]("final_score"))
+    // decomposition: final = 0.5 adj + 0.3 growth + 0.2 stability
+    out.foreach { r =>
+      val recomposed = r.getAs[Double]("adj_yield") * 0.5 +
+        r.getAs[Double]("div_growth") * 0.3 + r.getAs[Double]("stability") * 0.2
+      assert(math.abs(recomposed - r.getAs[Double]("final_score")) < 1e-12)
+    }
+  }
+
+  test("portfolio construction honors top-N, group cap, and cut_prob filter") {
+    val scored = (0 until 40).map { i =>
+      (s"T$i", if (i < 30) "Energy" else s"Sec${i % 5}",
+        1.0 - i * 0.01,                       // descending scores
+        if (i == 0) 0.9 else 0.1)             // best scorer is ineligible
+    }.toDF("ticker", "sector", "final_score", "cut_prob")
+    val port = Scoring.constructPortfolio(scored, n = 10,
+      groupCols = Seq("sector"), maxPerGroup = 0.2, maxCutProb = 0.25)
+    val rows = port.select("ticker", "sector", "weight")
+      .as[(String, String, Double)].collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_._1 == "T0")) // filtered by cut_prob
+    assert(rows.map(_._3).forall(w => math.abs(w - 0.1) < 1e-12))
+    // <= 20% of 10 = 2 per sector
+    rows.groupBy(_._2).foreach { case (_, g) => assert(g.length <= 2) }
+  }
+}
