@@ -30,15 +30,19 @@ object Scoring {
 
   /** Phase 3: fit on rows with as_of < `cutoff`, score all rows, return
     * (scored frame with cut_prob, holdout ROC-AUC). */
-  def fitCutProbability(df: DataFrame, labelCol: String, cutoff: String,
+  def fitCutProbability(dfIn: DataFrame, labelCol: String, cutoff: String,
                         features: Seq[String] = defaultFeatures,
                         seed: Long = 42L): (DataFrame, Double) = {
+    // materialize once: boosting iterates over the input many times, and an
+    // unmaterialized upstream plan (e.g. the whole feature pipeline) would
+    // re-execute per iteration.
+    val df = dfIn.persist()
     val assembler = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("__vec")
       .setHandleInvalid("keep")
     val gbt = new GBTClassifier()
       .setFeaturesCol("__vec").setLabelCol(labelCol)
-      .setMaxIter(20).setMaxDepth(4).setSeed(seed)
+      .setMaxIter(10).setMaxDepth(4).setSeed(seed)
       .setProbabilityCol("__prob")
     val pipeline = new Pipeline().setStages(Array(assembler, gbt))
 

@@ -25,6 +25,8 @@ object Pipeline {
       col("o_totalprice").as("close"))
       // keep-last per (ticker, date): price series needs one close per day
       .groupBy("ticker", "date").agg(max("close").as("close"))
+      // reused by three feature blocks + the history gate: materialize once
+      .localCheckpoint()
     val dividends = orders
       .filter(col("o_orderstatus") === "F")
       .select(col("o_custkey").cast(StringType).as("ticker"),
@@ -49,6 +51,9 @@ object Pipeline {
         avg(col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
           .as("priceToFreeCashFlowsRatio"),
         (avg(col("l_discount")) * 10).as("payoutRatio"))
+      // the orders⨝lineitem aggregate feeds income/balance/ratios — without
+      // a checkpoint each block re-executes the 6M-row join
+      .localCheckpoint()
     val income = yearly.select("ticker", "date", "incomeBeforeTax",
       "interestExpense", "depreciationAndAmortization", "eps")
     val balance = yearly.select(col("ticker"), col("date"),
@@ -105,9 +110,12 @@ object Pipeline {
     (s, dir) => {
       val features = p1.fn(s, dir)
       // synthetic label: a cut is a deep drawdown next period (derived
-      // deterministically so training is reproducible)
+      // deterministically so training is reproducible). localCheckpoint
+      // truncates the feature-pipeline lineage so boosting iterations and
+      // the scoring joins never re-execute it.
       val labeled = features.withColumn("cut_label",
         when(col("max_drawdown_1y") > 0.5, 1.0).otherwise(0.0))
+        .localCheckpoint()
       val (scored, _) = graft.analysis.Scoring.fitCutProbability(
         labeled, "cut_label", cutoff = "2000-01-01")
       val withScores = graft.analysis.Scoring.score(scored)

@@ -223,17 +223,12 @@ object TextVector {
             FROM pairs) t
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** IVF ANN: label centroids as cells, probe 3 cells per query (the scale
+  /** IVF ANN: KMeans-trained cells, probe 3 of 10 per query (the scale
     * path; approximate by design — rows-only). */
   val e3 = QueryDef("e3_knn_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val centroids = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(avg(col("v").cast(DoubleType)).as("cv"))
-        .groupBy(col("label").as("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-        .select(col("centroid_id"), expr("transform(pairs, p -> p.cv)").as("centroid_vec"))
+      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 10)
       val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 30)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

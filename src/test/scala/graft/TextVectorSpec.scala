@@ -172,6 +172,23 @@ class TextVectorSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("IVF recall@5 vs brute force on the real embeddings is usable (> 0.5)") {
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 10)
+    val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      cells, centroids, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 with nProbe=3/10 cells: $recall%.3f")
+    assert(recall > 0.5, s"recall@5 too low: $recall")
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
