@@ -228,12 +228,9 @@ object TickerFeatures {
       "eps", years = 3, graceDays = 90, graceMonths = 0, out = "eps_cagr_3y")
 
   /** FCF/share CAGR, dividend yield, yield-vs-5y-median, latest valid
-    * P/E + P/FCF, payout ratio — all from the `ratios` table. */
+    * P/E + P/FCF, payout ratio — ONE grid⨝ratios aggregation (the fcf CAGR
+    * shares the slice instead of paying its own shuffle). */
   def ratiosBlock(grid: DataFrame, ratios: DataFrame): DataFrame = {
-    val fcf = cagrAgg(ratios.select(col(T), col("date"), col("freeCashFlowPerShare")),
-      grid, "freeCashFlowPerShare", years = 3, graceDays = 90, graceMonths = 0,
-      out = "fcf_cagr_3y")
-
     val sliced = grid.join(ratios, Seq(T), "left")
       .filter(col("date").isNull || col("date") <= col("as_of"))
     val wCellAll = Window.partitionBy(gcols: _*)
@@ -244,9 +241,13 @@ object TickerFeatures {
       col("date") >= yLo
     val pvValid = col("priceEarningsRatio") > 0 && col("priceToFreeCashFlowsRatio") > 0
     val poValid = col("payoutRatio").isNotNull && col("payoutRatio") > 0
+    // fcf CAGR start window: (endDate - 3y) +/- 90d (growth_features.py)
+    val fcfTarget = date_sub(endDate, 365 * 3)
+    val fcfWin = col("date").between(date_sub(fcfTarget, 90), date_add(fcfTarget, 90))
 
-    val agg = sliced
+    sliced
       .withColumn("__y_valid", yValid)
+      .withColumn("__fcf_win", fcfWin)
       .groupBy(gcols: _*).agg(
         count(col("date")).as("__n"),
         max_by(col("dividendYield"), col("date")).as("__dy_last"),
@@ -256,7 +257,10 @@ object TickerFeatures {
         count(when(col("__y_valid"), 1)).as("__y_n"),
         max_by(when(pvValid, col("priceEarningsRatio")), when(pvValid, col("date"))).as("__pe"),
         max_by(when(pvValid, col("priceToFreeCashFlowsRatio")), when(pvValid, col("date"))).as("__pfcf"),
-        max_by(when(poValid, col("payoutRatio")), when(poValid, col("date"))).as("__po"))
+        max_by(when(poValid, col("payoutRatio")), when(poValid, col("date"))).as("__po"),
+        max_by(col("freeCashFlowPerShare"), col("date")).as("__fcf_end"),
+        max_by(when(col("__fcf_win"), col("freeCashFlowPerShare")),
+          when(col("__fcf_win"), col("date"))).as("__fcf_start"))
       .select(col("ticker"), col("as_of"),
         when(col("__n") > 0, coalesce(col("__dy_last"), lit(0.0))).otherwise(0.0)
           .as("dividend_yield"),
@@ -267,13 +271,16 @@ object TickerFeatures {
           .as("yield_vs_5y_median"),
         coalesce(col("__pe"), lit(0.0)).as("pe_ratio"),
         coalesce(col("__pfcf"), lit(0.0)).as("pfcf_ratio"),
-        coalesce(col("__po"), lit(0.0)).as("payout_ratio"))
-
-    agg.join(fcf, K, "left")
+        coalesce(col("__po"), lit(0.0)).as("payout_ratio"),
+        when(col("__n") >= 2 && col("__fcf_start").isNotNull && col("__fcf_start") > 0 &&
+          col("__fcf_end").isNotNull && col("__fcf_end") > 0,
+          pow(col("__fcf_end") / col("__fcf_start"), lit(1.0) / 3) - 1)
+          .otherwise(nan).as("fcf_cagr_3y"))
   }
 
   /** Split-adjusted dividend CAGR at 3y and 5y horizons with 3-month grace
-    * — `compute_dividend_cagr`. */
+    * — `compute_dividend_cagr`. Both horizons share one slice + one
+    * aggregation (two start windows in the same groupBy). */
   def dividendBlock(grid: DataFrame, dividends: DataFrame,
                     splits: DataFrame): DataFrame = {
     // cum split ratio at or before a dividend's date never looks past as_of
@@ -281,10 +288,28 @@ object TickerFeatures {
     val adjusted = SeriesOps.adjustForSplits(dividends, splits, Seq(T),
       "date", "dividend", "split_ratio")
       .select(col(T), col("date"), col("dividend"))
-    val c3 = cagrAgg(adjusted, grid, "dividend", years = 3, graceDays = 0,
-      graceMonths = 3, out = "dividend_cagr_3y")
-    val c5 = cagrAgg(adjusted, grid, "dividend", years = 5, graceDays = 0,
-      graceMonths = 3, out = "dividend_cagr_5y")
-    c3.join(c5, K, "left")
+    val sliced = grid.join(adjusted, Seq(T)).filter(col("date") <= col("as_of"))
+    val wCellAll = Window.partitionBy(gcols: _*)
+    val endDate = max(col("date")).over(wCellAll)
+    def win(years: Int) = {
+      val target = date_sub(endDate, 365 * years)
+      col("date").between(add_months(target, -3), add_months(target, 3))
+    }
+    def cagrOut(startCol: String, years: Int): Column =
+      when(col("__n") >= 2 && col(startCol).isNotNull && col(startCol) > 0 &&
+        col("__end").isNotNull && col("__end") > 0,
+        pow(col("__end") / col(startCol), lit(1.0) / years) - 1)
+        .otherwise(nan)
+    sliced
+      .withColumn("__w3", win(3))
+      .withColumn("__w5", win(5))
+      .groupBy(gcols: _*).agg(
+        max_by(col("dividend"), col("date")).as("__end"),
+        max_by(when(col("__w3"), col("dividend")), when(col("__w3"), col("date"))).as("__s3"),
+        max_by(when(col("__w5"), col("dividend")), when(col("__w5"), col("date"))).as("__s5"),
+        count(lit(1)).as("__n"))
+      .select(col("ticker"), col("as_of"),
+        cagrOut("__s3", 3).as("dividend_cagr_3y"),
+        cagrOut("__s5", 5).as("dividend_cagr_5y"))
   }
 }
