@@ -36,14 +36,19 @@ object TickerFeatures {
   /** All 18 dynamic features + 6 `has_` flags for every (ticker, as_of)
     * grid cell. Grid: (ticker DATE-typed as_of). */
   def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame = {
+    // priceBlock also emits the stock-side 365d first/last/count used by
+    // the sector-relative feature, so grid⨝prices shuffles exactly once.
     val price = priceBlock(grid, in.prices)
-    val sector = sectorRelativeBlock(grid, in.prices, in.sectorIndex)
+    val etf = etfSideAgg(grid, in.sectorIndex)
+    val sector = price.join(etf, K, "left")
+      .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
     val fund = fundamentalsBlock(grid, in.income, in.balance)
     val growth = incomeGrowthBlock(grid, in.income)
     val ratio = ratiosBlock(grid, in.ratios)
     val div = dividendBlock(grid, in.dividends, in.splits)
 
-    val joined = Seq(price, sector, fund, growth, ratio, div)
+    val joined = Seq(price.drop("__s_first", "__s_last", "__s_n"),
+      sector, fund, growth, ratio, div)
       .foldLeft(grid)((acc, block) => acc.join(block, K, "left"))
 
     def hasFlag(c: Column): Column =
@@ -92,6 +97,7 @@ object TickerFeatures {
       .withColumn("__dd", dd)
       .withColumn("__in_dd", when(inDd, 1).otherwise(0))
 
+    val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
     staged.groupBy(gcols: _*).agg(
       max_by(col("close"), col("date")).as("__p_now"),
       max_by(when(col("date") <= add_months(col("as_of"), -6), col("close")),
@@ -103,9 +109,13 @@ object TickerFeatures {
       avg(when(col("__rn_desc") <= 200, col("close"))).as("__sma200"),
       count(lit(1)).as("__n"),
       sum(col("__in_dd")).as("__n_dd"),
-      max(col("__dd")).as("__max_dd"))
+      max(col("__dd")).as("__max_dd"),
+      min_by(when(in365, col("close")), when(in365, col("date"))).as("__s_first"),
+      max_by(when(in365, col("close")), when(in365, col("date"))).as("__s_last"),
+      count(when(in365, 1)).as("__s_n"))
     .select(
       col("ticker"), col("as_of"),
+      col("__s_first"), col("__s_last"), col("__s_n"),
       when(col("__p_6m").isNotNull && col("__p_now").isNotNull,
         (col("__p_now") - col("__p_6m")) / col("__p_6m")).otherwise(0.0).as("6m_return"),
       when(col("__p_12m").isNotNull && col("__p_now").isNotNull,
@@ -118,29 +128,40 @@ object TickerFeatures {
           .otherwise(0.0)).as("sma_50_200_delta"))
   }
 
+  /** ETF-side 365d window aggregates for the sector-relative feature. */
+  private[graft] def etfSideAgg(grid: DataFrame, sectorIndex: DataFrame): DataFrame = {
+    val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
+    grid.join(sectorIndex, Seq(T)).filter(in365)
+      .groupBy(gcols: _*).agg(
+        min_by(col("close"), col("date")).as("__x_first"),
+        max_by(col("close"), col("date")).as("__x_last"),
+        count(lit(1)).as("__x_n"))
+  }
+
+  /** The sector-relative expression over joined stock (__s_*) and ETF
+    * (__x_*) window aggregates — reference semantics: NaN when no sector
+    * series, 0.0 guards on <2 rows or non-positive closes. */
+  private[graft] def sectorRelativeExpr: Column =
+    when(col("__x_n").isNull, nan)
+      .when(col("__s_n") < 2 || col("__x_n") < 2, 0.0)
+      .when(col("__s_first") <= 0 || col("__s_last") <= 0 ||
+        col("__x_first") <= 0 || col("__x_last") <= 0, 0.0)
+      .otherwise((col("__s_last") / col("__s_first") - 1) -
+        (col("__x_last") / col("__x_first") - 1))
+
   /** Stock-vs-sector-ETF relative return over a 365-day window — the
     * reference's `sector_relative_6m` (named 6m, computed over 365 days;
     * the quirk is contract, SURVEY §7.5). */
   def sectorRelativeBlock(grid: DataFrame, prices: DataFrame,
                           sectorIndex: DataFrame): DataFrame = {
-    def sideAgg(df: DataFrame, prefix: String): DataFrame = {
-      val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
-      grid.join(df, Seq(T)).filter(in365)
-        .groupBy(gcols: _*).agg(
-          min_by(col("close"), col("date")).as(s"__${prefix}_first"),
-          max_by(col("close"), col("date")).as(s"__${prefix}_last"),
-          count(lit(1)).as(s"__${prefix}_n"))
-    }
-    val stock = sideAgg(prices, "s")
-    val sector = sideAgg(sectorIndex, "x")
-    stock.join(sector, K, "left").select(
-      col("ticker"), col("as_of"),
-      when(col("__x_n").isNull, nan) // no sector series at all => NaN
-        .when(col("__s_n") < 2 || col("__x_n") < 2, 0.0)
-        .when(col("__s_first") <= 0 || col("__s_last") <= 0 ||
-          col("__x_first") <= 0 || col("__x_last") <= 0, 0.0)
-        .otherwise((col("__s_last") / col("__s_first") - 1) -
-          (col("__x_last") / col("__x_first") - 1)).as("sector_relative_6m"))
+    val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
+    val stock = grid.join(prices, Seq(T)).filter(in365)
+      .groupBy(gcols: _*).agg(
+        min_by(col("close"), col("date")).as("__s_first"),
+        max_by(col("close"), col("date")).as("__s_last"),
+        count(lit(1)).as("__s_n"))
+    stock.join(etfSideAgg(grid, sectorIndex), K, "left").select(
+      col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
   }
 
   /** Net-debt/EBITDA + EBIT interest cover triple on the latest

@@ -18,7 +18,7 @@ import QueryDef.{dec, moneySum, ONE}
 object Relational2 {
 
   def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q44, q45)
+    q39, q40, q41, q44, q45, q46)
 
   /** P2: prefix-based projection over a dynamically-widened frame (the
     * reference selects `sector_*` columns by introspection). */
@@ -236,6 +236,24 @@ object Relational2 {
         }.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
       })
   }
+
+  /** RANGE window frame over event time: trailing 90-day spend per
+    * customer at each order (date-valued range, not row counts). */
+  val q46 = QueryDef("q46_trailing_90d_spend",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-90L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("spend_90d",
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "spend_90d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
 
   /** S2: source coverage assertion — actual min/max dates vs a requested
     * range with grace days, as a per-entity flag. */
