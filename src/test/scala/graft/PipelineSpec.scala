@@ -87,6 +87,17 @@ class PipelineSpec extends SparkSpec {
     assert(merged.select("6m_return").as[Float].head() == 9.0f)
   }
 
+  test("sector -> ETF lookup with SPY fallback (S7)") {
+    val profile = Seq(("AAA", "Technology", "USA"), ("BBB", "Basic Materials", "UK"),
+      ("CCC", "Consumer Staples", "DE"))
+      .toDF("ticker", "sector", "country")
+    val out = TickerStatics.etfSymbol(profile).orderBy("ticker")
+      .select("etf").as[String].collect()
+    // raw "Consumer Staples" is unnormalized (the reference's shadowed-
+    // function quirk) -> SPY fallback
+    assert(out.toSeq == Seq("XLK", "XLB", "SPY"))
+  }
+
   test("static upsert + OHE projection") {
     val profile = Seq(("AAA", "Technology", "USA"), ("BBB", "Unknown Sector", "Atlantis"))
       .toDF("ticker", "sector", "country")
