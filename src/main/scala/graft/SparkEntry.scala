@@ -11,8 +11,12 @@ import graft.queries.{Pipeline, QueryDef, Relational, Relational2, TextVector}
   */
 object SparkEntry {
 
-  def allDefs: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ TextVector.defs ++ Pipeline.defs
+  def allDefs: Seq[QueryDef] = {
+    val defs = Relational.defs ++ Relational2.defs ++ TextVector.defs ++ Pipeline.defs
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names would shadow registry entries: $dups")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -256,8 +256,12 @@ object Relational {
   val q13 = QueryDef("q13_corr_stddev",
     (s, dir) => Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+      // nanvl: Spark yields NaN for degenerate groups where DuckDB yields
+      // NULL (single-row stddev, zero-variance corr) — normalize to NULL
+      .agg(round(nanvl(corr(col("l_quantity"), col("l_extendedprice")),
+        lit(null).cast(DoubleType)), 6).as("corr_qty_price"),
+        round(nanvl(stddev_samp(col("l_quantity")), lit(null).cast(DoubleType)), 6)
+          .as("sd_qty"))
       .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -574,7 +578,8 @@ object Relational {
         .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
         .withColumn("ret", col("o_totalprice") / col("prev") - 1)
         .groupBy("o_custkey")
-        .agg(round(stddev_samp(col("ret")) * sqrt(lit(252.0)), 6).as("volatility"))
+        .agg(round(nanvl(stddev_samp(col("ret")), lit(null).cast(DoubleType))
+          * sqrt(lit(252.0)), 6).as("volatility"))
         .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey,

@@ -219,7 +219,8 @@ object Relational2 {
         val li = Tables.lineitem(s, dir)
         val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
         val aggs = pairs.map { case (a, b) =>
-          round(corr(col(a), col(b)), 6).as(s"corr_${a}_${b}")
+          round(nanvl(corr(col(a), col(b)), lit(null).cast(DoubleType)), 6)
+            .as(s"corr_${a}_${b}")
         }
         val wide = li.agg(aggs.head, aggs.tail: _*)
         // long form: one row per pair
