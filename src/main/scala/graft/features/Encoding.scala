@@ -20,12 +20,21 @@ object Encoding {
   def slugCol(c: Column): Column = lower(regexp_replace(c, "[^A-Za-z0-9]+", "_"))
 
   /** One-hot columns `<prefix>_<slug(v)>` for each vocab value plus
-    * `<prefix>_other` for anything else (including null when
-    * `nullIsOther`). Appended to the frame. */
+    * `<prefix>_other` for anything else (including null). Appended to the
+    * frame.
+    *
+    * Alias matching is CASE-INSENSITIVE, exactly like the reference's
+    * `val.lower() in {...}` check — which means an alias whose target is
+    * NOT in the vocab routes those values to `_other`. The reference does
+    * precisely that for sectors: any case of "technology"/"it" becomes
+    * "Information Technology", which is absent from ALL_SECTORS, so even
+    * the exact vocab value "Technology" one-hots as `sector_other` (quirk
+    * verified against `_encode_one_hot`, `static_features.py:12-25`; it is
+    * contract, SURVEY §7.5). */
   def oneHot(df: DataFrame, valueCol: String, vocab: Seq[String],
              prefix: String, aliases: Map[String, String] = Map.empty): DataFrame = {
     val normalized = aliases.foldLeft(col(valueCol)) { case (c, (from, to)) =>
-      when(col(valueCol) === from, lit(to)).otherwise(c)
+      when(lower(col(valueCol)) === from.toLowerCase, lit(to)).otherwise(c)
     }
     val withHots = vocab.foldLeft(df) { (d, v) =>
       d.withColumn(s"${prefix}_${slugify(v)}",

@@ -87,6 +87,19 @@ class PipelineSpec extends SparkSpec {
     assert(merged.select("6m_return").as[Float].head() == 9.0f)
   }
 
+  test("reference quirk: any case of technology/it one-hots as sector_other") {
+    // the reference's alias normalization rewrites technology/it (case-
+    // insensitive) to "Information Technology", which is NOT in ALL_SECTORS
+    // — so even the exact vocab value "Technology" lands in the other
+    // bucket (verified against _encode_one_hot).
+    val profile = Seq(("T1", "Technology", "USA"), ("T2", "technology", "USA"),
+      ("T3", "it", "USA"), ("T4", "Information Technology", "USA"))
+      .toDF("ticker", "sector", "country")
+    val rows = TickerStatics.staticRows(profile).orderBy("ticker")
+      .select("sector_technology", "sector_other").as[(Int, Int)].collect()
+    rows.foreach { case (tech, other) => assert(tech == 0 && other == 1) }
+  }
+
   test("sector -> ETF lookup with SPY fallback (S7)") {
     val profile = Seq(("AAA", "Technology", "USA"), ("BBB", "Basic Materials", "UK"),
       ("CCC", "Consumer Staples", "DE"))
@@ -99,11 +112,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("static upsert + OHE projection") {
-    val profile = Seq(("AAA", "Technology", "USA"), ("BBB", "Unknown Sector", "Atlantis"))
+    val profile = Seq(("AAA", "Energy", "USA"), ("BBB", "Unknown Sector", "Atlantis"))
       .toDF("ticker", "sector", "country")
     val static = TickerStatics.staticRows(profile)
     val row = static.filter(col("ticker") === "AAA").collect()(0)
-    assert(row.getAs[Int]("sector_technology") == 1)
+    assert(row.getAs[Int]("sector_energy") == 1)
     assert(row.getAs[Int]("country_usa") == 1)
     val other = static.filter(col("ticker") === "BBB").collect()(0)
     assert(other.getAs[Int]("sector_other") == 1)
