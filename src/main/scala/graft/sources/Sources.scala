@@ -76,6 +76,28 @@ object Sources {
       add_months(lit(lo).cast(DateType), -graceMonths),
       add_months(lit(hi).cast(DateType), graceMonths)))
 
+  /** The reference's `default_date_range` (`fetcher/utils.py:4-47`):
+    * quarter_mode snaps the end date to the last COMPLETED quarter end;
+    * the start clamps the day to the target month's last valid day
+    * (no Feb 30). Pass `today` explicitly — nothing in the engine calls
+    * now() (SURVEY §7.5). */
+  def defaultDateRange(lookbackYears: Int, today: java.time.LocalDate,
+                       quarterMode: Boolean = false): (String, String) = {
+    val end =
+      if (!quarterMode) today
+      else today.getMonthValue match {
+        case m if m <= 3 => java.time.LocalDate.of(today.getYear - 1, 12, 31)
+        case m if m <= 6 => java.time.LocalDate.of(today.getYear, 3, 31)
+        case m if m <= 9 => java.time.LocalDate.of(today.getYear, 6, 30)
+        case _ => java.time.LocalDate.of(today.getYear, 9, 30)
+      }
+    val targetYear = end.getYear - lookbackYears
+    val ym = java.time.YearMonth.of(targetYear, end.getMonthValue)
+    val startDay = math.min(end.getDayOfMonth, ym.lengthOfMonth)
+    val start = java.time.LocalDate.of(targetYear, end.getMonthValue, startDay)
+    (start.toString, end.toString)
+  }
+
   /** S10: ticker-list file -> trimmed uppercased non-blank symbols. */
   def tickerList(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)

@@ -22,6 +22,19 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("defaultDateRange: quarter snap to last completed quarter, day clamp") {
+    import java.time.LocalDate
+    // Feb 2026 -> last completed quarter end is 2025-12-31
+    assert(Sources.defaultDateRange(5, LocalDate.of(2026, 2, 10), quarterMode = true)
+      == ("2020-12-31", "2025-12-31"))
+    // July -> Q2 end
+    assert(Sources.defaultDateRange(1, LocalDate.of(2026, 7, 1), quarterMode = true)
+      == ("2025-06-30", "2026-06-30"))
+    // leap-day clamp: 2024-02-29 minus 1 year -> 2023-02-28
+    assert(Sources.defaultDateRange(1, LocalDate.of(2024, 2, 29))
+      == ("2023-02-28", "2024-02-29"))
+  }
+
   test("topKMostRecent keeps k latest per entity") {
     val df = Seq(("A", d("2024-01-01"), 1), ("A", d("2024-02-01"), 2),
       ("A", d("2024-03-01"), 3), ("B", d("2024-01-01"), 9))

@@ -221,6 +221,29 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(out ~= ((0.06 - 0.04) / 0.04, 1e-9))
   }
 
+  test("dynamicFeatures emits the exact reference column set (test_ticker_row_builder)") {
+    val grid = gridAt("2024-01-01")
+    val in = TickerFeatures.Inputs(
+      prices = prices("2023-01-01" -> 100.0, "2023-06-01" -> 110.0),
+      dividends = Seq(("T", d("2023-01-01"), 1.0)).toDF("ticker", "date", "dividend"),
+      splits = Seq.empty[(String, java.sql.Date, Double)].toDF("ticker", "date", "split_ratio"),
+      ratios = ratios(("2023-06-01", 10.0, 10.0, 0.3, 0.02, 1.0)),
+      income = Seq(("T", d("2023-06-01"), 2.0, 100.0, 10.0, 5.0))
+        .toDF("ticker", "date", "eps", "incomeBeforeTax", "interestExpense",
+          "depreciationAndAmortization"),
+      balance = Seq(("T", d("2023-06-01"), 0.0, 100.0))
+        .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt"),
+      sectorIndex = Seq(("T", d("2023-01-01"), 100.0)).toDF("ticker", "date", "close"))
+    val expected = Set("ticker", "as_of", "6m_return", "12m_return",
+      "volatility", "max_drawdown_1y", "sector_relative_6m", "sma_50_200_delta",
+      "net_debt_to_ebitda", "ebit_interest_cover", "ebit_interest_cover_capped",
+      "eps_cagr_3y", "fcf_cagr_3y", "dividend_yield", "dividend_cagr_3y",
+      "dividend_cagr_5y", "yield_vs_5y_median", "pe_ratio", "pfcf_ratio",
+      "payout_ratio", "has_eps_cagr_3y", "has_fcf_cagr_3y", "has_dividend_yield",
+      "has_dividend_cagr_3y", "has_dividend_cagr_5y", "has_ebit_interest_cover")
+    assert(TickerFeatures.dynamicFeatures(grid, in).columns.toSet == expected)
+  }
+
   test("has_ flags: NaN CAGR -> 0, present value -> 1, default 0.0 yield -> 1") {
     val grid = gridAt("2024-01-01")
     val in = TickerFeatures.Inputs(

@@ -87,6 +87,27 @@ class TickerValidationSpec extends SparkSpec {
     assert(out.contains("eic_capped_gt_raw"))
   }
 
+  test("soft flags: tiny fcf+ebitda nullify both ratios, jump checks skip nullified values (test_validate_soft)") {
+    // current row would trip pfcf (5 -> 1000, x200) and nde (1 -> 50, x50)
+    // jumps, but the nullification pass blanks both first.
+    val df = Seq(
+      ("XYZ", d("2023-12-31"), null.asInstanceOf[java.lang.Double],
+        5.0: java.lang.Double, null.asInstanceOf[java.lang.Double], 1.0: java.lang.Double),
+      ("XYZ", d("2024-12-31"), 0.2: java.lang.Double, 1000.0: java.lang.Double,
+        0.4: java.lang.Double, 50.0: java.lang.Double))
+      .toDF("ticker", "as_of", "free_cash_flow", "pfcf_ratio", "ebitda",
+        "net_debt_to_ebitda")
+    val rows = TickerValidation.validate(df).orderBy("as_of").collect()
+    val cur = rows(1)
+    assert(cur.getAs[String]("validation_status") == "flagged")
+    val v = cur.getAs[String]("violations")
+    assert(v.contains("pfcf_ratio_nullified_tiny_fcf"))
+    assert(v.contains("nde_nullified_tiny_ebitda"))
+    assert(!v.contains("abnormal change")) // jump skipped on nullified values
+    assert(cur.isNullAt(cur.fieldIndex("pfcf_ratio")))
+    assert(cur.isNullAt(cur.fieldIndex("net_debt_to_ebitda")))
+  }
+
   test("multiple violations join with ';' and status flags once") {
     val df = Seq(("T", d("2024-01-01"), 999.0, 5000.0))
       .toDF("ticker", "as_of", "dividend_yield", "pe_ratio")
