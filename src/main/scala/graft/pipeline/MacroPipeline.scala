@@ -34,6 +34,19 @@ object MacroPipeline {
     "inflation_yoy", "unemployment_latest", "consumption_backfilled",
     "exports_backfilled")
 
+  /** The reference's date-normalization with regex salvage
+    * (`macro_batch_runner.py:11-45`): try the normal date cast first; for
+    * messy strings fall back to extracting (yyyy, m, d) with the loose
+    * pattern `(\d{4}).*?(\d{1,2}).*?(\d{1,2})`. Null when neither works. */
+  def normalizeDateColumn(c: Column): Column = {
+    val pat = "(\\d{4}).*?(\\d{1,2}).*?(\\d{1,2})"
+    val salvaged = make_date(
+      regexp_extract(c.cast("string"), pat, 1).cast("int"),
+      regexp_extract(c.cast("string"), pat, 2).cast("int"),
+      regexp_extract(c.cast("string"), pat, 3).cast("int"))
+    coalesce(to_date(c), salvaged)
+  }
+
   /** First non-null indicator value per (country, year) — A9, computed once
     * and reused by every grid row. */
   def yearlyFirsts(macroRaw: DataFrame): DataFrame = {

@@ -67,6 +67,17 @@ object TickerFeaturePipeline {
     SchemaOps.round2f32(df, except = keep)
   }
 
+  /** Legacy-file repair on read (reference `ticker_batch_runner.py:271-274,
+    * 426-429`): stores written before the validation columns existed get
+    * `validation_status`/`violations` injected as empty strings. */
+  def repairLegacyStore(df: DataFrame): DataFrame = {
+    val withStatus =
+      if (df.columns.contains("validation_status")) df
+      else df.withColumn("validation_status", lit(""))
+    if (withStatus.columns.contains("violations")) withStatus
+    else withStatus.withColumn("violations", lit(""))
+  }
+
   /** B5: union store + new rows (schema-drift tolerant), keep-last per
     * (ticker, as_of) with new rows winning, sorted. */
   def merge(store: DataFrame, fresh: DataFrame): DataFrame = {

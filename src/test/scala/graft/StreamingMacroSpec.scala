@@ -108,6 +108,28 @@ class StreamingMacroSpec extends SparkSpec {
     assert(kept.filter(col("__invalid")).count() == 1)
   }
 
+  test("date normalization: clean casts pass, messy strings salvage via regex") {
+    val df = Seq("2023-07-15", "2023/07/15", "year 2023 month 7 day 5", "garbage")
+      .toDF("raw")
+    val out = df.select(MacroPipeline.normalizeDateColumn(col("raw")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDate(0).toString)
+    assert(out(0) == "2023-07-15")
+    assert(out(1) == "2023-07-15")
+    assert(out(2) == "2023-07-05")
+    assert(out(3) == null)
+  }
+
+  test("legacy store repair injects empty validation columns") {
+    import graft.pipeline.TickerFeaturePipeline
+    val legacy = Seq(("T", 1.0f)).toDF("ticker", "6m_return")
+    val repaired = TickerFeaturePipeline.repairLegacyStore(legacy)
+    assert(repaired.columns.contains("validation_status"))
+    assert(repaired.select("violations").as[String].head() == "")
+    // already-repaired frames pass through unchanged
+    assert(TickerFeaturePipeline.repairLegacyStore(repaired).columns.length ==
+      repaired.columns.length)
+  }
+
   test("macro replaceYears: overwrite matching (country, year), keep others") {
     val store = Seq(("DEU", 2023, 0.1), ("DEU", 2024, 0.2), ("FRA", 2024, 0.3))
       .toDF("country", "as_of_year", "gdp_yoy_backfilled")
