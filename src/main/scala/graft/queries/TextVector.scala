@@ -240,10 +240,13 @@ object TextVector {
     None)
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
-    * exact cosine verify (rows-only: murmur-seeded hyperplanes). */
+    * exact cosine verify (rows-only: murmur-seeded hyperplanes). The test
+    * embeddings are near-random (max pairwise cosine ~0.46), so the
+    * threshold sits where this corpus actually has neighbors; production
+    * near-dup removal would use ~0.95. */
   val e4 = QueryDef("e4_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
-      "vec_id", "embedding", dim = 64, bits = 8, cosineThreshold = 0.9)
+      "vec_id", "embedding", dim = 64, bits = 6, cosineThreshold = 0.3)
       .withColumn("cosine", round(col("cosine"), 4))
       .orderBy("id_a", "id_b"),
     None)
