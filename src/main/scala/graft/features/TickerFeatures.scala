@@ -84,7 +84,6 @@ object TickerFeatures {
 
     val wCell = Window.partitionBy(gcols: _*).orderBy(col("date"))
     val wCellAll = Window.partitionBy(gcols: _*)
-    val wDesc = Window.partitionBy(gcols: _*).orderBy(col("date").desc)
 
     // drawdown window: [last price date - 365*1y - 15d grace, last date]
     val endDate = max(col("date")).over(wCellAll)
@@ -92,8 +91,11 @@ object TickerFeatures {
     val peak = max(when(inDd, col("close"))).over(wCell.rowsBetween(Window.unboundedPreceding, 0))
     val dd = when(inDd, (peak - col("close")) / peak)
 
+    // rn_desc derived from the ascending rank + total count: the ascending
+    // sort is shared with the peak window, so no second (descending) sort.
     val staged = sliced
-      .withColumn("__rn_desc", row_number().over(wDesc))
+      .withColumn("__rn_desc",
+        count(lit(1)).over(wCellAll) - row_number().over(wCell) + 1)
       .withColumn("__dd", dd)
       .withColumn("__in_dd", when(inDd, 1).otherwise(0))
 

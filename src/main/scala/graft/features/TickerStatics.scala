@@ -54,4 +54,13 @@ object TickerStatics {
     }
     profile.select(col("ticker"), expr.as("etf"))
   }
+
+  /** Complete S7 flow: per-ticker sector-index series — profile -> ETF
+    * symbol (SPY fallback) joined to the ETF price table (etf, date,
+    * close). The ETF dimension is broadcast; the output is the
+    * `sectorIndex` input of TickerFeatures. */
+  def sectorIndexFor(profile: DataFrame, etfPrices: DataFrame): DataFrame =
+    etfSymbol(profile)
+      .join(org.apache.spark.sql.functions.broadcast(etfPrices), Seq("etf"))
+      .select(col("ticker"), col("date"), col("close"))
 }

@@ -111,6 +111,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq("XLK", "XLB", "SPY"))
   }
 
+  test("S7 flow: per-ticker sector index series via ETF lookup join") {
+    val profile = Seq(("AAA", "Energy", "USA"), ("BBB", "Nonsense", "UK"))
+      .toDF("ticker", "sector", "country")
+    val etfPrices = Seq(("XLE", d("2024-01-01"), 10.0), ("SPY", d("2024-01-01"), 99.0))
+      .toDF("etf", "date", "close")
+    val out = TickerStatics.sectorIndexFor(profile, etfPrices)
+      .orderBy("ticker").select("ticker", "close").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("AAA", 10.0), ("BBB", 99.0))) // SPY fallback
+  }
+
   test("static upsert + OHE projection") {
     val profile = Seq(("AAA", "Energy", "USA"), ("BBB", "Unknown Sector", "Atlantis"))
       .toDF("ticker", "sector", "country")
