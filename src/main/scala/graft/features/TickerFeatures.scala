@@ -35,22 +35,12 @@ object TickerFeatures {
 
   /** All 18 dynamic features + 6 `has_` flags for every (ticker, as_of)
     * grid cell. Grid: (ticker DATE-typed as_of). */
-  def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame = {
+  def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame =
     // priceBlock also emits the stock-side 365d first/last/count used by
     // the sector-relative feature, so grid⨝prices shuffles exactly once.
-    val price = priceBlock(grid, in.prices)
-    val etf = etfSideAgg(grid, in.sectorIndex)
-    val sector = price.join(etf, K, "left")
-      .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
-    val fund = fundamentalsBlock(grid, in.income, in.balance)
-    val growth = incomeGrowthBlock(grid, in.income)
-    val ratio = ratiosBlock(grid, in.ratios)
-    val div = dividendBlock(grid, in.dividends, in.splits)
+    assembleFeatures(grid, in, etfSideAgg(grid, in.sectorIndex))
 
-    val joined = Seq(price.drop("__s_first", "__s_last", "__s_n"),
-      sector, fund, growth, ratio, div)
-      .foldLeft(grid)((acc, block) => acc.join(block, K, "left"))
-
+  private def finalProjection(joined: DataFrame): DataFrame = {
     def hasFlag(c: Column): Column =
       when(c.isNull || isnan(c), lit(0)).otherwise(lit(1))
 
@@ -128,6 +118,44 @@ object TickerFeatures {
       when(col("__n") >= 200,
         when(col("__sma200") =!= 0, (col("__sma50") - col("__sma200")) / col("__sma200"))
           .otherwise(0.0)).as("sma_50_200_delta"))
+  }
+
+  /** All features with the SHARED-INDEX sector form: instead of a
+    * per-ticker copy of the sector series (which multiplies a daily index
+    * by the universe size — a 36M-row blowup at sf0.1, unbounded at 100
+    * TB), the ETF side aggregates once per (etf, as_of) over the compact
+    * (etf, date, close) table and broadcasts back through the ticker→etf
+    * map. Identical semantics to [[dynamicFeatures]]. */
+  def dynamicFeaturesSharedIndex(grid: DataFrame, in: Inputs,
+                                 tickerEtf: DataFrame,
+                                 etfIndex: DataFrame): DataFrame = {
+    val etfCells = grid.join(tickerEtf, Seq(T)).select(col("etf"), col("as_of")).distinct()
+    val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
+    val perEtf = etfCells.join(etfIndex, Seq("etf")).filter(in365)
+      .groupBy(col("etf"), col("as_of")).agg(
+        min_by(col("close"), col("date")).as("__x_first"),
+        max_by(col("close"), col("date")).as("__x_last"),
+        count(lit(1)).as("__x_n"))
+    val etfSide = grid.join(tickerEtf, Seq(T))
+      .join(broadcast(perEtf), Seq("etf", "as_of"), "left")
+      .select((gcols :+ col("__x_first") :+ col("__x_last") :+ col("__x_n")): _*)
+    assembleFeatures(grid, in, etfSide)
+  }
+
+  /** Per-ticker-series form (the reference's own shape). */
+  private def assembleFeatures(grid: DataFrame, in: Inputs,
+                               etfSide: DataFrame): DataFrame = {
+    val price = priceBlock(grid, in.prices)
+    val sector = price.join(etfSide, K, "left")
+      .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
+    val fund = fundamentalsBlock(grid, in.income, in.balance)
+    val growth = incomeGrowthBlock(grid, in.income)
+    val ratio = ratiosBlock(grid, in.ratios)
+    val div = dividendBlock(grid, in.dividends, in.splits)
+    val joined = Seq(price.drop("__s_first", "__s_last", "__s_n"),
+      sector, fund, growth, ratio, div)
+      .foldLeft(grid)((acc, block) => acc.join(block, K, "left"))
+    finalProjection(joined)
   }
 
   /** ETF-side 365d window aggregates for the sector-relative feature. */

@@ -16,6 +16,11 @@ object Pipeline {
 
   def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, m1)
 
+  private[graft] def inputsForProbe(s: org.apache.spark.sql.SparkSession,
+                                    dir: String) = inputsFrom(s, dir)
+  private[graft] def indexForProbe(s: org.apache.spark.sql.SparkSession,
+                                   dir: String) = indexFrom(s, dir)
+
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
@@ -62,13 +67,25 @@ object Pipeline {
     val ratios = yearly.select("ticker", "date", "priceEarningsRatio",
       "priceToFreeCashFlowsRatio", "payoutRatio", "dividendYield",
       "freeCashFlowPerShare")
-    // every "ticker" tracks the market index: overall daily avg price
-    val index = orders.groupBy(col("o_orderdate").cast(DateType).as("date"))
-      .agg(avg(col("o_totalprice")).as("close"))
-    val sectorIndex = prices.select("ticker").distinct().crossJoin(index)
-      .select("ticker", "date", "close")
+    // every "ticker" tracks the market index — kept as ONE compact series
+    // (etf, date, close) + a ticker→etf map; the per-ticker replicated
+    // form multiplies the index by the universe size (36M rows at sf0.1).
+    val emptySectorIndex = prices.filter(lit(false))
     TickerFeatures.Inputs(prices, dividends, splits, ratios, income, balance,
-      sectorIndex)
+      emptySectorIndex)
+  }
+
+  /** Shared market index for the S7 flow: one series, all tickers map to
+    * it (SPY-style fallback). */
+  private def indexFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val orders = Tables.orders(s, dir)
+    val etfIndex = orders
+      .groupBy(col("o_orderdate").cast(DateType).as("date"))
+      .agg(avg(col("o_totalprice")).as("close"))
+      .select(lit("SPY").as("etf"), col("date"), col("close"))
+    val tickerEtf = orders.select(col("o_custkey").cast(StringType).as("ticker"))
+      .distinct().withColumn("etf", lit("SPY"))
+    (tickerEtf, etfIndex)
   }
 
   /** Full pipeline: grid -> gate -> features -> validation -> round2f32. */
@@ -80,7 +97,9 @@ object Pipeline {
       // testdata customers have ~10 orders, not 260 trading days — gate at 5
       val gated = TickerFeaturePipeline.hasEnoughPriceData(grid, in.prices,
         requiredDays = 5)
-      val features = TickerFeatures.dynamicFeatures(gated, in)
+      val (tickerEtf, etfIndex) = indexFrom(s, dir)
+      val features = TickerFeatures.dynamicFeaturesSharedIndex(gated, in,
+        tickerEtf, etfIndex)
       val validated = TickerValidation.validate(features)
       TickerFeaturePipeline.normalize(validated)
         .orderBy("ticker", "as_of")
