@@ -66,6 +66,14 @@ class PipelineSpec extends SparkSpec {
     assert(readBack.count() == 2)
     assert(readBack.columns.contains("ticker")) // partition column survives
 
+    // partition pruning: a single-ticker read plans with PartitionFilters
+    // on the ticker partition column (the per-ticker reader path at scale)
+    val pruned = spark.read.parquet(store).filter(col("ticker") === "AAA")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("AAA"),
+      s"expected partition pruning in:\n$scan")
+    assert(pruned.count() == 1)
+
     // second run against the store: B2 anti-join leaves nothing to compute
     val second = TickerFeaturePipeline.run(spark, grid, in,
       existing = Some(readBack))
