@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, TextExprs, SimHash, VectorFns}
 
 /** Document deduplication operators for the training-data pipeline layer:
-  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * exact, MinHash+LSH (Broder 1997 resemblance sketches; banding per the
+  * standard LSH construction), SimHash (Charikar 2002), n-gram Jaccard,
+  * embedding-cosine near-dup — all public algorithms.
   *
   * Scale design: every variant avoids the O(n²) all-pairs comparison by
   * blocking (hash buckets / LSH bands / simhash prefixes), so the expensive
