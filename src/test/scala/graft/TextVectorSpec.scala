@@ -189,6 +189,22 @@ class TextVectorSpec extends SparkSpec {
     assert(recall > 0.5, s"recall@5 too low: $recall")
   }
 
+  test("custom expressions register as SQL functions") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT simhash64(split('hello world okay', ' ')) AS sk,
+             jaccard_sim(array('a','b'), array('b','c')) AS j,
+             distinct_shingles(split('a b c d', ' '), 2) AS sh,
+             size(shingle_minhash(split('a b c d', ' '), 2, 8)) AS nsig,
+             size(winnowing_fingerprint('abcdefghijklmnopqrstuvwxyz', 5, 3)) AS nfp
+    """).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getDouble(1) ~= (1.0 / 3.0, 1e-12))
+    assert(r.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(r.getInt(3) == 8)
+    assert(r.getInt(4) > 0)
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
