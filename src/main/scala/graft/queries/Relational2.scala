@@ -18,7 +18,7 @@ import QueryDef.{dec, moneySum, ONE}
 object Relational2 {
 
   def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q44, q45, q46)
+    q39, q40, q41, q44, q45, q46, q47, q48)
 
   /** P2: prefix-based projection over a dynamically-widened frame (the
     * reference selects `sector_*` columns by introspection). */
@@ -255,6 +255,39 @@ object Relational2 {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
         ORDER BY o_orderdate RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
       FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Post-aggregation filter (HAVING). */
+  val q47 = QueryDef("q47_having",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_items"), moneySum(col("l_extendedprice")).as("spend"))
+      .filter(col("n_items") >= 30)
+      .orderBy("l_partkey"),
+    Some("""SELECT l_partkey, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 30
+      ORDER BY l_partkey"""))
+
+  /** Wide -> long reshape (UNPIVOT / stack). */
+  val q48 = QueryDef("q48_unpivot",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(moneySum(col("l_quantity")).as("qty"),
+        moneySum(col("l_extendedprice")).as("price"),
+        moneySum(col("l_discount")).as("disc"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, value)"))
+      .orderBy("l_returnflag", "measure"),
+    Some("""WITH w AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+        UNION ALL SELECT l_returnflag, 'price', price FROM w
+        UNION ALL SELECT l_returnflag, 'disc', disc FROM w) t
+      ORDER BY l_returnflag, measure"""))
 
   /** S2: source coverage assertion — actual min/max dates vs a requested
     * range with grace days, as a per-entity flag. */

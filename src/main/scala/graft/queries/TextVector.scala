@@ -17,7 +17,7 @@ import QueryDef.dec
   */
 object TextVector {
 
-  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9,
+  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     e1, e2, e3, e4, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
@@ -186,6 +186,29 @@ object TextVector {
         .orderBy("id_a", "id_b")
     },
     None)
+
+  /** Text cleaning transform: stopword removal + token re-join (the
+    * corpus-normalization step before dedup/training). */
+  val d10 = QueryDef("d10_stopword_strip",
+    (s, dir) => {
+      val en = TextFns.langStopwords.toMap.apply("en")
+      Tables.documents(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          array_join(filter(col("toks"),
+            t => !t.isin(en.map(lit(_)): _*)), " ").as("clean_text"),
+          (size(col("toks")) -
+            size(filter(col("toks"), t => !t.isin(en.map(lit(_)): _*))))
+            .cast(LongType).as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        t -> t NOT IN ('the','a','of','and','to','in','is','that','it','for')), ' ') AS clean_text,
+      len(regexp_split_to_array(trim(text), '\s+'))
+        - len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+            t -> t NOT IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_removed
+      FROM documents ORDER BY doc_id"""))
 
   /** Per-label centroids: element-wise mean via posexplode — shuffles on
     * (label, dim), the scalable layout for wide fleets. */
