@@ -85,6 +85,20 @@ class PipelineSpec extends SparkSpec {
     assert(hash2 == hash1Again)
   }
 
+  test("typed Dataset[FeatureRow] view of the pipeline output") {
+    import graft.features.FeatureRow
+    val in = mkInputs
+    val tickers = Seq("AAA", "BBB").toDF("ticker")
+    val grid = TickerFeaturePipeline.grid(spark, tickers, "2023-03-31", 1)
+    val out = TickerFeaturePipeline.run(spark, grid, in, existing = None)
+    val ds = FeatureRow.toDataset(out)
+    val rows = ds.collect().sortBy(_.ticker)
+    assert(rows.length == 2)
+    assert(rows.head.ticker == "AAA")
+    assert(rows.head.return_6m.isDefined)
+    assert(rows.head.has_dividend_yield == 1)
+  }
+
   test("merge: new rows win over store rows per (ticker, as_of)") {
     val store = Seq(("AAA", d("2023-03-31"), 1.0f, "ok", ""))
       .toDF("ticker", "as_of", "6m_return", "validation_status", "violations")

@@ -108,6 +108,24 @@ class StreamingMacroSpec extends SparkSpec {
     assert(kept.filter(col("__invalid")).count() == 1)
   }
 
+  test("session_window sessionizer agrees with the cumulative-gap form on real events") {
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    // session_window path (streaming-native)
+    val native = EventStreams.sessionWindows(events, withWatermark = false)
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    // manual cumulative-gap path (the s2 batch query logic)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val manual = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("new_s").cast("long").as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(native == manual)
+  }
+
   test("date normalization: clean casts pass, messy strings salvage via regex") {
     val df = Seq("2023-07-15", "2023/07/15", "year 2023 month 7 day 5", "garbage")
       .toDF("raw")

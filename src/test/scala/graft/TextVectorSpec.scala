@@ -62,6 +62,19 @@ class TextVectorSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 9L))
   }
 
+  test("l2Normalize: unit norm, cosine equals dot product on normalized vectors") {
+    val df = Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f), Array(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+    val r = df.select(
+      VectorFns.l2Norm(VectorFns.l2Normalize(col("a"))).as("unit"),
+      VectorFns.dot(VectorFns.l2Normalize(col("a")), VectorFns.l2Normalize(col("b"))).as("dotn"),
+      VectorFns.cosine(col("a"), col("b")).as("cos"),
+      VectorFns.l2Normalize(col("z")).as("zeron")).collect()(0)
+    assert(r.getDouble(0) ~= (1.0, 1e-12))
+    assert(r.getDouble(1) ~= (r.getDouble(2), 1e-12))
+    assert(r.isNullAt(3)) // zero vector -> null
+  }
+
   test("cosine similarity: parallel vectors 1.0, orthogonal 0.0") {
     val df = Seq((Array(1.0f, 0f), Array(2.0f, 0f), Array(0f, 3.0f)))
       .toDF("a", "b", "c")
