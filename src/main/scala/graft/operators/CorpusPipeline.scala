@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** The end-to-end training-corpus cleaning flow — what a 100 TB ingest
+  * actually runs, composed from the graft operators:
+  *
+  *   1. normalize (lowercase, collapse whitespace)
+  *   2. exact dedup on normalized content (hash groupBy, min id wins)
+  *   3. near-dup removal via MinHash+LSH (greedy: a doc with a near-dup of
+  *      smaller id is dropped — single pass, no iterative connected
+  *      components; on chains this keeps the smallest id per chain head,
+  *      the standard large-scale approximation)
+  *   4. quality gate (token count + stopword ratio)
+  *
+  * Returns (cleanCorpus, perStageStats). Every stage is a distributed
+  * plan; stats come from one count per stage boundary.
+  */
+object CorpusPipeline {
+
+  final case class Stats(input: Long, afterExact: Long, afterNearDup: Long,
+                         afterQuality: Long)
+
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  jaccardThreshold: Double = 0.8,
+                  minTokens: Int = 5, maxTokens: Int = 100000,
+                  minStopRatio: Double = 0.0): (DataFrame, Stats) = {
+    val normalized = docs.withColumn("__norm", normalizeText(col(textCol)))
+    val input = normalized.count()
+
+    // 2. exact dedup on the normalized text
+    val exactKept = Dedup.dropExactDuplicates(
+      normalized.withColumnRenamed(textCol, "__orig")
+        .withColumnRenamed("__norm", textCol), idCol, textCol)
+    val afterExact = exactKept.count()
+
+    // 3. near-dup: drop any doc having a near-duplicate with a smaller id
+    val pairs = Dedup.minHashNearDuplicates(exactKept, idCol, textCol,
+      jaccardThreshold = jaccardThreshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val nearKept = exactKept.join(losers, Seq(idCol), "left_anti")
+    val afterNearDup = nearKept.count()
+
+    // 4. quality gate
+    val en = TextFns.langStopwords.toMap.apply("en")
+    val nTok = size(TextFns.tokens(col(textCol)))
+    val qualityKept = nearKept
+      .filter(nTok.between(minTokens, maxTokens) &&
+        TextFns.vocabTokenRatio(col(textCol), en) >= minStopRatio)
+    val afterQuality = qualityKept.count()
+
+    val out = qualityKept
+      .withColumnRenamed(textCol, "__norm_out")
+      .withColumnRenamed("__orig", textCol)
+      .drop("__norm_out")
+    (out, Stats(input, afterExact, afterNearDup, afterQuality))
+  }
+}

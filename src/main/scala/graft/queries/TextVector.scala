@@ -17,7 +17,7 @@ import QueryDef.dec
   */
 object TextVector {
 
-  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
+  def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     e1, e2, e3, e4, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
@@ -209,6 +209,19 @@ object TextVector {
         - len(list_filter(regexp_split_to_array(trim(text), '\s+'),
             t -> t NOT IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_removed
       FROM documents ORDER BY doc_id"""))
+
+  /** The full corpus-cleaning composite: normalize -> exact dedup ->
+    * near-dup removal -> quality gate; outputs surviving doc ids
+    * (rows-only: minhash inside). */
+  val d11 = QueryDef("d11_clean_corpus",
+    (s, dir) => {
+      val (clean, stats) = graft.operators.CorpusPipeline.cleanCorpus(
+        Tables.documents(s, dir), jaccardThreshold = 0.5, minTokens = 5)
+      clean.select(col("doc_id"), lit(stats.input).as("n_input"),
+        lit(stats.afterNearDup).as("n_after_neardup"))
+        .orderBy("doc_id")
+    },
+    None)
 
   /** Per-label centroids: element-wise mean via posexplode — shuffles on
     * (label, dim), the scalable layout for wide fleets. */

@@ -218,6 +218,26 @@ class TextVectorSpec extends SparkSpec {
     assert(r.getInt(4) > 0)
   }
 
+  test("cleanCorpus: exact dupes, near-dupes, and junk all removed in one flow") {
+    import graft.operators.CorpusPipeline
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase),                                   // exact dup after normalize
+      (3L, (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"), // near-dup of 1
+      (4L, "tiny"),                                             // fails min tokens
+      (5L, (100 to 140).map(i => s"w$i").mkString(" ")))        // clean survivor
+      .toDF("doc_id", "text")
+    val (clean, stats) = CorpusPipeline.cleanCorpus(docs,
+      jaccardThreshold = 0.5, minTokens = 5)
+    val kept = clean.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L))
+    assert(stats.input == 5 && stats.afterExact == 4 &&
+      stats.afterNearDup == 3 && stats.afterQuality == 2)
+    // original text column survives untouched
+    assert(clean.filter(col("doc_id") === 1).select("text").as[String].head() == base)
+  }
+
   test("langId picks the language with the most stopword hits") {
     val df = Seq("the cat of the house and a dog", "der hund ist nicht ein katze und")
       .toDF("text")
