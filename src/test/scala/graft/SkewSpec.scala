@@ -37,6 +37,19 @@ class SkewSpec extends SparkSpec {
     assert(out(1) == ((1, 25, (1 to 49 by 2).sum.toLong)))
   }
 
+  test("join strategy: broadcast under threshold, sort-merge when disabled") {
+    val big = (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val small = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    def strategy(): String =
+      big.join(small, Seq("k")).queryExecution.executedPlan.toString
+    assert(strategy().contains("BroadcastHashJoin"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = strategy()
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("skewSafeCountDistinct equals countDistinct") {
     val df = (1 to 100).map(i => (i % 2, i % 7)).toDF("k", "v")
     val expected = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
