@@ -18,7 +18,7 @@ import QueryDef.dec
 object TextVector {
 
   def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    e1, e2, e3, e4, s1, s2)
+    e1, e2, e3, e4, m2, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
   val d1 = QueryDef("d1_exact_dedup",
@@ -285,6 +285,31 @@ object TextVector {
       "vec_id", "embedding", dim = 64, bits = 6, cosineThreshold = 0.3)
       .withColumn("cosine", round(col("cosine"), 4))
       .orderBy("id_a", "id_b"),
+    None)
+
+  /** Multimodal asset plumbing over synthesized binary content (documents'
+    * bytes play the asset payload): decoded metadata struct, content
+    * entropy stats, frame sampling counts. The byte-level entropy is
+    * oracle-exact; the stub-decode fields are deterministic murmur (rows
+    * carry them, oracle checks the exact parts). */
+  val m2 = QueryDef("m2_multimodal_stats",
+    (s, dir) => {
+      val assets = Tables.documents(s, dir)
+        .select(col("doc_id").as("asset_id"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("video").as("media_type"),
+          col("text").cast("binary").as("content"))
+      val meta = graft.operators.Multimodal.withDecodedMeta(assets)
+      val stats = graft.operators.Multimodal.contentStats(assets)
+      val frames = graft.operators.Multimodal.sampleFramesStub(assets,
+        frameBytes = 64, everyNth = 2)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+      meta.select(col("asset_id"), col("media_type"), col("meta.decoder").as("decoder"))
+        .join(stats, Seq("asset_id"))
+        .join(frames, Seq("asset_id"), "left")
+        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+        .withColumn("entropy", round(col("entropy"), 6))
+        .orderBy("asset_id")
+    },
     None)
 
   /** Tumbling-window event aggregation — the EXACT transform the
