@@ -18,7 +18,7 @@ import QueryDef.{dec, moneySum, ONE}
 object Relational2 {
 
   def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q44, q45, q46, q47, q48)
+    q39, q40, q41, q44, q45, q46, q47, q48, q49, q50)
 
   /** P2: prefix-based projection over a dynamically-widened frame (the
     * reference selects `sector_*` columns by introspection). */
@@ -288,6 +288,40 @@ object Relational2 {
         UNION ALL SELECT l_returnflag, 'price', price FROM w
         UNION ALL SELECT l_returnflag, 'disc', disc FROM w) t
       ORDER BY l_returnflag, measure"""))
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * orders above their customer's average. Single-customer averages are
+    * exact on both engines, so the > boundary is deterministic. */
+  val q49 = QueryDef("q49_scalar_subquery",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders_v i
+                              WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
+  /** ntile decile bucketing over customer lifetime spend. */
+  val q50 = QueryDef("q50_spend_deciles",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(moneySum(col("o_totalprice")).as("ltv"))
+      val w = Window.orderBy(col("ltv").desc, col("o_custkey").asc)
+      spend.withColumn("decile", ntile(10).over(w))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, ltv, CAST(decile AS INT) AS decile FROM (
+        SELECT o_custkey, ltv,
+          ntile(10) OVER (ORDER BY ltv DESC, o_custkey ASC) AS decile
+        FROM (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ltv
+          FROM orders GROUP BY o_custkey) t) u
+      ORDER BY o_custkey"""))
 
   /** S2: source coverage assertion — actual min/max dates vs a requested
     * range with grace days, as a per-entity flag. */

@@ -56,6 +56,26 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(priceRow("max_drawdown_1y", gridAt("2023-12-31"), p) ~= (1.0 / 3.0, 1e-9))
   }
 
+  test("drawdown window honors the 365+15d grace boundary") {
+    // crash at end-381d is OUTSIDE the [end-380, end] window; the in-window
+    // series only has a (100 -> 95) dip.
+    val end = java.time.LocalDate.of(2024, 12, 31)
+    val p = prices(
+      end.minusDays(381).toString -> 200.0, // excluded peak+crash source
+      end.minusDays(380).toString -> 100.0, // window start (inclusive)
+      end.minusDays(100).toString -> 95.0,
+      end.toString -> 96.0)
+    val dd = priceRow("max_drawdown_1y", gridAt(end.toString), p)
+    assert(dd ~= ((100.0 - 95.0) / 100.0, 1e-9))
+    // one day later the 200 peak enters the window: dd from 200 -> 95
+    val p2 = prices(
+      end.minusDays(380).toString -> 200.0,
+      end.minusDays(100).toString -> 95.0,
+      end.toString -> 96.0)
+    assert(priceRow("max_drawdown_1y", gridAt(end.toString), p2) ~=
+      ((200.0 - 95.0) / 200.0, 1e-9))
+  }
+
   test("volatility equals stddev(daily returns) * sqrt(252)") {
     val p = prices("2024-01-01" -> 100.0, "2024-01-02" -> 101.0, "2024-01-03" -> 102.0)
     val r1 = 101.0 / 100.0 - 1
