@@ -77,16 +77,25 @@ object TextFns {
   def nonWsChars(text: Column): Column =
     length(regexp_replace(text, "\\s+", ""))
 
-  /** Ratio of tokens found in `vocab` (e.g. stopwords) to all tokens. */
-  def vocabTokenRatio(text: Column, vocab: Seq[String]): Column = {
-    val t = tokens(text)
+  /** Ratio of tokens found in `vocab` over a PRE-BOUND token column. */
+  def vocabTokenRatioOf(t: Column, vocab: Seq[String]): Column = {
     val hits = size(filter(t, x => x.isin(vocab.map(lit(_)): _*)))
     when(size(t) > 0, hits.cast("double") / size(t).cast("double")).otherwise(lit(0.0))
   }
 
+  /** Ratio of tokens found in `vocab` (e.g. stopwords) to all tokens.
+    * Prefer the `...Of` variant with a bound token column on hot paths
+    * (see the CSE note on [[tokens]]). */
+  def vocabTokenRatio(text: Column, vocab: Seq[String]): Column =
+    vocabTokenRatioOf(tokens(text), vocab)
+
+  /** Count of `vocab` tokens over a PRE-BOUND token column. */
+  def vocabTokenCountOf(t: Column, vocab: Seq[String]): Column =
+    size(filter(t, x => x.isin(vocab.map(lit(_)): _*)))
+
   /** Count of tokens found in `vocab`. */
   def vocabTokenCount(text: Column, vocab: Seq[String]): Column =
-    size(filter(tokens(text), x => x.isin(vocab.map(lit(_)): _*)))
+    vocabTokenCountOf(tokens(text), vocab)
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column = {
@@ -118,6 +127,17 @@ object TextFns {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
     "fr" -> Seq("le", "la", "les", "et", "un", "une", "dans", "est", "pour", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Heuristic language ID over a PRE-BOUND token column. */
+  def langIdHeuristicOf(t: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> vocabTokenCountOf(t, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
 
   /** Heuristic language ID: argmax of per-language stopword hits with a fixed
     * tie-break order (list order above); "und" when no list scores > 0. */

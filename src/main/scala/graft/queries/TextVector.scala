@@ -52,18 +52,20 @@ object TextVector {
         ELSE 0.0 END AS mean_token_len
       FROM documents ORDER BY doc_id"""))
 
-  /** Quality scoring: stopword ratio, punctuation count, length gate. */
+  /** Quality scoring: stopword ratio, punctuation count, length gate.
+    * Tokens bound once — interpreted lambdas re-split per occurrence
+    * otherwise (same lesson as the dedup hot path). */
   val d3 = QueryDef("d3_quality_score",
     (s, dir) => {
       val en = TextFns.langStopwords.toMap.apply("en")
-      val doc = Tables.documents(s, dir)
-      val nTok = size(TextFns.tokens(col("text")))
-      doc.select(col("doc_id"),
-        TextFns.vocabTokenCount(col("text"), en).cast(LongType).as("stopword_hits"),
-        TextFns.vocabTokenRatio(col("text"), en).as("stop_ratio"),
-        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast(LongType).as("punct_chars"),
-        when(TextFns.vocabTokenRatio(col("text"), en) > 0.02 &&
-          nTok.between(20, 2000), 1).otherwise(0).as("is_quality"))
+      Tables.documents(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFns.vocabTokenCountOf(col("toks"), en).cast(LongType).as("stopword_hits"),
+          TextFns.vocabTokenRatioOf(col("toks"), en).as("stop_ratio"),
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast(LongType).as("punct_chars"),
+          when(TextFns.vocabTokenRatioOf(col("toks"), en) > 0.02 &&
+            size(col("toks")).between(20, 2000), 1).otherwise(0).as("is_quality"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
@@ -89,13 +91,14 @@ object TextVector {
   val d4 = QueryDef("d4_lang_id",
     (s, dir) => {
       val doc = Tables.documents(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
       val scored = TextFns.langStopwords.foldLeft(doc) { case (d, (lang, words)) =>
         d.withColumn(s"s_$lang",
-          TextFns.vocabTokenCount(col("text"), words).cast(LongType))
+          TextFns.vocabTokenCountOf(col("toks"), words).cast(LongType))
       }
       scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
         col("s_fr"), col("s_zh"),
-        TextFns.langIdHeuristic(col("text")).as("predicted_lang"))
+        TextFns.langIdHeuristicOf(col("toks")).as("predicted_lang"))
         .orderBy("doc_id")
     },
     Some("""WITH sc AS (SELECT doc_id,
