@@ -15,9 +15,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the whole line short enough for log-tail capture
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = s3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

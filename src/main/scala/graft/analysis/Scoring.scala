@@ -56,8 +56,11 @@ object Scoring {
       .setMetricName("areaUnderROC")
       .evaluate(model.transform(holdout))
 
-    val firstElem = udfFree(model.transform(df))
-    (firstElem, auc)
+    val scored = udfFree(model.transform(df))
+    // the fits above have consumed the cached input; release executor memory
+    // before handing the (lazily re-computable) scored frame back.
+    df.unpersist()
+    (scored, auc)
   }
 
   /** Extract P(cut=1) from the MLlib probability vector without a UDF
@@ -105,12 +108,15 @@ object Scoring {
     val wGroup = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("final_score").desc, col("ticker"))
     val wGlobal = Window.orderBy(col("final_score").desc, col("ticker"))
+    // weight = 1/selected: the eligibility filter or group cap can leave
+    // fewer than n names, and portfolio weights must still sum to 1.
+    val wAll = Window.partitionBy()
     eligible
       .withColumn("__grp_rank", row_number().over(wGroup))
       .filter(col("__grp_rank") <= perGroupCap)
       .withColumn("__rank", row_number().over(wGlobal))
       .filter(col("__rank") <= n)
-      .withColumn("weight", lit(1.0) / n)
+      .withColumn("weight", lit(1.0) / count(lit(1)).over(wAll))
       .drop("__grp_rank", "__rank")
   }
 }

@@ -27,6 +27,9 @@ object AsOf {
     * Right rows that share an exact timestamp with a left row ARE visible to
     * that left row. If several right rows share one timestamp, the last one
     * in `tieBreak` order wins (pass e.g. a sequence column for determinism).
+    * The matched row's values attach ATOMICALLY — a NULL in one value column
+    * of the matched right row stays NULL (Polars `join_asof` semantics),
+    * it is not backfilled from an older right row.
     *
     * @param left      left frame; must contain `by` and `timeCol`
     * @param right     right frame; must contain `by`, `timeCol`, `valueCols`
@@ -52,9 +55,15 @@ object AsOf {
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy((col(timeCol).asc +: col("__side").asc +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    // Carry ONE struct of all value columns so the whole matched right row
+    // wins atomically: per-column last(ignoreNulls) would mix columns from
+    // different right rows when the matched row holds a NULL.
+    val packed = unioned.withColumn("__asof_row",
+      when(col("__side") === 0, struct(valueCols.map(col): _*)))
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(packed) { (df, v) =>
+      df.withColumn(v, col("__asof_row").getField(v))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof_row")
   }
 }

@@ -28,6 +28,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 1, "salt factor must be > 1")
+    // right/full outer would emit one unmatched small-side row PER SALT
+    // (the small side is replicated `factor` times) — only join types that
+    // never emit unmatched small-side rows are correct here.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "semi", "anti")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin is incorrect for joinType=$joinType: replicated small side " +
+        "would duplicate unmatched rows (use inner/left/semi/anti)")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(factor)))
     val replicatedSmall = small.withColumn("__salt",

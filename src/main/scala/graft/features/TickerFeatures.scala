@@ -33,6 +33,19 @@ object TickerFeatures {
   private def gcols = Seq(col("ticker"), col("as_of"))
   private val nan = lit(Double.NaN)
 
+  /** grid ⟕ input with the as-of cutoff INSIDE the join condition. A cell
+    * whose input rows are all dated after as_of must still reach each
+    * block's __n=0 default branch (the reference filters inputs to
+    * date<=as_of first and then computes defaults over the empty frame —
+    * ticker_row_builder.py:27-31); a plain join-then-filter would drop the
+    * cell entirely. Unmatched cells survive as a single null-date row, so
+    * every block counts __n with count(date), never count(*). */
+  private def gridAsOfJoin(grid: DataFrame, input: DataFrame): DataFrame = {
+    val r = input.withColumnRenamed(T, "__t")
+    grid.join(r, col(T) === col("__t") && col("date") <= col("as_of"), "left")
+      .drop("__t")
+  }
+
   /** All 18 dynamic features + 6 `has_` flags for every (ticker, as_of)
     * grid cell. Grid: (ticker DATE-typed as_of). */
   def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame =
@@ -70,7 +83,7 @@ object TickerFeatures {
     val wT = Window.partitionBy(T).orderBy("date")
     val p = prices.withColumn("__ret", col("close") / lag(col("close"), 1).over(wT) - 1)
 
-    val sliced = grid.join(p, Seq(T)).filter(col("date") <= col("as_of"))
+    val sliced = gridAsOfJoin(grid, p)
 
     val wCell = Window.partitionBy(gcols: _*).orderBy(col("date"))
     val wCellAll = Window.partitionBy(gcols: _*)
@@ -99,7 +112,7 @@ object TickerFeatures {
       stddev_samp(col("__ret")).as("__ret_sd"),
       avg(when(col("__rn_desc") <= 50, col("close"))).as("__sma50"),
       avg(when(col("__rn_desc") <= 200, col("close"))).as("__sma200"),
-      count(lit(1)).as("__n"),
+      count(col("date")).as("__n"),
       sum(col("__in_dd")).as("__n_dd"),
       max(col("__dd")).as("__max_dd"),
       min_by(when(in365, col("close")), when(in365, col("date"))).as("__s_first"),
@@ -230,8 +243,7 @@ object TickerFeatures {
       .withColumn("__eic", eic)
       .withColumn("__eic_capped", eicCapFlag)
 
-    grid.join(enriched, Seq(T), "left")
-      .filter(col("date").isNull || col("date") <= col("as_of"))
+    gridAsOfJoin(grid, enriched)
       .groupBy(gcols: _*).agg(
         max_by(col("__nde"), col("date")).as("__nde_last"),
         max_by(col("__eic"), col("date")).as("__eic_last"),
@@ -252,7 +264,7 @@ object TickerFeatures {
   private def cagrAgg(df: DataFrame, grid: DataFrame, valueCol: String,
                       years: Int, graceDays: Int, graceMonths: Int,
                       out: String): DataFrame = {
-    val sliced = grid.join(df, Seq(T)).filter(col("date") <= col("as_of"))
+    val sliced = gridAsOfJoin(grid, df)
     val wCellAll = Window.partitionBy(gcols: _*)
     val endDate = max(col("date")).over(wCellAll)
     val startTarget = date_sub(endDate, 365 * years)
@@ -265,7 +277,7 @@ object TickerFeatures {
       .groupBy(gcols: _*).agg(
         max_by(col(valueCol), col("date")).as("__end"),
         max_by(when(col("__in_win"), col(valueCol)), when(col("__in_win"), col("date"))).as("__start"),
-        count(lit(1)).as("__n"))
+        count(col("date")).as("__n"))
       .select(col("ticker"), col("as_of"),
         when(col("__n") >= 2 && col("__start").isNotNull && col("__start") > 0 &&
           col("__end").isNotNull && col("__end") > 0,
@@ -282,8 +294,7 @@ object TickerFeatures {
     * P/E + P/FCF, payout ratio — ONE grid⨝ratios aggregation (the fcf CAGR
     * shares the slice instead of paying its own shuffle). */
   def ratiosBlock(grid: DataFrame, ratios: DataFrame): DataFrame = {
-    val sliced = grid.join(ratios, Seq(T), "left")
-      .filter(col("date").isNull || col("date") <= col("as_of"))
+    val sliced = gridAsOfJoin(grid, ratios)
     val wCellAll = Window.partitionBy(gcols: _*)
     val endDate = max(col("date")).over(wCellAll)
     // 5y window with 90d grace, positive yields only (dividend_features.py)
@@ -339,7 +350,7 @@ object TickerFeatures {
     val adjusted = SeriesOps.adjustForSplits(dividends, splits, Seq(T),
       "date", "dividend", "split_ratio")
       .select(col(T), col("date"), col("dividend"))
-    val sliced = grid.join(adjusted, Seq(T)).filter(col("date") <= col("as_of"))
+    val sliced = gridAsOfJoin(grid, adjusted)
     val wCellAll = Window.partitionBy(gcols: _*)
     val endDate = max(col("date")).over(wCellAll)
     def win(years: Int) = {
@@ -358,7 +369,7 @@ object TickerFeatures {
         max_by(col("dividend"), col("date")).as("__end"),
         max_by(when(col("__w3"), col("dividend")), when(col("__w3"), col("date"))).as("__s3"),
         max_by(when(col("__w5"), col("dividend")), when(col("__w5"), col("date"))).as("__s5"),
-        count(lit(1)).as("__n"))
+        count(col("date")).as("__n"))
       .select(col("ticker"), col("as_of"),
         cagrOut("__s3", 3).as("dividend_cagr_3y"),
         cagrOut("__s5", 5).as("dividend_cagr_5y"))

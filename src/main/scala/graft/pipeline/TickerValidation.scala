@@ -99,10 +99,13 @@ object TickerValidation {
         val cur = col(name).cast("double")
         val prev = lag(cur, 1).over(w)
         val ratio = abs(cur / prev)
+        // byte-parity with validate_dynamic_row.py:133:
+        // f"{col} abnormal change: {prev:.4f} → {cur:.4f} (×{ratio:.2f})"
         when(finite(cur) && finite(prev) && abs(prev) >= math.max(floor, tiny) &&
           ratio > limit,
           concat(lit(s"$name abnormal change: "),
-            format_string("%.4f", prev), lit(" -> "), format_string("%.4f", cur)))
+            format_string("%.4f", prev), lit(" → "), format_string("%.4f", cur),
+            lit(" (×"), format_string("%.2f", ratio), lit(")")))
     }
 
     // --- V4 internal consistency ---

@@ -27,6 +27,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(out(3).isNullAt(2))
   }
 
+  test("asof backward attaches the matched row atomically: its NULLs are not backfilled") {
+    val left = Seq(("A", d("2024-01-10"))).toDF("k", "date")
+    // latest matching right row (01-09) has v2 = NULL; an older row (01-02)
+    // has v2 = 7.0 — Polars join_asof attaches (3.0, NULL), never (3.0, 7.0).
+    val right = Seq(
+      ("A", d("2024-01-02"), Some(1.0), Some(7.0)),
+      ("A", d("2024-01-09"), Some(3.0), None))
+      .toDF("k", "date", "v1", "v2")
+    val out = AsOf.joinBackward(left, right, Seq("k"), "date", Seq("v1", "v2"))
+      .collect()(0)
+    assert(out.getDouble(2) == 3.0)
+    assert(out.isNullAt(3))
+  }
+
   test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
     val divs = Seq(("T", d("2023-01-01"), 1.0), ("T", d("2023-06-01"), 1.2),
       ("T", d("2024-01-01"), 1.5)).toDF("ticker", "date", "dividend")

@@ -73,4 +73,18 @@ class ScoringSpec extends SparkSpec {
     // <= 20% of 10 = 2 per sector
     rows.groupBy(_._2).foreach { case (_, g) => assert(g.length <= 2) }
   }
+
+  test("portfolio weights sum to 1 when fewer than n names survive the filters") {
+    val scored = Seq(
+      ("A", "Energy", 0.9, 0.1),
+      ("B", "Energy", 0.8, 0.1),
+      ("C", "Tech", 0.7, 0.9)) // ineligible
+      .toDF("ticker", "sector", "final_score", "cut_prob")
+    // n=10 requested, cap 2/sector, only 2 eligible -> 2 selected at w=0.5
+    val port = Scoring.constructPortfolio(scored, n = 10,
+      groupCols = Seq("sector"), maxPerGroup = 0.2, maxCutProb = 0.25)
+    val ws = port.select("weight").as[Double].collect()
+    assert(ws.length == 2)
+    assert(math.abs(ws.sum - 1.0) < 1e-12)
+  }
 }

@@ -264,6 +264,49 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(TickerFeatures.dynamicFeatures(grid, in).columns.toSet == expected)
   }
 
+  test("cell survives with reference defaults when every input row is dated after as_of") {
+    // Backfill grids whose earliest as_of predates the first input row:
+    // the reference filters inputs to date<=as_of FIRST, then computes
+    // defaults over the empty frame — the cell must not vanish.
+    val grid = gridAt("2020-01-01")
+    val inc = Seq(("T", d("2023-06-01"), 2.0, 100.0, 10.0, 5.0))
+      .toDF("ticker", "date", "eps", "incomeBeforeTax", "interestExpense",
+        "depreciationAndAmortization")
+    val bal = Seq(("T", d("2023-06-01"), 0.0, 100.0))
+      .toDF("ticker", "date", "cashAndShortTermInvestments", "totalDebt")
+    val f = TickerFeatures.fundamentalsBlock(grid, inc, bal)
+      .select("net_debt_to_ebitda", "ebit_interest_cover", "ebit_interest_cover_capped")
+      .collect()
+    assert(f.length == 1)
+    assert(f(0).getDouble(0) ~= 0.0)
+    assert(f(0).getDouble(1) ~= 0.0)
+    assert(!f(0).getBoolean(2))
+
+    val r = TickerFeatures.ratiosBlock(grid,
+      ratios(("2023-06-01", 10.0, 10.0, 0.3, 0.02, 1.0)))
+      .select("dividend_yield", "pe_ratio", "pfcf_ratio", "payout_ratio",
+        "yield_vs_5y_median", "fcf_cagr_3y").collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(0) ~= 0.0)
+    assert(r(0).getDouble(1) ~= 0.0)
+    assert(r(0).getDouble(2) ~= 0.0)
+    assert(r(0).getDouble(3) ~= 0.0)
+    assert(r(0).getDouble(4).isNaN)
+    assert(r(0).getDouble(5).isNaN)
+
+    val p = TickerFeatures.priceBlock(grid, prices("2023-01-01" -> 100.0))
+      .select("6m_return", "12m_return", "volatility", "max_drawdown_1y").collect()
+    assert(p.length == 1)
+    assert(p(0).getDouble(0) ~= 0.0)
+    assert(p(0).getDouble(1) ~= 0.0)
+    assert(p(0).getDouble(2) ~= 0.0)
+    assert(p(0).getDouble(3) ~= 0.0)
+
+    val g = TickerFeatures.incomeGrowthBlock(grid, income("2023-01-01" -> 2.0))
+      .select("eps_cagr_3y").as[Double].collect()
+    assert(g.length == 1 && g(0).isNaN)
+  }
+
   test("has_ flags: NaN CAGR -> 0, present value -> 1, default 0.0 yield -> 1") {
     val grid = gridAt("2024-01-01")
     val in = TickerFeatures.Inputs(

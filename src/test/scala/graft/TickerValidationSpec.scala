@@ -49,7 +49,9 @@ class TickerValidationSpec extends SparkSpec {
       .select("validation_status", "violations").collect()
     assert(rows(0).getString(0) == "ok")
     assert(rows(1).getString(0) == "flagged")
-    assert(rows(1).getString(1).contains("dividend_yield abnormal change"))
+    // byte-parity with validate_dynamic_row.py:133
+    assert(rows(1).getString(1) ==
+      "dividend_yield abnormal change: 0.0100 → 0.2000 (×20.00)")
   }
 
   test("jump check skipped when prev below floor") {
