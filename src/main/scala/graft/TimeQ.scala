@@ -1,0 +1,14 @@
+package graft
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0); val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Verify.makeSession("32")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (i <- 1 to args.drop(2).headOption.map(_.toInt).getOrElse(1)) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s, rows=$n")
+    }
+    spark.stop()
+  }
+}
