@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** JVM-native Catalyst expressions for the embedding hot path (ANN
+  * brute-force / IVF probe / near-dup verify).
+  *
+  * The `aggregate(zip_with(...))` formulations in [[VectorFns]] are
+  * interpreted (higher-order functions don't codegen) and allocate a zipped
+  * array per pair; these do the same arithmetic as one tight loop. The
+  * summation ORDER is identical to the column versions (sequential
+  * left-fold in index order, accumulator starts at 0.0, elements cast to
+  * double before multiply) so results are bit-identical — pinned by
+  * TextVectorSpec. [[VectorFns]] stays as the readable reference.
+  */
+
+private[functions] object VecRead {
+  /** Element reader for float/double arrays, promoted to double. */
+  def reader(dt: DataType): (ArrayData, Int) => Double = {
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"unsupported embedding element type $other")
+    }
+  }
+}
+
+/** Dot product of two numeric arrays in double precision. NULL if either
+  * side is NULL; shorter length wins (zip semantics). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  @transient private lazy val readL = VecRead.reader(left.dataType)
+  @transient private lazy val readR = VecRead.reader(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += readL(a, i) * readR(b, i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in one pass (three accumulators, each summed in index
+  * order — bit-identical to dot/sqrt of the column forms). NULL when either
+  * norm is 0 (zero vector), matching `VectorFns.cosine`. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  @transient private lazy val readL = VecRead.reader(left.dataType)
+  @transient private lazy val readR = VecRead.reader(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = readL(a, i)
+      val y = readR(b, i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa > 0 && sb > 0) d / (sa * sb) else null
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -34,18 +34,23 @@ object CorpusPipeline {
     val normalized = docs.withColumn("__norm", normalizeText(col(textCol)))
     val input = normalized.count()
 
-    // 2. exact dedup on the normalized text
+    // 2. exact dedup on the normalized text. Cached: consumed three times
+    // (stage count, LSH pair generation, anti-join) — without it each stage
+    // count re-executes everything upstream.
     val exactKept = Dedup.dropExactDuplicates(
       normalized.withColumnRenamed(textCol, "__orig")
         .withColumnRenamed("__norm", textCol), idCol, textCol)
+      .persist()
     val afterExact = exactKept.count()
 
     // 3. near-dup: drop any doc having a near-duplicate with a smaller id
     val pairs = Dedup.minHashNearDuplicates(exactKept, idCol, textCol,
       jaccardThreshold = jaccardThreshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
-    val nearKept = exactKept.join(losers, Seq(idCol), "left_anti")
+    val nearKept = exactKept.join(losers, Seq(idCol), "left_anti").persist()
     val afterNearDup = nearKept.count()
+    // nearKept is materialized; downstream reads it, not exactKept
+    exactKept.unpersist()
 
     // 4. quality gate
     val en = TextFns.langStopwords.toMap.apply("en")

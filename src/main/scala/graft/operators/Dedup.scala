@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFns, TextExprs, SimHash, VectorFns}
+import graft.functions.{TextFns, TextExprs, SimHash, VectorExprs, VectorFns}
 
 /** Document deduplication operators for the training-data pipeline layer:
   * exact, MinHash+LSH (Broder 1997 resemblance sketches; banding per the
@@ -135,7 +135,7 @@ object Dedup {
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     sig.join(b, Seq("bucket"))
       .filter(col("id") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosine(col("v"), col("v_b")))
+      .withColumn("cosine", VectorExprs.cosine(col("v"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id").as("id_a"), col("id_b"), col("cosine"))
   }

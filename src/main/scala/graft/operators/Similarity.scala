@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFns
+import graft.functions.{VectorExprs, VectorFns}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
@@ -28,7 +28,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorExprs.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 9).desc, col("neighbor_id").asc)
     scored
@@ -41,11 +41,14 @@ object Similarity {
     * any metadata-derived partitioning for recall. Output:
     * (centroid_id, centroid_vec array<double>), broadcast-sized. */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, maxIter: Int = 8): DataFrame = {
     val assembled = corpus.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("__vec"))
+    // 8 iterations: IVF cells only need a reasonable Voronoi partition, not
+    // a converged clustering — recall is governed by nProbe, and each extra
+    // iteration is a full corpus pass.
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
-      .setMaxIter(20).fit(assembled)
+      .setMaxIter(maxIter).fit(assembled)
     val spark = corpus.sparkSession
     import spark.implicits._
     model.clusterCenters.zipWithIndex
@@ -60,7 +63,7 @@ object Similarity {
     val c = centroids.select(col("centroid_id"), col("centroid_vec"))
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(c))
-      .withColumn("sim", VectorFns.cosine(col("v"), col("centroid_vec")))
+      .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
     val w = Window.partitionBy("id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("v"), col("centroid_id"))
@@ -72,14 +75,14 @@ object Similarity {
               centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("qv"))
     val probes = q.crossJoin(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"))))
-      .withColumn("sim", VectorFns.cosine(col("qv"), col("centroid_vec")))
+      .withColumn("sim", VectorExprs.cosine(col("qv"), col("centroid_vec")))
     val wp = Window.partitionBy("query_id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
     val joined = probed.join(corpusWithCells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cosine", VectorFns.cosine(col("qv"), col("v")))
+      .withColumn("cosine", VectorExprs.cosine(col("qv"), col("v")))
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("cosine"), 9).desc, col("id").asc)
     joined.withColumn("rank", row_number().over(w))

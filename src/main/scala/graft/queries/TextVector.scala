@@ -271,7 +271,7 @@ object TextVector {
       val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 30)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Similarity.ivfTopK(queries, cells, centroids, k = 5, nProbe = 3)
+      Similarity.ivfTopK(queries, cells, centroids, k = 5, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine_r"), col("rank"))
         .orderBy("query_id", "rank")

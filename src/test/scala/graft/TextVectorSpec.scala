@@ -85,6 +85,27 @@ class TextVectorSpec extends SparkSpec {
     assert(row.getDouble(1) ~= 0.0)
   }
 
+  test("VectorExprs agree bit-exactly with the VectorFns column forms") {
+    // the native expressions replace the interpreted lambdas on the hot
+    // path; identical summation order => bit-identical doubles.
+    val vecs = (0 until 50).map { i =>
+      (Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) * 0.173f),
+       Array.tabulate(64)(j => ((i * 17 + j * 11) % 9 - 4) * 0.291f))
+    }.toDF("a", "b")
+    val zero = Seq((Array.fill(64)(0.0f), Array.fill(64)(1.0f))).toDF("a", "b")
+    val cmp = vecs.union(zero).select(
+      VectorFns.dot(col("a"), col("b")).as("d1"),
+      graft.functions.VectorExprs.dot(col("a"), col("b")).as("d2"),
+      VectorFns.cosine(col("a"), col("b")).as("c1"),
+      graft.functions.VectorExprs.cosine(col("a"), col("b")).as("c2")).collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      assert(r.isNullAt(2) == r.isNullAt(3))
+      if (!r.isNullAt(2))
+        assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0)
+    }
+  }
+
   test("brute-force top-k ranks the closest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
