@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import QueryDef.moneySum
+
+/** Third coverage batch — relational operators beyond the reference's own
+  * surface that a warehouse-grade engine must still provide: hierarchical
+  * aggregation (ROLLUP: one pass computes every grouping level, vs N
+  * re-aggregations), and forward-looking window access (lead /
+  * first_value / last_value with explicit frames).
+  */
+object Relational3 {
+
+  def defs: Seq[QueryDef] = Seq(q51, q52)
+
+  /** ROLLUP over (returnflag, linestatus): partial-agg reuse across
+    * grouping levels — at 100 TB one shuffle instead of three. Labels
+    * coalesced to 'ALL' so null-ordering differences between engines
+    * can't reorder rows. */
+  val q51 = QueryDef("q51_rollup_sales",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("sum_price"), col("n"))
+      .orderBy("ret_flag", "line_status"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+      COALESCE(l_linestatus, 'ALL') AS line_status,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY ret_flag, line_status"""))
+
+  /** lead + first_value/last_value with an explicit forward frame per
+    * customer order history: next-order gap in days, first and final order
+    * dates. Frames declared identically on both engines. */
+  val q52 = QueryDef("q52_lead_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_date"), col("o_orderkey"))
+      val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_date"))
+        .withColumn("next_gap_days",
+          datediff(lead(col("o_date"), 1).over(w), col("o_date")))
+        .withColumn("first_date", first(col("o_date")).over(w))
+        .withColumn("final_date", last(col("o_date")).over(wFwd))
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      CAST(datediff('day', CAST(o_orderdate AS DATE),
+        lead(CAST(o_orderdate AS DATE), 1) OVER w) AS INT) AS next_gap_days,
+      first_value(CAST(o_orderdate AS DATE)) OVER w AS first_date,
+      last_value(CAST(o_orderdate AS DATE)) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_date
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_date, o_orderkey"""))
+}

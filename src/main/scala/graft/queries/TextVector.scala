@@ -18,7 +18,7 @@ import QueryDef.dec
 object TextVector {
 
   def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    e1, e2, e3, e4, m2, s1, s2)
+    d12, d13, e1, e2, e3, e4, m2, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
   val d1 = QueryDef("d1_exact_dedup",
@@ -225,6 +225,74 @@ object TextVector {
         .orderBy("doc_id")
     },
     None)
+
+  /** Repetition/diversity quality signals (the Gopher-style filters a
+    * training corpus runs): type-token ratio, top-bigram concentration,
+    * duplicate-bigram fraction. Explode+groupBy keeps the bigram counting
+    * distributed (no per-row quadratic buffers). */
+  val d12 = QueryDef("d12_repetition_stats",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          col("toks"))
+      val bigrams = base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+        )).as("bigram"))
+      bigrams
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(max(col("c")).as("top_bigram_n"),
+          sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+          col("top_bigram_n"),
+          round(lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"), 6)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS cnt
+        FROM b GROUP BY 1, 2, 3, 4)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+        CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+        ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_bigram_frac
+      FROM c GROUP BY doc_id, n_tokens, n_distinct ORDER BY doc_id"""))
+
+  /** Deterministic stratified sampling — domain/language mixing for a
+    * training corpus: downsample the dominant language by a content-stable
+    * hash (md5 of the id, never rand(): reproducible under retries and
+    * identical on any engine). */
+  val d13 = QueryDef("d13_stratified_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100
+      val rate = when(col("lang") === "en", 40)
+        .when(col("lang") === "zh", 80)
+        .otherwise(100)
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, bucket FROM (
+        SELECT doc_id, lang, source,
+          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+          CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 80 ELSE 100 END AS rate
+        FROM documents) t
+      WHERE bucket < rate ORDER BY doc_id"""))
 
   /** Per-label centroids: element-wise mean via posexplode — shuffles on
     * (label, dim), the scalable layout for wide fleets. */
