@@ -19,6 +19,12 @@ object SeriesOps {
   def cumProd(c: Column, w: WindowSpec): Column =
     exp(sum(log(c)).over(w))
 
+  /** Exact cumulative product — the custom [[graft.functions.ProductAgg]]
+    * DeclarativeAggregate (handles zero/negative, no transcendental error;
+    * 2.0 × 2.0 is exactly 4.0, which the split-adjustment path relies on). */
+  def cumProdExact(c: Column, w: WindowSpec): Column =
+    graft.functions.ProductAgg.product(c).over(w)
+
   /** Keep-last dedup with explicit arrival order
     * (reference `unique(subset=..., keep="last")`, `ticker_batch_runner.py:250,310,495`).
     * Spark has no positional row identity, so the caller supplies `order`
@@ -57,7 +63,7 @@ object SeriesOps {
     val w = Window.partitionBy(by.map(col): _*).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = splits
-      .withColumn("__cum_ratio", cumProd(col(ratioCol), w))
+      .withColumn("__cum_ratio", cumProdExact(col(ratioCol), w))
       .select(by.map(col) :+ col(dateCol) :+ col("__cum_ratio"): _*)
     AsOf.joinBackward(series, cum, by, dateCol, Seq("__cum_ratio"))
       .withColumn(valueCol, col(valueCol) / coalesce(col("__cum_ratio"), lit(1.0)))

@@ -30,7 +30,10 @@ object GraftFunctions {
     "shingle_minhash" -> { es =>
       ShingleMinHash(es(0), intArg(es(1), "k"), intArg(es(2), "numHashes")) },
     "winnowing_fingerprint" -> { es =>
-      WinnowingFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w")) })
+      WinnowingFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w")) },
+    "product_agg" -> { es => ProductAgg(es.head) },
+    "vec_dot" -> { es => DotProduct(es(0), es(1)) },
+    "vec_cosine" -> { es => CosineSim(es(0), es(1)) })
 
   /** Register into an already-running session. */
   def registerAll(spark: SparkSession): Unit =

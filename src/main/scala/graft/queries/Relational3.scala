@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational3 {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53)
 
   /** ROLLUP over (returnflag, linestatus): partial-agg reuse across
     * grouping levels — at 100 TB one shuffle instead of three. Labels
@@ -63,4 +63,22 @@ object Relational3 {
          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_date
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_date, o_orderkey"""))
+
+  /** Custom DeclarativeAggregate on the judged surface: exact product
+    * (graft's `product_agg`) vs DuckDB's built-in `product()` — per-part
+    * compounded discount growth. Partial/final merge is planned by
+    * Catalyst like any built-in (products compose), so map-side combine
+    * still applies at 100 TB. */
+  val q53 = QueryDef("q53_group_product",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(
+        round(graft.functions.ProductAgg.product(lit(1.0) + col("l_discount")), 6)
+          .as("growth_product"),
+        count(lit(1)).as("n"))
+      .orderBy("l_partkey"),
+    Some("""SELECT l_partkey,
+      ROUND(product(1.0 + l_discount), 6) AS growth_product,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
 }
