@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.functions.{TextFns, VectorFns, SimHash}
+import graft.functions.{TextExprs, TextFns, VectorFns, SimHash}
 import graft.operators.{Dedup, Similarity}
 import QueryDef.dec
 
@@ -18,7 +18,7 @@ import QueryDef.dec
 object TextVector {
 
   def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, e1, e2, e3, e4, m2, s1, s2)
+    d12, d13, d14, d15, e1, e2, e3, e4, m2, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
   val d1 = QueryDef("d1_exact_dedup",
@@ -293,6 +293,71 @@ object TextVector {
           CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 80 ELSE 100 END AS rate
         FROM documents) t
       WHERE bucket < rate ORDER BY doc_id"""))
+
+  /** Token-budget sequence packing — concatenate-then-chop (how training
+    * corpora pack documents into fixed-length sequences): each doc lands in
+    * the sequence containing its START offset within its language stream.
+    * One window cumsum + one groupBy; deterministic doc order (doc_id). */
+  val d14 = QueryDef("d14_token_packing",
+    (s, dir) => {
+      val budget = 512
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n")) / lit(budget.toDouble)).cast(LongType))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          round(sum(col("n")).cast(DoubleType) / budget, 6).as("fill_ratio"))
+        .orderBy("lang", "seq_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+      c AS (SELECT doc_id, lang, n,
+        SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      SELECT lang, CAST(FLOOR((cum - n) / 512.0) AS BIGINT) AS seq_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS total_tokens,
+        ROUND(CAST(SUM(n) AS DOUBLE) / 512, 6) AS fill_ratio
+      FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id"""))
+
+  /** Train/eval contamination check: does a training doc share word
+    * 5-grams with the benchmark set (here: doc_id < 20 plays the eval
+    * suite)? Explode distinct shingles, equi-join on the shingle — at
+    * 100 TB the shingle key would be a 64-bit hash; strings keep the
+    * DuckDB oracle exact here. */
+  val d15 = QueryDef("d15_contamination",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextExprs.distinctShingles(
+            TextFns.tokens(col("text")), 5)).as("shingle"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("shingle"), col("doc_id").as("bench_id")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(bench, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        WHERE len(t) >= 5),
+      bench AS (SELECT DISTINCT shingle, doc_id AS bench_id FROM sh WHERE doc_id < 20)
+      SELECT s.doc_id,
+        CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared_shingles,
+        CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 20
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
 
   /** Per-label centroids: element-wise mean via posexplode — shuffles on
     * (label, dim), the scalable layout for wide fleets. */
