@@ -424,10 +424,11 @@ object TextVector {
     None)
 
   /** Multimodal asset plumbing over synthesized binary content (documents'
-    * bytes play the asset payload): decoded metadata struct, content
-    * entropy stats, frame sampling counts. The byte-level entropy is
-    * oracle-exact; the stub-decode fields are deterministic murmur (rows
-    * carry them, oracle checks the exact parts). */
+    * bytes play the asset payload): content entropy stats + frame-sample
+    * counts through the real mapPartitions/explode plumbing. ORACLE-GATED:
+    * the payload is ASCII, so DuckDB recomputes byte entropy and frame
+    * windows from the source text. (The murmur stub-decode fields stay off
+    * the judged projection — pinned by MultimodalSpec instead.) */
   val m2 = QueryDef("m2_multimodal_stats",
     (s, dir) => {
       val assets = Tables.documents(s, dir)
@@ -439,14 +440,31 @@ object TextVector {
       val frames = graft.operators.Multimodal.sampleFramesStub(assets,
         frameBytes = 64, everyNth = 2)
         .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
-      meta.select(col("asset_id"), col("media_type"), col("meta.decoder").as("decoder"))
+      meta.select(col("asset_id"), col("media_type"))
         .join(stats, Seq("asset_id"))
         .join(frames, Seq("asset_id"), "left")
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
         .withColumn("entropy", round(col("entropy"), 6))
         .orderBy("asset_id")
     },
-    None)
+    Some("""WITH a AS (SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+        text FROM documents),
+      b AS (SELECT asset_id, substr(text, CAST(i AS INT), 1) AS c
+        FROM (SELECT asset_id, text, unnest(range(1, length(text) + 1)) AS i FROM a)),
+      p AS (SELECT asset_id, c, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      e AS (SELECT p.asset_id,
+          ROUND(SUM(-(CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n)), 6) AS entropy
+        FROM p JOIN (SELECT asset_id, SUM(cnt) AS n FROM p GROUP BY 1) t USING (asset_id)
+        GROUP BY p.asset_id)
+      SELECT a.asset_id, a.media_type,
+        CAST(length(a.text) AS BIGINT) AS n_bytes,
+        e.entropy,
+        CASE WHEN FLOOR(length(a.text) / 64) > 0
+          THEN CAST(FLOOR((FLOOR(length(a.text) / 64.0) + 1) / 2) AS BIGINT)
+          ELSE 0 END AS n_frames
+      FROM a JOIN e USING (asset_id)
+      ORDER BY asset_id"""))
 
   /** Tumbling-window event aggregation — the EXACT transform the
     * Structured Streaming job runs (graft.streaming.EventStreams), executed
