@@ -121,6 +121,7 @@ object TickerFeatures {
     .select(
       col("ticker"), col("as_of"),
       col("__s_first"), col("__s_last"), col("__s_n"),
+      col("__n").as("__price_n"),
       when(col("__p_6m").isNotNull && col("__p_now").isNotNull,
         (col("__p_now") - col("__p_6m")) / col("__p_6m")).otherwise(0.0).as("6m_return"),
       when(col("__p_12m").isNotNull && col("__p_now").isNotNull,
@@ -139,9 +140,18 @@ object TickerFeatures {
     * TB), the ETF side aggregates once per (etf, as_of) over the compact
     * (etf, date, close) table and broadcasts back through the ticker→etf
     * map. Identical semantics to [[dynamicFeatures]]. */
+  /** @param minPriceRows when > 0, fuse the min-history gate into the
+    *   price aggregation: cells with fewer than this many price rows at or
+    *   before as_of are dropped HERE, from the already-computed __price_n —
+    *   identical predicate to `hasEnoughPriceData`, one fewer grid⨝prices
+    *   shuffle for pipelines that would gate anyway. Trade-off: the other
+    *   blocks then compute over the ungated grid — fuse when the gate keeps
+    *   most cells; gate FIRST (`hasEnoughPriceData` + the gated grid) when
+    *   it drops most of them. */
   def dynamicFeaturesSharedIndex(grid: DataFrame, in: Inputs,
                                  tickerEtf: DataFrame,
-                                 etfIndex: DataFrame): DataFrame = {
+                                 etfIndex: DataFrame,
+                                 minPriceRows: Int = 0): DataFrame = {
     val etfCells = grid.join(tickerEtf, Seq(T)).select(col("etf"), col("as_of")).distinct()
     val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
     val perEtf = etfCells.join(etfIndex, Seq("etf")).filter(in365)
@@ -152,22 +162,27 @@ object TickerFeatures {
     val etfSide = grid.join(tickerEtf, Seq(T))
       .join(broadcast(perEtf), Seq("etf", "as_of"), "left")
       .select((gcols :+ col("__x_first") :+ col("__x_last") :+ col("__x_n")): _*)
-    assembleFeatures(grid, in, etfSide)
+    assembleFeatures(grid, in, etfSide, minPriceRows)
   }
 
   /** Per-ticker-series form (the reference's own shape). */
   private def assembleFeatures(grid: DataFrame, in: Inputs,
-                               etfSide: DataFrame): DataFrame = {
-    val price = priceBlock(grid, in.prices)
+                               etfSide: DataFrame,
+                               minPriceRows: Int = 0): DataFrame = {
+    val price0 = priceBlock(grid, in.prices)
+    val price = if (minPriceRows > 0) price0.filter(col("__price_n") >= minPriceRows)
+                else price0
     val sector = price.join(etfSide, K, "left")
       .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
     val fund = fundamentalsBlock(grid, in.income, in.balance)
     val growth = incomeGrowthBlock(grid, in.income)
     val ratio = ratiosBlock(grid, in.ratios)
     val div = dividendBlock(grid, in.dividends, in.splits)
-    val joined = Seq(price.drop("__s_first", "__s_last", "__s_n"),
-      sector, fund, growth, ratio, div)
-      .foldLeft(grid)((acc, block) => acc.join(block, K, "left"))
+    // surviving price cells are the join spine: blocks computed on the full
+    // grid contribute only to cells that passed the gate.
+    val spine = price.drop("__s_first", "__s_last", "__s_n", "__price_n")
+    val joined = Seq(sector, fund, growth, ratio, div)
+      .foldLeft(spine)((acc, block) => acc.join(block, K, "left"))
     finalProjection(joined)
   }
 

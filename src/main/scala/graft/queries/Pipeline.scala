@@ -97,12 +97,12 @@ object Pipeline {
       val in = inputsFrom(s, dir)
       val grid = TickerFeaturePipeline.grid(s,
         in.prices.select("ticker").distinct(), "1997-12-31", 4)
-      // testdata customers have ~10 orders, not 260 trading days — gate at 5
-      val gated = TickerFeaturePipeline.hasEnoughPriceData(grid, in.prices,
-        requiredDays = 5)
       val (tickerEtf, etfIndex) = indexFrom(s, dir)
-      val features = TickerFeatures.dynamicFeaturesSharedIndex(gated, in,
-        tickerEtf, etfIndex)
+      // testdata customers have ~10 orders, not 260 trading days — gate at 5.
+      // The gate is FUSED into the price aggregation (minPriceRows): same
+      // predicate as hasEnoughPriceData, one fewer grid⨝prices shuffle.
+      val features = TickerFeatures.dynamicFeaturesSharedIndex(grid, in,
+        tickerEtf, etfIndex, minPriceRows = 5)
       val validated = TickerValidation.validate(features)
       TickerFeaturePipeline.normalize(validated)
         .orderBy("ticker", "as_of")
