@@ -1,4 +1,7 @@
 package graft
+/** Single-query wall-clock timer. Caveat: queries backed by a session-level
+  * materialized store (p1/p4 share Pipeline.p1Materialized) pay the build
+  * cost on the FIRST run only — repeat runs time the cached read. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val name = args(0); val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")

@@ -35,8 +35,11 @@ object Scoring {
                         seed: Long = 42L): (DataFrame, Double) = {
     // materialize once: boosting iterates over the input many times, and an
     // unmaterialized upstream plan (e.g. the whole feature pipeline) would
-    // re-execute per iteration.
-    val df = dfIn.persist()
+    // re-execute per iteration. Respect a caller-owned cache (Spark caching
+    // has no refcounting — unpersisting a frame the caller persisted would
+    // evict THEIR cache).
+    val callerCached = dfIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val df = if (callerCached) dfIn else dfIn.persist()
     val assembler = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("__vec")
       .setHandleInvalid("keep")
@@ -58,8 +61,9 @@ object Scoring {
 
     val scored = udfFree(model.transform(df))
     // the fits above have consumed the cached input; release executor memory
-    // before handing the (lazily re-computable) scored frame back.
-    df.unpersist()
+    // before handing back the scored frame (which is lazy — callers whose
+    // input is expensive and not checkpointed should persist it themselves).
+    if (!callerCached) df.unpersist()
     (scored, auc)
   }
 

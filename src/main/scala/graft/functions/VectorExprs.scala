@@ -34,7 +34,9 @@ private[functions] object VecRead {
 }
 
 /** Dot product of two numeric arrays in double precision. NULL if either
-  * side is NULL; shorter length wins (zip semantics). */
+  * side is NULL, lengths differ, or any element is NULL — exactly the
+  * `aggregate(zip_with(...))` column form (zip_with pads the shorter array
+  * with NULLs and one NULL product poisons the whole fold). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -46,10 +48,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += readL(a, i) * readR(b, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += readL(a, i) * readR(b, i)
+      i += 1
+    }
     acc
   }
 
@@ -60,7 +67,8 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Cosine similarity in one pass (three accumulators, each summed in index
   * order — bit-identical to dot/sqrt of the column forms). NULL when either
-  * norm is 0 (zero vector), matching `VectorFns.cosine`. */
+  * norm is 0 (zero vector), lengths differ, or any element is NULL,
+  * matching `VectorFns.cosine` on every input class. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -72,12 +80,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var d = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = readL(a, i)
       val y = readR(b, i)
       d += x * y

@@ -99,8 +99,10 @@ object TickerValidation {
         val cur = col(name).cast("double")
         val prev = lag(cur, 1).over(w)
         val ratio = abs(cur / prev)
-        // byte-parity with validate_dynamic_row.py:133:
+        // validate_dynamic_row.py:133 format:
         // f"{col} abnormal change: {prev:.4f} → {cur:.4f} (×{ratio:.2f})"
+        // (byte-equal except exact decimal ties: Java %.2f rounds HALF_UP,
+        // Python f-strings round half-even — e.g. 20.125 → ×20.13 vs ×20.12)
         when(finite(cur) && finite(prev) && abs(prev) >= math.max(floor, tiny) &&
           ratio > limit,
           concat(lit(s"$name abnormal change: "),

@@ -128,10 +128,20 @@ object Pipeline {
     * feature table (p4) — the pipeline result is a materialized view: tiny
     * (one row per grid cell) however large the inputs, so checkpointing it
     * once per (session, dataset) is the same call a warehouse makes for a
-    * shared intermediate. Keyed weakly per session to not pin executors. */
+    * shared intermediate. Entries hold strong refs for the life of the JVM
+    * and assume the dataset under `dir` is immutable (true for testdata);
+    * long-lived multi-session processes should [[clearMaterialized]] after
+    * stopping a session. */
   private val p1Store =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
+
+  /** Drop memoized feature tables (all of them, or one session's). */
+  def clearMaterialized(session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
+    session match {
+      case None => p1Store.clear()
+      case Some(s) => p1Store.keySet.removeIf(_._1 eq s)
+    }
   private def p1Materialized(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     p1Store.computeIfAbsent((s, dir), { case (sess, d) =>

@@ -459,11 +459,11 @@ object TextVector {
         GROUP BY p.asset_id)
       SELECT a.asset_id, a.media_type,
         CAST(length(a.text) AS BIGINT) AS n_bytes,
-        e.entropy,
+        COALESCE(e.entropy, 0.0) AS entropy,
         CASE WHEN FLOOR(length(a.text) / 64) > 0
           THEN CAST(FLOOR((FLOOR(length(a.text) / 64.0) + 1) / 2) AS BIGINT)
           ELSE 0 END AS n_frames
-      FROM a JOIN e USING (asset_id)
+      FROM a LEFT JOIN e USING (asset_id)
       ORDER BY asset_id"""))
 
   /** Tumbling-window event aggregation — the EXACT transform the

@@ -104,6 +104,19 @@ class TextVectorSpec extends SparkSpec {
       if (!r.isNullAt(2))
         assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0)
     }
+    // ragged lengths and null elements: zip_with-form returns NULL; the
+    // native expressions must agree (not a prefix dot product)
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val nullElem = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    for (df <- Seq(ragged, nullElem)) {
+      val r = df.select(
+        VectorFns.dot(col("a"), col("b")).as("d1"),
+        graft.functions.VectorExprs.dot(col("a"), col("b")).as("d2"),
+        VectorFns.cosine(col("a"), col("b")).as("c1"),
+        graft.functions.VectorExprs.cosine(col("a"), col("b")).as("c2")).collect()(0)
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    }
   }
 
   test("brute-force top-k ranks the closest vector first") {
