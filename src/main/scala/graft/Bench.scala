@@ -8,8 +8,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Verify.makeSession(cpus)
     // warm the JVM/codegen once on the smallest scale so per-query numbers
-    // measure the plan, not first-call JIT + classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // measure the plan, not first-call JIT + classloading. One query per
+    // expression family (relational agg, shingle/minhash, vector math) —
+    // different dataset (sf0.001), so nothing but JIT state is reused.
+    val warm = Seq("d5_minhash_dedup", "e2_knn_brute")
+    try {
+      SparkEntry.entry(spark).count()
+      warm.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
