@@ -69,6 +69,12 @@ def main(sf_dir, out_dir):
             results[name] = f"VALUE-MISMATCH at row {bad[0]}: spark={bad[1]} duck={bad[2]}"
         else:
             results[name] = f"OK ({len(s_rows)} rows)"
+    # queries that threw in Verify have no output dir — flag, don't skip
+    manifest_path = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest_path):
+        for name in json.load(open(manifest_path)):
+            if name not in results:
+                results[name] = "MISSING-OUTPUT (query failed in Verify)"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_rows_only = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k, v in sorted(results.items()):
