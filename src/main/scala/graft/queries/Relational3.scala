@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational3 {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55)
 
   /** ROLLUP over (returnflag, linestatus): partial-agg reuse across
     * grouping levels — at 100 TB one shuffle instead of three. Labels
@@ -81,4 +81,39 @@ object Relational3 {
       ROUND(product(1.0 + l_discount), 6) AS growth_product,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
+
+  /** INTERSECT / EXCEPT set operators (distinct semantics both engines):
+    * customers partitioned into ever-ordered vs never-ordered. */
+  val q54 = QueryDef("q54_set_ops",
+    (s, dir) => {
+      val allCust = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val ordered = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      allCust.intersect(ordered).withColumn("tag", lit("both"))
+        .unionByName(allCust.except(ordered).withColumn("tag", lit("never_ordered")))
+        .orderBy("k", "tag")
+    },
+    Some("""SELECT k, 'both' AS tag
+      FROM (SELECT c_custkey AS k FROM customer
+            INTERSECT SELECT o_custkey FROM orders) t1
+      UNION ALL
+      SELECT k, 'never_ordered' AS tag
+      FROM (SELECT c_custkey AS k FROM customer
+            EXCEPT SELECT o_custkey FROM orders) t2
+      ORDER BY k, tag"""))
+
+  /** PIVOT: order counts by status per year — wide reshaping as a native
+    * operator (Spark pivot with an explicit value list so the output
+    * schema is static and plannable; DuckDB PIVOT ... IN (...)). */
+  val q55 = QueryDef("q55_pivot_status",
+    (s, dir) => Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast(LongType).as("yr"), col("o_orderstatus"))
+      .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"), coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("yr"),
+    Some("""PIVOT (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus
+        FROM orders)
+      ON o_orderstatus IN ('F', 'O', 'P') USING COUNT(*)
+      GROUP BY yr ORDER BY yr"""))
 }
