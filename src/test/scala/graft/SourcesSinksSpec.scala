@@ -52,6 +52,29 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.toSeq == Seq("AAPL", "MSFT", "TSLA"))
   }
 
+  test("universe CSV source: skip header rows, Equity filter, ticker regex, dedupe (S9)") {
+    val tmp = Files.createTempDirectory("graft-test").resolve("universe.csv")
+    val header = (1 to 10).map(i => s"junk header $i,,,").mkString("\n")
+    val body = Seq(
+      "aapl,Apple,US,Equity",
+      "MSFT,Microsoft,US,Equity",
+      "msft,Microsoft dup,US,Equity",
+      "CASH_USD,Cash,US,Cash",      // not Equity
+      "TOOLONGSYM,Bad,US,Equity",   // fails [A-Z.]{1,6}
+      "BRK.B,Berkshire,US,Equity").mkString("\n")
+    Files.writeString(tmp, header + "\n" + body + "\n")
+    val out = Sources.universeCsv(spark, tmp.toString, skipRows = 10)
+      .orderBy("ticker").as[String].collect()
+    assert(out.toSeq == Seq("AAPL", "BRK.B", "MSFT"))
+  }
+
+  test("ticker-list writer: sorted unique symbols, atomic text file (K5)") {
+    val df = Seq("msft", "AAPL", " aapl ", "TSLA").toDF("ticker")
+    val path = Files.createTempDirectory("graft-sink").resolve("tickers.txt").toString
+    Sinks.writeTickerList(df, path)
+    assert(Files.readString(java.nio.file.Paths.get(path)) == "AAPL\nMSFT\nTSLA\n")
+  }
+
   test("writeIfChanged detects identical content and skips the second write") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dir = Files.createTempDirectory("graft-sink").resolve("store").toString
