@@ -40,6 +40,9 @@ private[functions] object VecRead {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  // Returns NULL for non-null inputs (length mismatch, null element), so
+  // nullability must not be inferred from the children.
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   @transient private lazy val readL = VecRead.reader(left.dataType)
@@ -72,6 +75,9 @@ case class DotProduct(left: Expression, right: Expression)
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch, null element, or zero-norm input — never
+  // inherit non-nullability from the children.
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine"
 
   @transient private lazy val readL = VecRead.reader(left.dataType)

@@ -21,7 +21,15 @@ import graft.functions.TextFns
 object CorpusPipeline {
 
   final case class Stats(input: Long, afterExact: Long, afterNearDup: Long,
-                         afterQuality: Long)
+                         afterQuality: Long) {
+    /** Unpersist handle for the cached near-dup stage boundary the returned
+      * corpus reads from. Callers looping over many corpora in one session
+      * should invoke this once they are done with the returned frame —
+      * otherwise each cleanCorpus call leaves its cache resident until the
+      * session ends. No-op if already released. */
+    private[operators] var releaseFn: () => Unit = () => ()
+    def release(): Unit = releaseFn()
+  }
 
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -64,6 +72,8 @@ object CorpusPipeline {
       .withColumnRenamed(textCol, "__norm_out")
       .withColumnRenamed("__orig", textCol)
       .drop("__norm_out")
-    (out, Stats(input, afterExact, afterNearDup, afterQuality))
+    val stats = Stats(input, afterExact, afterNearDup, afterQuality)
+    stats.releaseFn = () => { nearKept.unpersist(); () }
+    (out, stats)
   }
 }
