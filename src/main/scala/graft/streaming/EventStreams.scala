@@ -30,6 +30,17 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming keep-first dedup per (user_id, event_type): dropDuplicates
+    * keeps the first ARRIVAL, and the watermark bounds the dedup state (keys
+    * older than the watermark are evicted — without it, state grows with
+    * key cardinality forever). On an in-ts-order feed "first arrival" is
+    * the earliest event, i.e. exactly the batch twin s3_stream_dedup
+    * computes with an explicit row_number (deterministic on unordered batch
+    * data). Agreement pinned by ScaleOpsSpec. */
+  def firstPerKeyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   /** File-source stream over an events directory (parquet), processing all
     * available data then stopping — the `Trigger.AvailableNow` incremental
     * pattern that replaces the reference's mtime-staleness checks. */

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{RangeJoin, RuntimeFilters}
+import graft.operators.Chunking
+import graft.streaming.EventStreams
+
+/** Round-3 scale operators: bloom-prefiltered joins, binned range joins,
+  * chunking, and the stream/batch dedup agreement. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomSemiJoin equals the plain semi-join row-for-row") {
+    val big = (1L to 2000L).map(i => (i, i % 37)).toDF("k", "payload")
+    val small = Seq(3L, 37L, 999L, 1500L, 4242L).toDF("sk")
+    val viaBloom = RuntimeFilters.bloomSemiJoin(big, "k", small, "sk",
+      expectedItems = 100L, fpp = 0.1)
+    val plain = big.join(small.select(col("sk").as("k")), Seq("k"), "left_semi")
+    assert(viaBloom.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+    // exactness holds even when the filter is saturated with false positives
+    val tiny = RuntimeFilters.bloomSemiJoin(big, "k", small, "sk",
+      expectedItems = 1L, fpp = 0.5)
+    assert(tiny.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("bloomSemiJoin drops null keys (semi-join semantics)") {
+    val big = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val small = Seq(1L).toDF("sk")
+    assert(RuntimeFilters.bloomSemiJoin(big, "k", small, "sk")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("binned range join equals the naive BETWEEN join at any bin size") {
+    val pts = Seq(("2024-01-01", 1), ("2024-01-15", 2), ("2024-02-10", 3),
+      ("2024-03-01", 4)).toDF("d", "pid")
+      .select(col("d").cast("date").as("d"), col("pid"))
+    val iv = Seq(("a", "2024-01-01", "2024-01-20"),
+      ("b", "2024-01-10", "2024-02-15"),
+      ("c", "2024-05-01", "2024-05-02"),    // matches nothing
+      ("d", "2024-02-01", "2024-01-01"))    // end < start: no matches
+      .toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("date").as("s"),
+        col("e").cast("date").as("e"))
+    val naive = pts.crossJoin(iv).filter(col("d").between(col("s"), col("e")))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    for (bin <- Seq(1, 7, 16, 365)) {
+      val got = RangeJoin.pointInInterval(pts, iv, "d", "s", "e", bin)
+        .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      assert(got == naive, s"binDays=$bin")
+    }
+  }
+
+  test("range join plans an equi-join on the bin, not a nested loop") {
+    val pts = (1 to 100).map(i => (java.sql.Date.valueOf("2024-01-01"), i))
+      .toDF("d", "pid")
+    val iv = Seq(("a", java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2024-01-20"))).toDF("iid", "s", "e")
+    val plan = RangeJoin.pointInInterval(pts, iv, "d", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("chunkByTokens golden: window 3, stride 2 over 7 tokens") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text", 3, 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "t1 t2 t3", 3L), (1L, "t3 t4 t5", 3L),
+      (2L, "t5 t6 t7", 3L), (3L, "t7", 1L)))
+  }
+
+  test("chunkByTokens: doc shorter than one window yields a single short chunk") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text", 50, 40)
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "a b", 2L)))
+  }
+
+  test("streaming firstPerKeyStream agrees with the batch row_number twin on an in-order feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.firstPerKeyStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    val rows = Seq(
+      EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), "click", 1.0),
+      EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:01:00"), "click", 2.0),
+      EventStreams.EventIn(2L, java.sql.Timestamp.valueOf("2024-01-01 05:02:00"), "view", 3.0),
+      EventStreams.EventIn(1L, java.sql.Timestamp.valueOf("2024-01-01 05:03:00"), "view", 4.0),
+      EventStreams.EventIn(2L, java.sql.Timestamp.valueOf("2024-01-01 05:04:00"), "view", 5.0))
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_test")
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+        .as[(Long, String, Double)].collect().toSeq
+      // batch twin: earliest (ts, ...) row per key
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+      val batch = rows.toDF()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq((1L, "click", 1.0), (1L, "view", 4.0),
+        (2L, "view", 3.0)))
+    } finally q.stop()
+  }
+}
