@@ -52,6 +52,26 @@ object Probe {
           TickerValidation.validate(
             TickerFeatures.dynamicFeaturesSharedIndex(gated, in, tickerEtf, etfIndex))))
 
+      case "p1" =>
+        // JIT-warm the whole codepath at sf0.001 first, then time sf0.1
+        // stage by stage (the bench measures p1 warm too).
+        time("warm (sf0.001 full p1)")(
+          graft.queries.Pipeline.p1.fn(spark, "/root/testdata/sf0.001").count())
+        graft.queries.Pipeline.clearMaterialized()
+        val in = time("inputs (2 eager checkpoints)")(
+          graft.queries.Pipeline.inputsForProbe(spark, dir))
+        val grid = TickerFeaturePipeline.grid(spark,
+          in.prices.select("ticker").distinct(), "1997-12-31", 4)
+        val (tickerEtf, etfIndex) = graft.queries.Pipeline.indexForProbe(spark, dir)
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val features = TickerFeatures.dynamicFeaturesSharedIndex(grid, in,
+          tickerEtf, etfIndex, minPriceRows = 5)
+        time("features (fused, gate-fused)")(noop(features))
+        time("validated")(noop(TickerValidation.validate(features)))
+        time("validated+normalized+ordered")(noop(TickerFeaturePipeline.normalize(
+          TickerValidation.validate(features)).orderBy("ticker", "as_of")))
+
       case "p4" =>
         val features = graft.queries.Pipeline.p1.fn(spark, dir)
         val labeled = features.withColumn("cut_label",

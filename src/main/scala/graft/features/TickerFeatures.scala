@@ -22,11 +22,20 @@ import graft.core.SeriesOps
   */
 object TickerFeatures {
 
-  /** Long-form inputs, all keyed by `ticker` with day-level `date`. */
+  /** Long-form inputs, all keyed by `ticker` with day-level `date`.
+    *
+    * `statements`: set when income, balance, and ratios are projections of
+    * ONE statement table sharing the same (ticker, date) rows (one column
+    * superset frame). The assembly then computes the fundamentals, growth,
+    * and ratios blocks in a single grid slice + aggregation instead of
+    * three — identical output (pinned by TickerFeaturesSpec), two fewer
+    * shuffle pairs. Leave None when the three inputs have independent date
+    * spines (separate statement feeds). */
   final case class Inputs(prices: DataFrame, dividends: DataFrame,
                           splits: DataFrame, ratios: DataFrame,
                           income: DataFrame, balance: DataFrame,
-                          sectorIndex: DataFrame)
+                          sectorIndex: DataFrame,
+                          statements: Option[DataFrame] = None)
 
   private val T = "ticker"
   private val K = Seq("ticker", "as_of")
@@ -174,14 +183,16 @@ object TickerFeatures {
                 else price0
     val sector = price.join(etfSide, K, "left")
       .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
-    val fund = fundamentalsBlock(grid, in.income, in.balance)
-    val growth = incomeGrowthBlock(grid, in.income)
-    val ratio = ratiosBlock(grid, in.ratios)
     val div = dividendBlock(grid, in.dividends, in.splits)
+    val fundBlocks = in.statements match {
+      case Some(st) => Seq(fusedFundamentalsBlock(grid, st))
+      case None => Seq(fundamentalsBlock(grid, in.income, in.balance),
+        incomeGrowthBlock(grid, in.income), ratiosBlock(grid, in.ratios))
+    }
     // surviving price cells are the join spine: blocks computed on the full
     // grid contribute only to cells that passed the gate.
     val spine = price.drop("__s_first", "__s_last", "__s_n", "__price_n")
-    val joined = Seq(sector, fund, growth, ratio, div)
+    val joined = (Seq(sector) ++ fundBlocks ++ Seq(div))
       .foldLeft(spine)((acc, block) => acc.join(block, K, "left"))
     finalProjection(joined)
   }
@@ -269,6 +280,107 @@ object TickerFeatures {
         when(col("__n") > 0, col("__eic_last")).otherwise(0.0).as("ebit_interest_cover"),
         when(col("__n") > 0, coalesce(col("__eic_capped_last"), lit(false)))
           .otherwise(lit(false)).as("ebit_interest_cover_capped"))
+  }
+
+  /** Fundamentals + income growth + ratios in ONE grid slice + ONE
+    * aggregation, for the shared-spine case ([[Inputs.statements]]): all
+    * three blocks' per-cell aggregates ride the same groupBy(ticker, as_of)
+    * shuffle instead of paying three join+aggregate pairs. Column-for-column
+    * identical to the separate blocks when income/balance/ratios are
+    * projections of `statements` (equivalence pinned by
+    * TickerFeaturesSpec). */
+  def fusedFundamentalsBlock(grid: DataFrame, statements: DataFrame): DataFrame = {
+    def safeCol(name: String): Column =
+      if (statements.columns.contains(name)) col(name) else lit(0)
+
+    // fundamentalsBlock's per-row enrichment (pre-slice, date-independent)
+    val ebitda = safeCol("incomeBeforeTax") + safeCol("interestExpense") +
+      safeCol("depreciationAndAmortization")
+    val netDebt = safeCol("totalDebt") - safeCol("cashAndShortTermInvestments")
+    val ndeRaw = netDebt / ebitda
+    val nde = when(!isnan(ndeRaw) && ndeRaw =!= Double.PositiveInfinity &&
+      ndeRaw =!= Double.NegativeInfinity, ndeRaw)
+    val ebit =
+      if (statements.columns.contains("operatingIncome")) col("operatingIncome")
+      else if (statements.columns.contains("incomeBeforeTax")) col("incomeBeforeTax")
+      else throw new IllegalArgumentException(
+        "Missing both operatingIncome and incomeBeforeTax — cannot compute EBIT")
+    val interest = if (statements.columns.contains("interestExpense"))
+      col("interestExpense") else lit(null)
+    val cap = 1000.0
+    val eicRaw = when(interest.isNotNull && interest =!= 0, ebit / interest)
+    val eic = when(eicRaw < cap, eicRaw).otherwise(lit(Double.PositiveInfinity))
+    val eicCapFlag = when(eicRaw.isNull || eicRaw >= cap, lit(true)).otherwise(lit(false))
+
+    val sliced = gridAsOfJoin(grid, statements
+      .withColumn("__nde", nde)
+      .withColumn("__eic", eic)
+      .withColumn("__eic_capped", eicCapFlag))
+
+    // one per-cell window feeds every date-anchored validity flag
+    val wCellAll = Window.partitionBy(gcols: _*)
+    val endDate = max(col("date")).over(wCellAll)
+    // incomeGrowthBlock: (endDate - 3y) ± 90 DAYS
+    val epsTarget = date_sub(endDate, 365 * 3)
+    val epsWin = col("date").between(date_sub(epsTarget, 90), date_add(epsTarget, 90))
+    // ratiosBlock windows (verbatim)
+    val yLo = date_sub(add_months(endDate, -60), 90)
+    val yValid = col("dividendYield").isNotNull && col("dividendYield") > 0 &&
+      col("date") >= yLo
+    val pvValid = col("priceEarningsRatio") > 0 && col("priceToFreeCashFlowsRatio") > 0
+    val poValid = col("payoutRatio").isNotNull && col("payoutRatio") > 0
+    val fcfTarget = date_sub(endDate, 365 * 3)
+    val fcfWin = col("date").between(date_sub(fcfTarget, 90), date_add(fcfTarget, 90))
+
+    sliced
+      .withColumn("__eps_win", epsWin)
+      .withColumn("__y_valid", yValid)
+      .withColumn("__fcf_win", fcfWin)
+      .groupBy(gcols: _*).agg(
+        count(col("date")).as("__n"),
+        // fundamentals
+        max_by(col("__nde"), col("date")).as("__nde_last"),
+        max_by(col("__eic"), col("date")).as("__eic_last"),
+        max_by(col("__eic_capped"), col("date")).as("__eic_capped_last"),
+        // income growth (eps CAGR)
+        max_by(col("eps"), col("date")).as("__eps_end"),
+        max_by(when(col("__eps_win"), col("eps")),
+          when(col("__eps_win"), col("date"))).as("__eps_start"),
+        // ratios
+        max_by(col("dividendYield"), col("date")).as("__dy_last"),
+        max_by(when(col("__y_valid"), col("dividendYield")),
+          when(col("__y_valid"), col("date"))).as("__y_cur"),
+        percentile(when(col("__y_valid"), col("dividendYield")), lit(0.5)).as("__y_med"),
+        count(when(col("__y_valid"), 1)).as("__y_n"),
+        max_by(when(pvValid, col("priceEarningsRatio")), when(pvValid, col("date"))).as("__pe"),
+        max_by(when(pvValid, col("priceToFreeCashFlowsRatio")), when(pvValid, col("date"))).as("__pfcf"),
+        max_by(when(poValid, col("payoutRatio")), when(poValid, col("date"))).as("__po"),
+        max_by(col("freeCashFlowPerShare"), col("date")).as("__fcf_end"),
+        max_by(when(col("__fcf_win"), col("freeCashFlowPerShare")),
+          when(col("__fcf_win"), col("date"))).as("__fcf_start"))
+      .select(col("ticker"), col("as_of"),
+        when(col("__n") > 0, col("__nde_last")).otherwise(0.0).as("net_debt_to_ebitda"),
+        when(col("__n") > 0, col("__eic_last")).otherwise(0.0).as("ebit_interest_cover"),
+        when(col("__n") > 0, coalesce(col("__eic_capped_last"), lit(false)))
+          .otherwise(lit(false)).as("ebit_interest_cover_capped"),
+        when(col("__n") >= 2 && col("__eps_start").isNotNull && col("__eps_start") > 0 &&
+          col("__eps_end").isNotNull && col("__eps_end") > 0,
+          pow(col("__eps_end") / col("__eps_start"), lit(1.0) / 3) - 1)
+          .otherwise(nan).as("eps_cagr_3y"),
+        when(col("__n") > 0, coalesce(col("__dy_last"), lit(0.0))).otherwise(0.0)
+          .as("dividend_yield"),
+        when(col("__n") < 2, nan)
+          .when(col("__y_n") === 0, nan)
+          .when(col("__y_med") === 0, 0.0)
+          .otherwise((col("__y_cur") - col("__y_med")) / col("__y_med"))
+          .as("yield_vs_5y_median"),
+        coalesce(col("__pe"), lit(0.0)).as("pe_ratio"),
+        coalesce(col("__pfcf"), lit(0.0)).as("pfcf_ratio"),
+        coalesce(col("__po"), lit(0.0)).as("payout_ratio"),
+        when(col("__n") >= 2 && col("__fcf_start").isNotNull && col("__fcf_start") > 0 &&
+          col("__fcf_end").isNotNull && col("__fcf_end") > 0,
+          pow(col("__fcf_end") / col("__fcf_start"), lit(1.0) / 3) - 1)
+          .otherwise(nan).as("fcf_cagr_3y"))
   }
 
   /** Generic CAGR aggregate over a grid-joined series slice: end = last

@@ -24,20 +24,23 @@ object Pipeline {
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
-    val prices = orders.select(
+    // ONE orders scan + ONE aggregation feeds both the price series and the
+    // dividend series (dividends = F-status orders only): the conditional
+    // aggregate is exactly the F-only groupBy, and both land in the same
+    // checkpoint (the dividend series used to re-scan orders lazily).
+    val priceDiv = orders.select(
       col("o_custkey").cast(StringType).as("ticker"),
       col("o_orderdate").cast(DateType).as("date"),
-      col("o_totalprice").as("close"))
+      col("o_totalprice").as("close"),
+      col("o_orderstatus").as("status"))
       // keep-last per (ticker, date): price series needs one close per day
-      .groupBy("ticker", "date").agg(max("close").as("close"))
+      .groupBy("ticker", "date").agg(max("close").as("close"),
+        max(when(col("status") === "F", col("close") / 1000)).as("__div"))
       // reused by three feature blocks + the history gate: materialize once
       .localCheckpoint()
-    val dividends = orders
-      .filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").cast(StringType).as("ticker"),
-        col("o_orderdate").cast(DateType).as("date"),
-        (col("o_totalprice") / 1000).as("dividend"))
-      .groupBy("ticker", "date").agg(max("dividend").as("dividend"))
+    val prices = priceDiv.select("ticker", "date", "close")
+    val dividends = priceDiv.filter(col("__div").isNotNull)
+      .select(col("ticker"), col("date"), col("__div").as("dividend"))
     val splits = orders.filter(lit(false))
       .select(col("o_custkey").cast(StringType).as("ticker"),
         col("o_orderdate").cast(DateType).as("date"),
@@ -71,8 +74,14 @@ object Pipeline {
     // (etf, date, close) + a ticker→etf map; the per-ticker replicated
     // form multiplies the index by the universe size (36M rows at sf0.1).
     val emptySectorIndex = prices.filter(lit(false))
+    // income/balance/ratios are all projections of `yearly` — hand the
+    // assembly the column superset so it fuses the three blocks into one
+    // slice + aggregation (shared (ticker, date) spine).
+    val statements = yearly
+      .withColumn("cashAndShortTermInvestments", col("incomeBeforeTax") / 10)
+      .withColumn("totalDebt", col("incomeBeforeTax") / 5)
     TickerFeatures.Inputs(prices, dividends, splits, ratios, income, balance,
-      emptySectorIndex)
+      emptySectorIndex, statements = Some(statements))
   }
 
   /** Shared market index for the S7 flow: one series, all tickers map to

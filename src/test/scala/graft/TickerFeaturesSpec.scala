@@ -330,4 +330,54 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(row.getInt(1) == 1) // yield present
     assert(row.getInt(2) == 0) // single dividend -> NaN
   }
+
+  test("fused fundamentals path is bit-identical to the separate blocks") {
+    // two tickers x three as_of dates; statements span 6 years with edge
+    // cases on every branch: zero EBITDA (inf nde), zero interest, negative
+    // eps, zero dividendYield rows, non-positive pe rows.
+    val tickers = Seq("A", "B")
+    val years = 2018 to 2023
+    val stRows = for (t <- tickers; y <- years) yield {
+      val i = y - 2018
+      (t, d(s"$y-12-31"),
+        if (t == "A" && y == 2020) 0.0 else 100.0 + i * 10, // incomeBeforeTax
+        if (y == 2021) 0.0 else 10.0 + i,                   // interestExpense
+        5.0 + i,                                            // d&a
+        if (t == "B" && y == 2019) -2.0 else 2.0 + i * 0.1, // eps
+        if (y == 2018) 0.0 else 0.02 + i * 0.01,            // dividendYield
+        if (y == 2022) -1.0 else 20.0 + i,                  // pe
+        15.0 + i,                                           // pfcf
+        0.3,                                                // payoutRatio
+        1.0 + i * 0.2)                                      // fcf/share
+    }
+    val st = stRows.toDF("ticker", "date", "incomeBeforeTax",
+      "interestExpense", "depreciationAndAmortization", "eps",
+      "dividendYield", "priceEarningsRatio", "priceToFreeCashFlowsRatio",
+      "payoutRatio", "freeCashFlowPerShare")
+      .withColumn("cashAndShortTermInvestments", col("incomeBeforeTax") / 10)
+      .withColumn("totalDebt", col("incomeBeforeTax") / 5)
+    val grid = (for (t <- tickers; a <- Seq("2019-06-30", "2022-06-30", "2024-06-30"))
+      yield (t, d(a))).toDF("ticker", "as_of")
+    val px = (for (t <- tickers; y <- years) yield (t, d(s"$y-06-30"), 50.0 + y - 2018))
+      .toDF("ticker", "date", "close")
+    val dv = (for (t <- tickers; y <- years) yield (t, d(s"$y-03-31"), 0.5 + (y - 2018) * 0.1))
+      .toDF("ticker", "date", "dividend")
+    def inputs(statements: Option[DataFrame]) = TickerFeatures.Inputs(
+      prices = px, dividends = dv,
+      splits = Seq.empty[(String, java.sql.Date, Double)].toDF("ticker", "date", "split_ratio"),
+      ratios = st.select("ticker", "date", "priceEarningsRatio",
+        "priceToFreeCashFlowsRatio", "payoutRatio", "dividendYield",
+        "freeCashFlowPerShare"),
+      income = st.select("ticker", "date", "eps", "incomeBeforeTax",
+        "interestExpense", "depreciationAndAmortization"),
+      balance = st.select("ticker", "date", "cashAndShortTermInvestments", "totalDebt"),
+      sectorIndex = px.limit(0),
+      statements = statements)
+    def rows(in: TickerFeatures.Inputs): Seq[String] =
+      TickerFeatures.dynamicFeatures(grid, in)
+        .orderBy("ticker", "as_of").collect().toSeq.map(_.toString)
+    val separate = rows(inputs(None))
+    val fused = rows(inputs(Some(st)))
+    assert(separate.nonEmpty && separate == fused)
+  }
 }
