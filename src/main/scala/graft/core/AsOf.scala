@@ -66,4 +66,37 @@ object AsOf {
     }
     unpacked.filter(col("__side") === 1).drop("__side", "__asof_row")
   }
+
+  /** Left as-of-FORWARD join: attaches `valueCols` from the EARLIEST right
+    * row with `right(timeCol) >= left(timeCol)` within the same `by` keys
+    * ("at or after", inclusive — a right row at the exact left timestamp
+    * matches). Among several right rows sharing that earliest timestamp the
+    * FIRST in `tieBreak` order wins. Same single-shuffle union+window
+    * construction as [[joinBackward]], with the frame looking forward. */
+  def joinForward(left: DataFrame, right: DataFrame, by: Seq[String],
+                  timeCol: String, valueCols: Seq[String],
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    val leftCols = left.columns
+    require(!leftCols.exists(valueCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    // left=0 sorts before right=1 at equal time, so an equal-time right row
+    // is inside the left row's [current, following] frame.
+    val taggedLeft = left.withColumn("__side", lit(0))
+    val taggedRight = right.select(
+      (by.map(col) :+ col(timeCol) :+ lit(1).as("__side")) ++ valueCols.map(col): _*)
+
+    val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(timeCol).asc +: col("__side").asc +: tieBreak): _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val packed = unioned.withColumn("__asof_row",
+      when(col("__side") === 1, struct(valueCols.map(col): _*)))
+      .withColumn("__asof_row", first(col("__asof_row"), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(packed) { (df, v) =>
+      df.withColumn(v, col("__asof_row").getField(v))
+    }
+    unpacked.filter(col("__side") === 0).drop("__side", "__asof_row")
+  }
 }

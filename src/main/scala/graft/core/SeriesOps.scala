@@ -37,6 +37,26 @@ object SeriesOps {
       .drop("__rn")
   }
 
+  /** Slowly-changing-dimension (type 2) intervals from a change log: one
+    * row per state change with `valid_from` = the change time, `valid_to` =
+    * the NEXT change time for the same key (null while current), and an
+    * `is_current` flag. Several changes at one timestamp collapse to the
+    * winner in `tieBreak` order first (last wins), so intervals never
+    * overlap. One shuffle (the per-key window); at warehouse scale this is
+    * the standard dimension-history build, incremental-friendly because
+    * only keys present in the new change batch need re-deriving. */
+  def buildScd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+                tieBreak: Seq[Column] = Nil): DataFrame = {
+    // no tieBreak => caller asserts (keys, ts) is already unique
+    val deduped = if (tieBreak.isEmpty) changes
+      else keepLastBy(changes, keys :+ tsCol, tieBreak)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    deduped
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Running peak + max drawdown, the window form of the reference's Python
     * loop (`price_features.py:48-74`): peak = running max, drawdown =
     * max((peak - x)/peak) over the partition. Returns (peakCol, drawdownExpr)

@@ -32,6 +32,7 @@ object GraftFunctions {
     "winnowing_fingerprint" -> { es =>
       WinnowingFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w")) },
     "product_agg" -> { es => ProductAgg(es.head) },
+    "kmv_distinct" -> { es => KmvAgg(es(0), intArg(es(1), "k")) },
     "vec_dot" -> { es => DotProduct(es(0), es(1)) },
     "vec_cosine" -> { es => CosineSim(es(0), es(1)) })
 

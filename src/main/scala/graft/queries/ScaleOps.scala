@@ -13,7 +13,86 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, s3)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, q56, q57, s3)
+
+  /** KMV distinct-count sketch (bounded-state, mergeable — the
+    * deterministic stand-in for HLL) per group, ORACLE-GATED: both engines
+    * compute the identical estimate from the same md5-derived hashes.
+    * The exact distinct count rides along for calibration. */
+  val d20 = QueryDef("d20_kmv_distinct",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_partkey").isNotNull)
+      li.groupBy("l_returnflag")
+        .agg(
+          round(graft.functions.KmvAgg.kmvDistinct(
+            graft.functions.KmvAgg.hash32(col("l_partkey")), 64), 6)
+            .as("est_distinct_parts"),
+          countDistinct(col("l_partkey")).as("n_distinct_parts"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+        CAST(CONCAT('0x', SUBSTR(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      r AS (SELECT g, hv,
+        row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+        COUNT(*) OVER (PARTITION BY g) AS cnt FROM h),
+      est AS (SELECT g,
+        CASE WHEN MAX(cnt) < 64 THEN CAST(MAX(cnt) AS DOUBLE)
+          ELSE ROUND(63.0 * 4294967296.0 /
+            CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE), 6)
+        END AS est_distinct_parts
+        FROM r GROUP BY g),
+      ex AS (SELECT l_returnflag AS g,
+        COUNT(DISTINCT l_partkey) AS n_distinct_parts
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+      SELECT ex.g AS l_returnflag, est.est_distinct_parts, ex.n_distinct_parts
+      FROM ex JOIN est USING (g) ORDER BY l_returnflag"""))
+
+  /** J2 forward variant: for each purchase, the EARLIEST view at or after
+    * it by the same user (union + forward-frame window, one shuffle). */
+  val q56 = QueryDef("q56_asof_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.core.AsOf.joinForward(purchases, views, Seq("user_id"), "ts",
+        Seq("view_id", "view_value"), tieBreak = Seq(col("view_id")))
+        .select("event_id", "user_id", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, v.event_id AS view_id,
+        v.value AS view_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts <= v.ts
+      ORDER BY p.event_id"""))
+
+  /** SCD2 dimension-history build from a change log: per-customer order
+    * history as validity intervals (valid_from/valid_to/is_current). */
+  val q57 = QueryDef("q57_scd2_intervals",
+    (s, dir) => {
+      val changes = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("change_d"),
+          col("o_totalprice").as("state_price"), col("o_orderkey"))
+      graft.core.SeriesOps.buildScd2(changes, Seq("o_custkey"), "change_d",
+          tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("state_price"))
+        .orderBy("o_custkey", "valid_from")
+    },
+    Some("""WITH dedup AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS change_d,
+        o_totalprice AS state_price
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+          ORDER BY o_orderkey DESC) = 1)
+      SELECT o_custkey, change_d AS valid_from,
+        lead(change_d) OVER (PARTITION BY o_custkey ORDER BY change_d) AS valid_to,
+        lead(change_d) OVER (PARTITION BY o_custkey ORDER BY change_d) IS NULL AS is_current,
+        state_price
+      FROM dedup ORDER BY o_custkey, valid_from"""))
 
   /** Bloom-prefiltered semi-join: lineitem rows whose order is URGENT.
     * The oracle is the plain semi-join — the Bloom pass must be invisible

@@ -81,6 +81,84 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Seq((0L, "a b", 2L)))
   }
 
+  test("kmv sketch: exact below k, estimator formula at k, partition-invariant merge") {
+    import graft.functions.KmvAgg
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("g", "v")
+    def est(d: org.apache.spark.sql.DataFrame): Double = d.groupBy("g")
+      .agg(KmvAgg.kmvDistinct(KmvAgg.hash32(col("v")), 64).as("est"))
+      .select("est").as[Double].head()
+    val one = est(df)
+    // merge path: many partitions -> partial sketches -> union+trim
+    assert(est(df.repartition(13)) == one)
+    // the estimate is exactly (k-1) * 2^32 / kth-smallest distinct hash
+    val hs = df.select(KmvAgg.hash32(col("v")).as("h")).as[Long]
+      .collect().distinct.sorted
+    assert(one == 63.0 * 4294967296.0 / hs(63).toDouble)
+    // sanity: within 30% of the true cardinality at k=64
+    assert(math.abs(one - 1000.0) / 1000.0 < 0.3)
+    // below k the count is exact
+    val small = (1 to 50).map(i => ("g", i.toLong)).toDF("g", "v")
+    assert(est(small) == 50.0)
+    // duplicates don't inflate the sketch
+    val dup = ((1 to 50) ++ (1 to 50)).map(i => ("g", i.toLong)).toDF("g", "v")
+    assert(est(dup) == 50.0)
+  }
+
+  test("kmv_distinct is SQL-callable") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    (1 to 10).map(i => ("g", i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_in")
+    val out = spark.sql(
+      """SELECT kmv_distinct(CAST(conv(substring(md5(CAST(v AS STRING)),1,8),16,10) AS BIGINT), 5) AS est
+         FROM kmv_in""").as[Double].head()
+    assert(out > 0.0)
+  }
+
+  test("joinForward: earliest at-or-after match, atomic struct carry, no backward look") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u1", t("2024-01-01 01:00:00")),
+      (2L, "u1", t("2024-01-01 05:00:00")),
+      (3L, "u2", t("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", t("2024-01-01 02:00:00"), Option.empty[Double], Some(7.0)),
+      ("u1", t("2024-01-01 04:00:00"), Some(9.0), Some(9.0)),
+      ("u2", t("2024-01-01 00:30:00"), Some(1.0), Some(1.0)))
+      .toDF("user_id", "ts", "v1", "v2")
+    val out = graft.core.AsOf.joinForward(left, right, Seq("user_id"), "ts",
+        Seq("v1", "v2"))
+      .select("event_id", "v1", "v2").orderBy("event_id")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    // event 1: matches the 02:00 row ATOMICALLY -> (null, 7), v1 not
+    // backfilled from the later 04:00 row; event 2: nothing at/after 05:00;
+    // event 3: u2's only right row is EARLIER -> no match (forward only)
+    assert(out == Seq((1L, None, Some(7.0)), (2L, None, None), (3L, None, None)))
+    // equal timestamps match (inclusive)
+    val leftEq = Seq((1L, "u1", t("2024-01-01 02:00:00"))).toDF("event_id", "user_id", "ts")
+    val eq = graft.core.AsOf.joinForward(leftEq, right, Seq("user_id"), "ts",
+      Seq("v2")).select("v2").as[Option[Double]].head()
+    assert(eq == Some(7.0))
+  }
+
+  test("buildScd2: non-overlapping intervals, tie collapse, is_current on the last row") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val changes = Seq(
+      ("k1", d("2024-01-01"), 10.0, 1L),
+      ("k1", d("2024-01-01"), 11.0, 2L),  // same day: higher seq wins
+      ("k1", d("2024-03-01"), 12.0, 1L),
+      ("k2", d("2024-02-01"), 20.0, 1L))
+      .toDF("k", "change_d", "price", "seq")
+    val out = graft.core.SeriesOps.buildScd2(changes, Seq("k"), "change_d",
+        tieBreak = Seq(col("seq")))
+      .select("k", "valid_from", "valid_to", "is_current", "price")
+      .orderBy("k", "valid_from")
+      .as[(String, java.sql.Date, Option[java.sql.Date], Boolean, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("k1", d("2024-01-01"), Some(d("2024-03-01")), false, 11.0),
+      ("k1", d("2024-03-01"), None, true, 12.0),
+      ("k2", d("2024-02-01"), None, true, 20.0)))
+  }
+
   test("streaming firstPerKeyStream agrees with the batch row_number twin on an in-order feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
