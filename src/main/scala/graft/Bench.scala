@@ -17,7 +17,8 @@ object Bench {
     // p1 + GBT + scoring). Different dataset — only JIT state is reused.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      (Seq("__entry" -> null) ++ Seq("d5_minhash_dedup", "e2_knn_brute",
+      (Seq("__entry" -> null) ++ Seq("d5_minhash_dedup", "d6_ngram_jaccard",
+        "d11_clean_corpus", "e2_knn_brute", "e3_knn_ivf", "m1_macro_pipeline",
         "p4_score_portfolio").map(q => q -> q)).foreach { case (label, q) =>
         try {
           if (q == null) SparkEntry.entry(spark).count()

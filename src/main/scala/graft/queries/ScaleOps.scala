@@ -13,7 +13,7 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, q56, q57, s3)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, q56, q57, s3)
 
   /** KMV distinct-count sketch (bounded-state, mergeable — the
     * deterministic stand-in for HLL) per group, ORACLE-GATED: both engines
@@ -47,6 +47,48 @@ object ScaleOps {
         FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
       SELECT ex.g AS l_returnflag, est.est_distinct_parts, ex.n_distinct_parts
       FROM ex JOIN est USING (g) ORDER BY l_returnflag"""))
+
+  /** MinHash signatures on an md5 hash basis, ORACLE-GATED: DuckDB
+    * recomputes the identical (doc, seed) -> min-hash matrix from the same
+    * shingles and the same md5-derived 32-bit hashes. The production d5
+    * path keeps its fast JVM hash family (not SQL-reproducible); this pins
+    * the minhash CONSTRUCTION — shingling, per-seed hashing, min-reduce —
+    * against an independent engine on a 5% document subsample.
+    * (TextVectorSpec separately pins that the shingle set here equals the
+    * production `distinct_shingles` output.) */
+  val d21 = QueryDef("d21_minhash_md5_oracle",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = tok
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
+        .distinct()
+      val hv = sh
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0L), lit(15L))).as("seed"))
+        .select(col("doc_id"), col("seed"),
+          conv(substring(md5(concat(col("seed").cast(StringType), lit("|"),
+            col("shingle"))), 1, 8), 16, 10).cast(LongType).as("h"))
+      hv.groupBy("doc_id", "seed").agg(min(col("h")).as("minhash"))
+        .orderBy("doc_id", "seed")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 20 = 0),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      hv AS (SELECT doc_id, s.seed,
+        CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s)
+      SELECT doc_id, seed, MIN(h) AS minhash FROM hv
+      GROUP BY doc_id, seed ORDER BY doc_id, seed"""))
 
   /** J2 forward variant: for each purchase, the EARLIEST view at or after
     * it by the same user (union + forward-frame window, one shuffle). */

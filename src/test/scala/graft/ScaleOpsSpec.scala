@@ -159,6 +159,27 @@ class ScaleOpsSpec extends SparkSpec {
       ("k2", d("2024-02-01"), None, true, 20.0)))
   }
 
+  test("d21's explode-slice shingles equal the production distinct_shingles set") {
+    import graft.functions.{TextExprs, TextFns}
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z"), (3L, "one two"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val prod = toks
+      .select(col("doc_id"),
+        explode(TextExprs.distinctShingles(col("toks"), 3)).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val oracleBasis = toks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(prod == oracleBasis)
+    assert(prod.contains((1L, "a b c")) && prod.contains((1L, "d e f")))
+    assert(!prod.exists(_._1 == 3L)) // < k tokens -> no shingles on either path
+  }
+
   test("streaming firstPerKeyStream agrees with the batch row_number twin on an in-order feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
