@@ -13,7 +13,52 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, q56, q57, s3)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, q56, q57, q59,
+    s3, s4)
+
+  /** Skew-safe holistic aggregation on a 3-value (maximally hot) group
+    * key: exact distinct count via the progressive-key expansion and an
+    * exact sum via the salted two-phase path — both must equal the plain
+    * single-shuffle forms (the oracle). */
+  val q59 = QueryDef("q59_skew_safe_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val nd = graft.core.Skew.skewSafeCountDistinct(li.select("l_returnflag", "l_partkey"),
+        Seq("l_returnflag"), "l_partkey")
+      val sums = graft.core.Skew.twoPhaseAgg(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"), factor = 8,
+        partial = Seq(sum(QueryDef.dec(col("l_extendedprice"))).as("__ps")),
+        merge = Seq(sum(col("__ps")).cast(DoubleType).as("sum_price")))
+      nd.join(sums, Seq("l_returnflag")).orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Stream-stream interval join in batch mode (the streaming twin and its
+    * agreement spec live in EventStreams / ScaleOpsSpec): clicks in the 30
+    * minutes at or before each purchase by the same user. */
+  val s4 = QueryDef("s4_stream_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.streaming.EventStreams
+        .clicksBeforePurchase(purchases, clicks, streaming = false)
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+      ORDER BY purchase_id, click_id"""))
 
   /** KMV distinct-count sketch (bounded-state, mergeable — the
     * deterministic stand-in for HLL) per group, ORACLE-GATED: both engines

@@ -41,6 +41,26 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: every (purchase, click) pair by the same
+    * user with the click in the 30 minutes at or before the purchase. Both
+    * inputs need (event_id, user_id, ts). In streaming mode both sides are
+    * watermarked and the BETWEEN bounds give Spark the state-cleanup range
+    * it requires for stream-stream joins (clicks held ~30 min + watermark,
+    * purchases until their window can no longer match); in batch mode the
+    * same plan is a hash equi-join on user_id + range filter. One
+    * definition, two execution modes (like hourlyByType). */
+  def clicksBeforePurchase(purchases: DataFrame, clicks: DataFrame,
+                           streaming: Boolean): DataFrame = {
+    val p = (if (streaming) purchases.withWatermark("ts", "1 hour")
+             else purchases).alias("p")
+    val c = (if (streaming) clicks.withWatermark("ts", "2 hours")
+             else clicks).alias("c")
+    p.join(c, expr("p.user_id = c.user_id AND " +
+        "c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
+  }
+
   /** File-source stream over an events directory (parquet), processing all
     * available data then stopping — the `Trigger.AvailableNow` incremental
     * pattern that replaces the reference's mtime-staleness checks. */

@@ -180,6 +180,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!prod.exists(_._1 == 3L)) // < k tokens -> no shingles on either path
   }
 
+  test("stream-stream interval join agrees with the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val purchases = Seq((100L, 1L, t("2024-01-01 05:00:00")),
+      (101L, 2L, t("2024-01-01 06:00:00")))
+    val clicks = Seq(
+      (1L, 1L, t("2024-01-01 04:20:00")),  // > 30 min before: out
+      (2L, 1L, t("2024-01-01 04:40:00")),  // in window
+      (3L, 1L, t("2024-01-01 05:00:00")),  // equal ts: in (inclusive)
+      (4L, 2L, t("2024-01-01 06:10:00")),  // after the purchase: out
+      (5L, 3L, t("2024-01-01 05:50:00")))  // other user: out
+    val pStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts")
+    val q = graft.streaming.EventStreams.clicksBeforePurchase(
+        named(pStream.toDF()), named(cStream.toDF()), streaming = true)
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pStream.addData(purchases)
+      cStream.addData(clicks)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_test")
+        .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+      val batch = graft.streaming.EventStreams.clicksBeforePurchase(
+          named(purchases.toDF()), named(clicks.toDF()), streaming = false)
+        .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq((100L, 2L), (100L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming firstPerKeyStream agrees with the batch row_number twin on an in-order feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
