@@ -13,8 +13,57 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, q56, q57, q59,
-    s3, s4)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, q56, q57,
+    q59, q60, s3, s4)
+
+  /** Vocabulary build + out-of-vocabulary rate — the coverage check a
+    * tokenizer-training pipeline runs: global top-K vocabulary (count-desc,
+    * word-asc ties so the cut is deterministic), broadcast back against
+    * every document's tokens. Two shuffles total: the word count and the
+    * per-doc aggregate; the vocab join is a broadcast. */
+  val d22 = QueryDef("d22_oov_rate",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(16)
+        .select(col("w"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1).otherwise(0)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+            .as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+      vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks
+        GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      j AS (SELECT t.doc_id, t.w, v.w AS vw FROM toks t
+        LEFT JOIN vocab v ON t.w = v.w)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        ROUND(CAST(SUM(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Multi-quantile aggregation (exact interpolated percentiles, the A2
+    * family widened): p25/p50/p75 in ONE aggregation pass. */
+  val q60 = QueryDef("q60_quantile_trio",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Skew-safe holistic aggregation on a 3-value (maximally hot) group
     * key: exact distinct count via the progressive-key expansion and an
