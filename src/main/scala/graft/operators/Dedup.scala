@@ -125,6 +125,52 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact duplicate-cluster resolution: connected components over a
+    * near-dup pair graph via min-label propagation (hash-to-min) — the
+    * exact answer the greedy smaller-id-loses pass in CorpusPipeline
+    * approximates. Every node ends with its component's minimum id.
+    *
+    * Scale: O(graph diameter) rounds, each ONE join + ONE aggregation on
+    * (node, label) pairs — the standard big-graph CC that never collects
+    * the graph to the driver. The edge set is materialized once
+    * (localCheckpoint), and each round's labels are checkpointed so
+    * lineage doesn't stack across iterations. Near-dup graphs are
+    * short-diameter by construction (dups cluster tightly), so the default
+    * round cap is generous; the loop FAILS LOUDLY if it ever stops before
+    * convergence rather than returning half-propagated labels.
+    *
+    * Returns (node, component) for every node that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("component").as("__nl")),
+          Seq("dst"))
+        .groupBy("src").agg(min(col("__nl")).as("__nbr"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("node"), col("__nbr")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("node"), col("component").as("__old")), Seq("node"))
+        .filter(col("component") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
+    labels
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
     * exact cosine verify inside buckets. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,

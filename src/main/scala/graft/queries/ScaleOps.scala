@@ -13,8 +13,42 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, q56, q57,
-    q59, q60, s3, s4)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, q56,
+    q57, q59, q60, s3, s4)
+
+  /** Exact dup-cluster resolution: connected components (min-label
+    * propagation) over the n-gram-jaccard pair graph — ORACLE-GATED end to
+    * end: DuckDB rebuilds the same pairs (the d6 construction at a looser
+    * threshold) and resolves components with a recursive CTE. */
+  val d23 = QueryDef("d23_dup_clusters",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.blockedJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("source", "lang"), shingleK = 3, threshold = 0.02)
+        .select("id_a", "id_b")
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("component", "cluster_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (SELECT doc_id, source, lang,
+        list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM (SELECT doc_id, source, lang,
+          regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang
+          AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.02),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
 
   /** Vocabulary build + out-of-vocabulary rate — the coverage check a
     * tokenizer-training pipeline runs: global top-K vocabulary (count-desc,

@@ -180,6 +180,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!prod.exists(_._1 == 3L)) // < k tokens -> no shingles on either path
   }
 
+  test("connectedComponents: chains, cycles, and separate components resolve to min ids") {
+    import graft.operators.Dedup
+    // component {1,2,3,4} as a chain (diameter 3), {10,11,12} as a cycle,
+    // {20,21} as an isolated pair; pair direction is not always min-first
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long path still converges (diameter 9 < default round cap)
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(path, "id_a", "id_b")
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(1L))
+  }
+
   test("stream-stream interval join agrees with the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
