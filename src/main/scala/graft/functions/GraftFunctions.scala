@@ -44,11 +44,14 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the opt-in binned
+  * range-join planner rule (fires only on `point_in_range` markers). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
 }
