@@ -34,11 +34,18 @@ object CorpusPipeline {
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** @param exactClusters resolve near-dup groups with true connected
+    *   components ([[Dedup.connectedComponents]]) and keep each cluster's
+    *   minimum id, instead of the default greedy single pass. The greedy
+    *   pass can over-keep on star shapes (pairs (1,3),(2,3) keep {1,2};
+    *   the exact cluster keeps {1}) — exact costs O(diameter) extra
+    *   rounds, worth it when clusters are chained. */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   jaccardThreshold: Double = 0.8,
                   minTokens: Int = 5, maxTokens: Int = 100000,
-                  minStopRatio: Double = 0.0): (DataFrame, Stats) = {
+                  minStopRatio: Double = 0.0,
+                  exactClusters: Boolean = false): (DataFrame, Stats) = {
     val normalized = docs.withColumn("__norm", normalizeText(col(textCol)))
     val input = normalized.count()
 
@@ -52,9 +59,16 @@ object CorpusPipeline {
     val afterExact = exactKept.count()
 
     // 3. near-dup: drop any doc having a near-duplicate with a smaller id
+    // (greedy), or every non-minimum member of its connected component
+    // (exactClusters)
     val pairs = Dedup.minHashNearDuplicates(exactKept, idCol, textCol,
       jaccardThreshold = jaccardThreshold)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers =
+      if (exactClusters)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
     val nearKept = exactKept.join(losers, Seq(idCol), "left_anti").persist()
     val afterNearDup = nearKept.count()
     // nearKept is materialized; downstream reads it, not exactKept

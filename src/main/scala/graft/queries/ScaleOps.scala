@@ -13,8 +13,79 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, q56,
-    q57, q59, q60, s3, s4)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, e5,
+    q56, q57, q59, q60, q61, s3, s4)
+
+  /** Symmetric int8 vector quantization (the storage/serving compression an
+    * embedding pipeline applies): per-vector scale = 127/amax, q_i =
+    * floor(x_i·scale + 0.5) — floor(+0.5) instead of round() because the
+    * two engines agree on floor bit-for-bit while round() half-case
+    * behavior differs by type. Quantized sums are exact integer sums
+    * (order-independent); max |dequantized − original| is an order-free max
+    * — both safely hash-comparable. */
+  val e5 = QueryDef("e5_int8_quantization",
+    (s, dir) => {
+      val amax = array_max(transform(col("embedding"), c => abs(c.cast(DoubleType))))
+      val scale = col("__scale")
+      val qOf = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast(DoubleType) * scale + 0.5)
+      Tables.embeddings(s, dir)
+        .withColumn("__amax", amax)
+        .withColumn("__scale", when(col("__amax") > 0, lit(127.0) / col("__amax"))
+          .otherwise(0.0))
+        .select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          when(scale > 0, aggregate(transform(col("embedding"),
+              c => qOf(c).cast(LongType)), lit(0L), (a, v) => a + v))
+            .otherwise(0L).as("q_sum"),
+          when(scale > 0, round(array_max(transform(col("embedding"),
+              c => abs(qOf(c) / scale - c.cast(DoubleType)))), 6))
+            .otherwise(0.0).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH base AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings),
+      scaled AS (SELECT vec_id, embedding,
+        CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS sc FROM base)
+      SELECT vec_id, ROUND(sc, 6) AS scale,
+        CAST(len(embedding) AS BIGINT) AS n_dims,
+        CASE WHEN sc > 0 THEN CAST(list_sum(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS BIGINT))) AS BIGINT)
+          ELSE 0 END AS q_sum,
+        CASE WHEN sc > 0 THEN ROUND(list_max(list_transform(embedding,
+          x -> abs(floor(CAST(x AS DOUBLE) * sc + 0.5) / sc - CAST(x AS DOUBLE)))), 6)
+          ELSE 0.0 END AS max_abs_err
+      FROM scaled ORDER BY vec_id"""))
+
+  /** Rank-function family widened: dense_rank, percent_rank, cume_dist
+    * over per-segment spend (deterministic unique ordering). */
+  val q61 = QueryDef("q61_rank_functions",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg(QueryDef.moneySum(col("o_totalprice")).as("spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("segment").orderBy("spend", "o_custkey")
+      spend.select(col("segment"), col("o_custkey"), col("spend"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("segment", "o_custkey")
+    },
+    Some("""WITH spend AS (SELECT c_mktsegment AS segment, o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+      SELECT segment, o_custkey, spend,
+        CAST(dense_rank() OVER w AS INT) AS drank,
+        ROUND(percent_rank() OVER w, 6) AS prank,
+        ROUND(cume_dist() OVER w, 6) AS cdist
+      FROM spend
+      WINDOW w AS (PARTITION BY segment ORDER BY spend, o_custkey)
+      ORDER BY segment, o_custkey"""))
 
   /** Exact dup-cluster resolution: connected components (min-label
     * propagation) over the n-gram-jaccard pair graph — ORACLE-GATED end to

@@ -270,6 +270,13 @@ class TextVectorSpec extends SparkSpec {
       stats.afterNearDup == 3 && stats.afterQuality == 2)
     // original text column survives untouched
     assert(clean.filter(col("doc_id") === 1).select("text").as[String].head() == base)
+    // exact connected-component clustering wires through and agrees with
+    // the greedy pass on this (chain-shaped) corpus; the star-shaped
+    // difference is pinned at the Dedup level in ScaleOpsSpec
+    val (cleanCC, statsCC) = CorpusPipeline.cleanCorpus(docs,
+      jaccardThreshold = 0.5, minTokens = 5, exactClusters = true)
+    assert(cleanCC.select("doc_id").as[Long].collect().sorted.toSeq == kept)
+    assert(statsCC == stats)
   }
 
   test("langId picks the language with the most stopword hits") {
