@@ -256,14 +256,58 @@ object Pipeline {
         AND unemployment_latest IS NOT NULL AND exports_backfilled IS NOT NULL
       ORDER BY country, as_of_year"""))
 
-  /** Static one-hot rows from customer segments/nations as sector/country. */
+  /** Static one-hot rows (F4) + the alias-normalization quirk (F9),
+    * ORACLE-GATED: the fixed vocab makes every one-hot a CASE column in
+    * SQL. Segments map to real sector labels (including the lowercase
+    * "technology" alias path — which normalizes to "Information
+    * Technology", a value NOT in the vocab, so it lands in `_other`: the
+    * reference quirk, now pinned by the oracle) and nations title-case
+    * into genuine country-vocab hits. */
   val p2 = QueryDef("p2_static_encoding",
     (s, dir) => {
+      val sector = when(col("c_mktsegment") === "BUILDING", "technology")
+        .when(col("c_mktsegment") === "AUTOMOBILE", "Energy")
+        .when(col("c_mktsegment") === "MACHINERY", "Healthcare")
+        .when(col("c_mktsegment") === "HOUSEHOLD", "Consumer Defensive")
+      val country = concat(upper(substring(col("n_name"), 1, 1)),
+        lower(substring(col("n_name"), 2, 1000)))
       val profile = Tables.customer(s, dir)
         .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey").cast(StringType).as("ticker"),
-          col("c_mktsegment").as("sector"), col("n_name").as("country"))
+          sector.as("sector"), country.as("country"))
       TickerStatics.staticRows(profile).orderBy("ticker")
     },
-    None)
+    Some {
+      val secCase = """CASE WHEN c_mktsegment = 'BUILDING' THEN 'technology'
+          WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Energy'
+          WHEN c_mktsegment = 'MACHINERY' THEN 'Healthcare'
+          WHEN c_mktsegment = 'HOUSEHOLD' THEN 'Consumer Defensive' END"""
+      // the alias normalization oneHot applies before matching
+      val secNorm = s"""CASE WHEN lower(sector) = 'technology'
+          THEN 'Information Technology' ELSE sector END"""
+      val secHots = graft.features.TickerStatics.allSectors.map { v =>
+        s"CASE WHEN $secNorm = '$v' THEN 1 ELSE 0 END AS sector_${graft.features.Encoding.slugify(v)}"
+      }
+      val secVocab = graft.features.TickerStatics.allSectors
+        .map(v => s"'$v'").mkString(", ")
+      val ctryHots = graft.features.TickerStatics.allCountries.map { v =>
+        s"CASE WHEN country = '$v' THEN 1 ELSE 0 END AS country_${graft.features.Encoding.slugify(v)}"
+      }
+      val ctryVocab = graft.features.TickerStatics.allCountries
+        .map(v => s"'$v'").mkString(", ")
+      s"""WITH profile AS (SELECT CAST(c_custkey AS VARCHAR) AS ticker,
+          $secCase AS sector,
+          upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2, 1000)) AS country
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      base AS (SELECT ticker, country, COALESCE(sector, 'UNKNOWN') AS sector
+        FROM profile)
+      SELECT ticker, country, sector,
+        ${secHots.mkString(",\n        ")},
+        CASE WHEN $secNorm IS NULL OR $secNorm NOT IN ($secVocab)
+          THEN 1 ELSE 0 END AS sector_other,
+        ${ctryHots.mkString(",\n        ")},
+        CASE WHEN country IS NULL OR country NOT IN ($ctryVocab)
+          THEN 1 ELSE 0 END AS country_other
+      FROM base ORDER BY ticker"""
+    })
 }

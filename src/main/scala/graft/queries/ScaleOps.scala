@@ -13,8 +13,50 @@ import graft.operators.Chunking
   */
 object ScaleOps {
 
-  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, e5,
-    q56, q57, q59, q60, q61, s3, s4)
+  def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    e5, q56, q57, q59, q60, q61, s3, s4)
+
+  /** Corpus-trained bigram language-model scoring — the perplexity-style
+    * quality filter a training pipeline runs with a cheap self-trained
+    * model: global MLE bigram probabilities P(w2|w1) = c(w1,w2)/c(w1),
+    * per-document mean log-probability over its bigrams. The model tables
+    * are corpus-level aggregates (tiny for any real vocab — broadcast);
+    * the scoring join is per-bigram and shuffle-free on the model side.
+    * Every observed doc bigram has c >= 1, so the MLE log is defined. */
+  val d24 = QueryDef("d24_bigram_lm_score",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val big = toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+      val bigramCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val unigramCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      big
+        .join(broadcast(bigramCounts), Seq("w1", "w2"))
+        .join(broadcast(unigramCounts), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(AVG(ln(CAST(c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))), 6) AS avg_logp
+      FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Symmetric int8 vector quantization (the storage/serving compression an
     * embedding pipeline applies): per-vector scale = 127/amax, q_i =
