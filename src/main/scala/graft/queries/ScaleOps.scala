@@ -14,7 +14,46 @@ import graft.operators.Chunking
 object ScaleOps {
 
   def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    e5, q56, q57, q59, q60, q61, s3, s4)
+    d25, e5, q56, q57, q59, q60, q61, s3, s4)
+
+  /** Winnowing fingerprint selection verified against an independent
+    * engine (companion to d21's minhash twin): character k-gram hashes on
+    * the md5 basis, minimum per sliding w-window over FULL windows only,
+    * distinct selected values — the Schleimer et al. construction. The
+    * fingerprint SET is tie-insensitive (equal minima collapse in the
+    * distinct), so the per-window tie rule needs no cross-engine
+    * agreement. The production d9 path keeps its Rabin-Karp rolling hash
+    * (one pass, no per-position re-hash); this pins the SELECTION logic. */
+  val d25 = QueryDef("d25_winnowing_md5_oracle",
+    (s, dir) => {
+      val k = 20
+      val w = 8
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"), length(col("text")).as("lt"),
+          conv(substring(md5(col("text").substr(col("pos"), lit(k))), 1, 8),
+            16, 10).cast(LongType).as("hv"))
+        .withColumn("fp", min(col("hv")).over(win))
+        .filter(col("pos") <= col("lt") - (k + w - 2))
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy("doc_id", "fp")
+    },
+    Some("""WITH pos AS (SELECT doc_id, text,
+        unnest(generate_series(1, len(text) - 19)) AS p
+        FROM documents WHERE len(text) >= 27),
+      h AS (SELECT doc_id, p, len(text) AS lt,
+        CAST(CONCAT('0x', SUBSTR(md5(substr(text, p, 20)), 1, 8)) AS BIGINT) AS hv
+        FROM pos),
+      wm AS (SELECT doc_id, p, lt,
+        MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM h)
+      SELECT DISTINCT doc_id, fp FROM wm WHERE p <= lt - 26
+      ORDER BY doc_id, fp"""))
 
   /** Corpus-trained bigram language-model scoring — the perplexity-style
     * quality filter a training pipeline runs with a cheap self-trained
