@@ -31,6 +31,9 @@ object ScaleOps {
       val win = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
       Tables.documents(s, dir)
+        // 10% subsample: a verification twin needs coverage, not the whole
+        // corpus — the per-position md5 is the price of engine-neutrality
+        .filter(col("doc_id") % 10 === 0)
         .filter(length(col("text")) >= k + w - 1)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
@@ -44,7 +47,7 @@ object ScaleOps {
     },
     Some("""WITH pos AS (SELECT doc_id, text,
         unnest(generate_series(1, len(text) - 19)) AS p
-        FROM documents WHERE len(text) >= 27),
+        FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 27),
       h AS (SELECT doc_id, p, len(text) AS lt,
         CAST(CONCAT('0x', SUBSTR(md5(substr(text, p, 20)), 1, 8)) AS BIGINT) AS hv
         FROM pos),
