@@ -95,10 +95,14 @@ object TickerFeatures {
     val sliced = gridAsOfJoin(grid, p)
 
     val wCell = Window.partitionBy(gcols: _*).orderBy(col("date"))
-    val wCellAll = Window.partitionBy(gcols: _*)
+    // whole-partition scalars (end date, row count) phrased over the SAME
+    // ordered window spec with a full frame: one WindowExec instead of two
+    // (a second orderBy-less spec would add a second window pass over the
+    // sorted partition), same values by definition.
+    val wCellFull = wCell.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // drawdown window: [last price date - 365*1y - 15d grace, last date]
-    val endDate = max(col("date")).over(wCellAll)
+    val endDate = max(col("date")).over(wCellFull)
     val inDd = col("date") >= date_sub(endDate, 365 + 15)
     val peak = max(when(inDd, col("close"))).over(wCell.rowsBetween(Window.unboundedPreceding, 0))
     val dd = when(inDd, (peak - col("close")) / peak)
@@ -107,7 +111,7 @@ object TickerFeatures {
     // sort is shared with the peak window, so no second (descending) sort.
     val staged = sliced
       .withColumn("__rn_desc",
-        count(lit(1)).over(wCellAll) - row_number().over(wCell) + 1)
+        count(lit(1)).over(wCellFull) - row_number().over(wCell) + 1)
       .withColumn("__dd", dd)
       .withColumn("__in_dd", when(inDd, 1).otherwise(0))
 
