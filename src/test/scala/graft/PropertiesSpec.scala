@@ -110,4 +110,20 @@ class PropertiesSpec extends SparkSpec {
       assert(stored == raw || stored.isPosInfinity)
     }
   }
+
+  test("property: kmv sketch is exact below k, partition-invariant, and duplicate-blind") {
+    import graft.functions.KmvAgg
+    val gen = Gen.zip(Gen.choose(1, 120), Gen.choose(1, 4))
+    for ((n, reps) <- samples(gen, 5)) {
+      // n distinct values, each repeated `reps` times, k = 64
+      val df = (1 to n).flatMap(i => Seq.fill(reps)(("g", i.toLong))).toDF("g", "v")
+      def est(parts: Int): Double = df.repartition(parts).groupBy("g")
+        .agg(KmvAgg.kmvDistinct(KmvAgg.hash32(col("v")), 64).as("e"))
+        .select("e").as[Double].head()
+      val one = est(1)
+      assert(est(7) == one, s"n=$n reps=$reps: merge path diverged")
+      if (n < 64) assert(one == n.toDouble, s"n=$n below k must be exact")
+      else assert(one > 0.0)
+    }
+  }
 }
