@@ -41,6 +41,56 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Open-session state for [[closedSessions]]. */
+  final case class SessionAgg(start: java.sql.Timestamp,
+                              last: java.sql.Timestamp, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Closed-session emitter via `flatMapGroupsWithState` + EVENT-TIME
+    * timeout — the arbitrary-stateful path `session_window` and
+    * `mapGroupsWithState` can't express together: events are absorbed
+    * silently (zero outputs), intra-batch gaps close sessions immediately,
+    * and an open session is flushed when the WATERMARK passes its
+    * gap-deadline (no processing-time flakiness). State per key is one
+    * small struct; timeout eviction bounds it. */
+  def closedSessions(events: Dataset[EventIn],
+                     gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val incoming = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            incoming.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+                  closed += SessionOut(uid, s.start, s.last, s.n)
+                  open = Some(SessionAgg(e.ts, e.ts, 1L))
+                case Some(s) =>
+                  open = Some(SessionAgg(s.start, e.ts, s.n + 1))
+                case None =>
+                  open = Some(SessionAgg(e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: every (purchase, click) pair by the same
     * user with the click in the 30 minutes at or before the purchase. Both
     * inputs need (event_id, user_id, ts). In streaming mode both sides are

@@ -235,6 +235,47 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on intra-batch gaps and event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 has an open 2-event session; u2's intra-batch 90-min
+      // gap closes the first session immediately
+      stream.addData(
+        EventStreams.EventIn(1L, t("2024-01-01 05:00:00"), "click", 1.0),
+        EventStreams.EventIn(1L, t("2024-01-01 05:10:00"), "view", 1.0),
+        EventStreams.EventIn(2L, t("2024-01-01 05:00:00"), "click", 1.0),
+        EventStreams.EventIn(2L, t("2024-01-01 06:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      // u2's first session closed by the gap; u1's session closed by the
+      // EVENT-TIME timeout — the 06:30 event pushes the watermark to 06:20,
+      // past u1's 05:40 deadline, and processAllAvailable runs the
+      // follow-up micro-batch that fires it
+      val afterB1 = spark.table("sessions_test")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(afterB1 == Set((2L, 1L), (1L, 2L)))
+      // a later event moves the watermark past u2's 07:00 deadline and
+      // flushes its open 06:30 session
+      stream.addData(EventStreams.EventIn(9L, t("2024-01-01 07:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions_test")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(all.contains((1L, t("2024-01-01 05:00:00"), t("2024-01-01 05:10:00"), 2L)),
+        all.toString)
+      assert(all.contains((2L, t("2024-01-01 05:00:00"), t("2024-01-01 05:00:00"), 1L)),
+        all.toString)
+      assert(all.contains((2L, t("2024-01-01 06:30:00"), t("2024-01-01 06:30:00"), 1L)),
+        all.toString)
+    } finally q.stop()
+  }
+
   test("streaming firstPerKeyStream agrees with the batch row_number twin on an in-order feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
