@@ -14,7 +14,7 @@ import graft.operators.Chunking
 object ScaleOps {
 
   def defs: Seq[QueryDef] = Seq(d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, e5, q56, q57, q59, q60, q61, q62, q63, s3, s4)
+    d25, e5, e6, q56, q57, q59, q60, q61, q62, q63, s3, s4)
 
   /** Winnowing fingerprint selection verified against an independent
     * engine (companion to d21's minhash twin): character k-gram hashes on
@@ -142,6 +142,54 @@ object ScaleOps {
           x -> abs(floor(CAST(x AS DOUBLE) * sc + 0.5) / sc - CAST(x AS DOUBLE)))), 6)
           ELSE 0.0 END AS max_abs_err
       FROM scaled ORDER BY vec_id"""))
+
+  /** Deterministic ±1 (Rademacher) hyperplanes for e6 — ONE source of
+    * truth: the same Scala values drive the Spark expressions and are
+    * inlined into the oracle SQL text. java.util.Random's algorithm is
+    * specified, so the sequence is stable across JVMs. */
+  private[queries] object Planes {
+    val bits = 12
+    val dim = 64
+    val signs: Seq[Seq[Int]] = {
+      val rnd = new java.util.Random(2024L)
+      Seq.fill(bits, dim)(if (rnd.nextBoolean()) 1 else -1)
+    }
+  }
+
+  /** Hyperplane LSH bucket assignment verified exactly (companion to e4's
+    * production gaussian path, pattern of d21/d25): embeddings quantized
+    * to integers FIRST (floor(x·1000+0.5) — exact on both engines), so
+    * every projection is an integer sum — order-independent, no float
+    * sign-flip risk at the bucket boundary. bucket = Σ_b [dot_b > 0]·2^b. */
+  val e6 = QueryDef("e6_hyperplane_bucket_oracle",
+    (s, dir) => {
+      val qv = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000 + 0.5).cast(LongType))
+      val bucket = (0 until Planes.bits).map { b =>
+        val dot = (0 until Planes.dim).map { j =>
+          element_at(col("qv"), j + 1) * lit(Planes.signs(b)(j).toLong)
+        }.reduce(_ + _)
+        when(dot > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      Tables.embeddings(s, dir)
+        .withColumn("qv", qv)
+        .select(col("vec_id"), bucket.as("bucket"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val dots = (0 until Planes.bits).map { b =>
+        val terms = (0 until Planes.dim).map { j =>
+          s"qv[${j + 1}]*(${Planes.signs(b)(j)})"
+        }.mkString(" + ")
+        s"CASE WHEN ($terms) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("\n          + ")
+      s"""WITH q AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings)
+        SELECT vec_id, CAST($dots AS BIGINT) AS bucket
+        FROM q ORDER BY vec_id"""
+    })
 
   /** CUBE: all 2^k grouping-set combinations in ONE shuffle (the rollup
     * row q51 covers the hierarchical subset; CUBE is the full lattice).
