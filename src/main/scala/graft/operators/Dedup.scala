@@ -130,13 +130,14 @@ object Dedup {
     * exact answer the greedy smaller-id-loses pass in CorpusPipeline
     * approximates. Every node ends with its component's minimum id.
     *
-    * Scale: O(graph diameter) rounds, each ONE join + ONE aggregation on
-    * (node, label) pairs — the standard big-graph CC that never collects
-    * the graph to the driver. The edge set is materialized once
-    * (localCheckpoint), and each round's labels are checkpointed so
-    * lineage doesn't stack across iterations. Near-dup graphs are
-    * short-diameter by construction (dups cluster tightly), so the default
-    * round cap is generous; the loop FAILS LOUDLY if it ever stops before
+    * Scale: each round propagates the min label across edges (one join +
+    * one aggregation) and then SHORTCUTS label chains (label ← label of
+    * label, one more join) — the pointer-jumping step that turns
+    * O(diameter) convergence into O(log diameter), the difference between
+    * 30 shuffles and 5 on a chain-shaped 100 TB dup graph. Nothing ever
+    * collects to the driver; the edge set is materialized once
+    * (localCheckpoint) and each round's labels are checkpointed so lineage
+    * doesn't stack. The loop FAILS LOUDLY if the round cap is hit before
     * convergence rather than returning half-propagated labels.
     *
     * Returns (node, component) for every node that appears in `pairs`. */
@@ -154,11 +155,18 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("component").as("__nl")),
           Seq("dst"))
         .groupBy("src").agg(min(col("__nl")).as("__nbr"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin.select(col("src").as("node"), col("__nbr")), Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
+      // pointer jumping: component <- component's own label (every label
+      // value is itself a node, so the self-join resolves one chain hop)
+      val next = propagated
+        .join(propagated.select(col("node").as("component"),
+          col("component").as("__cc")), Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
       converged = next
         .join(labels.select(col("node"), col("component").as("__old")), Seq("node"))
