@@ -32,11 +32,19 @@ object Bench {
     // The sf0.001 warm-up materialized p1 for THAT dir only; drop it so the
     // measured p1 run builds (and pays for) the sfDir feature table itself.
     queries.Pipeline.clearMaterialized()
+    val errors = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          // a crashing query must be VISIBLE in the output, not recorded as
+          // a normal fast timing
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
@@ -45,12 +53,13 @@ object Bench {
     val detailPath = "bench_detail.json"
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""materialized":["p1_ticker_pipeline"],"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],""" +
+      s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""materialized":["p1_ticker_pipeline"],"detail":"$detailPath",""" +
+      s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],"detail":"$detailPath",""" +
       s""""queries":${jmap(slow)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,14 +24,35 @@ import org.apache.spark.util.sketch.BloomFilter
 object RuntimeFilters {
 
   /** Bloom prefilter predicate for `bigKey`, built by scanning `smallKeys`
-    * (one job; the small side should be the already-filtered dimension). */
-  def bloomPredicate(small: DataFrame, smallKey: String, bigKey: Column,
-                     expectedItems: Long = 4000000L,
+    * (one job; the small side should be the already-filtered dimension).
+    * Probe and build must hash the same representation: integral keys go
+    * through the long path on both sides (Spark's bloomFilter inserts
+    * integral columns with putLong), strings through the string path —
+    * any other key type is rejected up front rather than silently
+    * producing false NEGATIVES from a representation mismatch. */
+  def bloomPredicate(small: DataFrame, smallKey: String, big: DataFrame,
+                     bigKey: String, expectedItems: Long = 4000000L,
                      fpp: Double = 0.03): Column = {
-    val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bf.mightContainLong(k))
-    mightContain(bigKey.cast("long"))
+    import org.apache.spark.sql.types._
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    (bigType, smallType) match {
+      case (b, s) if integral(b) && integral(s) =>
+        val smallLong = small.select(col(smallKey).cast("long").as(smallKey))
+        val bf: BloomFilter = smallLong.stat.bloomFilter(smallKey, expectedItems, fpp)
+        val mightContain = udf((k: java.lang.Long) =>
+          k != null && bf.mightContainLong(k))
+        mightContain(col(bigKey).cast("long"))
+      case (StringType, StringType) =>
+        val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+        val mightContain = udf((k: String) =>
+          k != null && bf.mightContainString(k))
+        mightContain(col(bigKey))
+      case (b, s) => throw new IllegalArgumentException(
+        s"bloomSemiJoin supports integral or string keys on both sides, " +
+          s"got $bigKey: ${b.simpleString} vs $smallKey: ${s.simpleString}")
+    }
   }
 
   /** Exact semi-join of `big` against `small`'s key set, with the Bloom
@@ -40,7 +61,7 @@ object RuntimeFilters {
                     small: DataFrame, smallKey: String,
                     expectedItems: Long = 4000000L,
                     fpp: Double = 0.03): DataFrame = {
-    val pred = bloomPredicate(small, smallKey, col(bigKey), expectedItems, fpp)
+    val pred = bloomPredicate(small, smallKey, big, bigKey, expectedItems, fpp)
     big.filter(col(bigKey).isNotNull && pred)
       .join(small.select(col(smallKey).as(bigKey)).distinct(),
         Seq(bigKey), "left_semi")

@@ -44,6 +44,16 @@ case class KmvAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_distinct"
 
+  // reject non-bigint input at ANALYSIS time — update() casts to Long, and
+  // without this a SQL call on the wrong type dies per-row with a raw
+  // ClassCastException (AbstractDataType is private[sql] in Spark 4, so
+  // checkInputDataTypes instead of ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct expects a BIGINT hash column, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     new java.util.TreeSet[Long]()
 

@@ -61,9 +61,10 @@ object ScaleOps {
   /** Corpus-trained bigram language-model scoring — the perplexity-style
     * quality filter a training pipeline runs with a cheap self-trained
     * model: global MLE bigram probabilities P(w2|w1) = c(w1,w2)/c(w1),
-    * per-document mean log-probability over its bigrams. The model tables
-    * are corpus-level aggregates (tiny for any real vocab — broadcast);
-    * the scoring join is per-bigram and shuffle-free on the model side.
+    * per-document mean log-probability over its bigrams. The UNIGRAM table
+    * is vocab-sized — broadcast. The BIGRAM table is NOT (distinct bigram
+    * types grow ~linearly with corpus size via the hapax tail), so that
+    * join shuffles on (w1, w2) — high-cardinality keys, no skew hot-spot.
     * Every observed doc bigram has c >= 1, so the MLE log is defined. */
   val d24 = QueryDef("d24_bigram_lm_score",
     (s, dir) => {
@@ -80,7 +81,7 @@ object ScaleOps {
       val bigramCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val unigramCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
       big
-        .join(broadcast(bigramCounts), Seq("w1", "w2"))
+        .join(bigramCounts, Seq("w1", "w2"))
         .join(broadcast(unigramCounts), Seq("w1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
@@ -476,19 +477,27 @@ object ScaleOps {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
+      // dedupe views to ONE row per (user, ts) — DuckDB's ASOF picks an
+      // ARBITRARY row among equal-ts matches, so ties must not exist by
+      // the time either engine runs its as-of (tie-safe oracle)
+      val wv = Window.partitionBy("user_id", "ts").orderBy("event_id")
       val views = ev.filter(col("event_type") === "view")
+        .withColumn("__rn", row_number().over(wv)).filter(col("__rn") === 1)
         .select(col("user_id"), col("ts"),
           col("event_id").as("view_id"), col("value").as("view_value"))
       graft.core.AsOf.joinForward(purchases, views, Seq("user_id"), "ts",
-        Seq("view_id", "view_value"), tieBreak = Seq(col("view_id")))
+        Seq("view_id", "view_value"))
         .select("event_id", "user_id", "view_id", "view_value")
         .orderBy("event_id")
     },
-    Some("""SELECT p.event_id, p.user_id, v.event_id AS view_id,
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        event_id, value FROM events WHERE event_type = 'view'
+        QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+          ORDER BY event_id) = 1)
+      SELECT p.event_id, p.user_id, v.event_id AS view_id,
         v.value AS view_value
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        ON p.user_id = v.user_id AND p.ts <= v.ts
+      ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
       ORDER BY p.event_id"""))
 
   /** SCD2 dimension-history build from a change log: per-customer order

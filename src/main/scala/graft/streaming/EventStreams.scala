@@ -30,16 +30,18 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
-  /** Streaming keep-first dedup per (user_id, event_type): dropDuplicates
-    * keeps the first ARRIVAL, and the watermark bounds the dedup state (keys
-    * older than the watermark are evicted — without it, state grows with
-    * key cardinality forever). On an in-ts-order feed "first arrival" is
-    * the earliest event, i.e. exactly the batch twin s3_stream_dedup
-    * computes with an explicit row_number (deterministic on unordered batch
-    * data). Agreement pinned by ScaleOpsSpec. */
+  /** Streaming keep-first dedup per (user_id, event_type): keeps the first
+    * ARRIVAL, with dedup state evicted once the watermark passes a key's
+    * event time. `dropDuplicatesWithinWatermark` is the API that actually
+    * evicts — plain `dropDuplicates` on a key subset WITHOUT the event-time
+    * column never drops state even under a watermark, so keys accumulate
+    * forever. On an in-ts-order feed "first arrival" is the earliest
+    * event, i.e. exactly the batch twin s3_stream_dedup computes with an
+    * explicit row_number (deterministic on unordered batch data).
+    * Agreement pinned by ScaleOpsSpec. */
   def firstPerKeyStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Open-session state for [[closedSessions]]. */
   final case class SessionAgg(start: java.sql.Timestamp,
@@ -77,7 +79,11 @@ object EventStreams {
                   closed += SessionOut(uid, s.start, s.last, s.n)
                   open = Some(SessionAgg(e.ts, e.ts, 1L))
                 case Some(s) =>
-                  open = Some(SessionAgg(s.start, e.ts, s.n + 1))
+                  // a late (post-watermark but out-of-order) event must not
+                  // move the session end BACKWARD — that would shrink the
+                  // gap window and split one real session in two
+                  val last = if (e.ts.after(s.last)) e.ts else s.last
+                  open = Some(SessionAgg(s.start, last, s.n + 1))
                 case None =>
                   open = Some(SessionAgg(e.ts, e.ts, 1L))
               }

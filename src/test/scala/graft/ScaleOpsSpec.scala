@@ -25,6 +25,32 @@ class ScaleOpsSpec extends SparkSpec {
       plain.orderBy("k").collect().toSeq)
   }
 
+  test("bloomSemiJoin: string keys use the string hash path (no false negatives)") {
+    val big = Seq("a", "b", "c", "42").toDF("k")
+    val small = Seq("b", "42", "zz").toDF("sk")
+    val got = RuntimeFilters.bloomSemiJoin(big, "k", small, "sk")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("42", "b"))
+  }
+
+  test("bloomSemiJoin rejects mismatched or unsupported key types up front") {
+    val longs = Seq(1L).toDF("k")
+    val strs = Seq("1").toDF("sk")
+    val ex = intercept[IllegalArgumentException] {
+      RuntimeFilters.bloomSemiJoin(longs, "k", strs, "sk")
+    }
+    assert(ex.getMessage.contains("integral or string"))
+  }
+
+  test("kmv_distinct rejects non-bigint input at analysis time") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    (1 to 5).map(i => ("g", i)).toDF("g", "v").createOrReplaceTempView("kmv_bad")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(v, 4) FROM kmv_bad GROUP BY g").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("bigint"), ex.getMessage)
+  }
+
   test("bloomSemiJoin drops null keys (semi-join semantics)") {
     val big = Seq(Some(1L), None, Some(2L)).toDF("k")
     val small = Seq(1L).toDF("sk")
@@ -273,6 +299,37 @@ class ScaleOpsSpec extends SparkSpec {
         all.toString)
       assert(all.contains((2L, t("2024-01-01 06:30:00"), t("2024-01-01 06:30:00"), 1L)),
         all.toString)
+    } finally q.stop()
+  }
+
+  test("closedSessions: an out-of-order event never moves the session end backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        EventStreams.EventIn(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+        EventStreams.EventIn(1L, t("2024-01-01 10:25:00"), "click", 1.0))
+      q.processAllAvailable()
+      // watermark is now 10:15; a 10:16 event is late-but-valid and must
+      // not shrink the session end from 10:25
+      stream.addData(EventStreams.EventIn(1L, t("2024-01-01 10:16:00"), "click", 1.0))
+      q.processAllAvailable()
+      // 10:48 is 23 min after the TRUE end (10:25) -> same session; with
+      // the backward-moving-end bug the gap from 10:16 is 32 min -> split
+      stream.addData(EventStreams.EventIn(1L, t("2024-01-01 10:48:00"), "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(EventStreams.EventIn(9L, t("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_ooo_test").filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+      assert(u1 == Seq((t("2024-01-01 10:00:00"), t("2024-01-01 10:48:00"), 4L)), u1.toString)
     } finally q.stop()
   }
 
