@@ -22,11 +22,17 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional extra args: run only these queries (local dev shortcut;
+    // the driver always passes exactly two args → full run)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = makeSession(cpus)
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val failed = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -58,7 +64,7 @@ object Verify {
     // full registry manifest so the compare tool can flag queries whose
     // output is missing (threw above) instead of skipping them silently
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -464,8 +464,12 @@ object Relational {
   /** A3/W8: trailing SMA windows + delta (reference SMA50/200). */
   val q26 = QueryDef("q26_sma_delta",
     (s, dir) => {
+      // (shipdate, orderkey, linenumber) is NOT unique within a supplier
+      // at sf0.1 (one full-key collision) — l_quantity breaks the tie so
+      // both engines build identical window frames; sma_delta closes the
+      // final ORDER for the same reason
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       val sma20 = avg(col("l_quantity")).over(w.rowsBetween(-19, 0))
       val sma100 = avg(col("l_quantity")).over(w.rowsBetween(-99, 0))
       Tables.lineitem(s, dir)
@@ -473,17 +477,18 @@ object Relational {
           round(when(sma100 > 0, (sma20 - sma100) / sma100), 6))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast(DateType).as("ship_date"), col("sma_delta"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "ship_date")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "ship_date", "sma_delta")
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
       CAST(l_shipdate AS DATE) AS ship_date,
       ROUND(CASE WHEN sma100 > 0 THEN (sma20 - sma100) / sma100 END, 6) AS sma_delta
-      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
-        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        AVG(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS sma100
-      FROM lineitem) t ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_date"""))
+      FROM lineitem) t
+      ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_date, sma_delta"""))
 
   /** W5: CAGR between first and last yearly value per entity. */
   val q27 = QueryDef("q27_spend_cagr",
