@@ -30,6 +30,19 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding 2h/30m counts + sums per event_type: each event contributes to
+    * 4 overlapping epoch-aligned windows. Same plan batch or streaming
+    * (watermark bounds window state in streaming mode); the batch twin is
+    * s5_sliding_window. */
+  def slidingByType(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Streaming keep-first dedup per (user_id, event_type): keeps the first
     * ARRIVAL, with dedup state evicted once the watermark passes a key's
     * event time. `dropDuplicatesWithinWatermark` is the API that actually
