@@ -28,4 +28,22 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Range-partitioned, sorted parquet layout: global range partitioning on
+    * the sort key + a within-partition sort gives every output file a
+    * DISJOINT key range, so a selective filter prunes to one file's row
+    * groups via parquet min/max stats instead of scanning the dataset —
+    * the data-layout lever (Z-order-lite for a single key) that makes
+    * point/range reads on a 100 TB table touch megabytes. sortCols beyond
+    * the first refine row-group locality within each file. */
+  def writeRangePartitioned(df: DataFrame, path: String,
+                            numFiles: Int, sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sortExprs = sortCols.map(col)
+    df.repartitionByRange(numFiles, sortExprs.head)
+      .sortWithinPartitions(sortExprs: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
 }

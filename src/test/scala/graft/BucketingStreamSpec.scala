@@ -28,6 +28,29 @@ class BucketingStreamSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned write produces disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("graft_range").toString
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000L, i.toDouble))
+      .toDF("k", "v")
+    Bucketing.writeRangePartitioned(df, dir, numFiles = 4, sortCols = Seq("k"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, files.mkString(", "))
+    // each file owns a contiguous, disjoint key range => parquet min/max
+    // footer stats prune a point/range read to one file
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"overlapping file ranges: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("mapGroupsWithState keeps running per-user profiles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
