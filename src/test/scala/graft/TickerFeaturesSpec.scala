@@ -241,6 +241,52 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(out ~= ((0.06 - 0.04) / 0.04, 1e-9))
   }
 
+  test("priceBlockSeries matches priceBlock across a randomized multi-ticker grid") {
+    // deterministic synthetic series: varying lengths, densities, and gaps,
+    // plus as_ofs before the first price, inside, and past the last price
+    val tickers = (1 to 8).map(i => s"T$i")
+    val rows = for {
+      (t, ti) <- tickers.zipWithIndex
+      k <- 0 until (20 + (ti * 37) % 180)
+    } yield {
+      val base = java.time.LocalDate.of(2018, 1, 1)
+        .plusDays((k * (2 + (ti % 3))).toLong)
+      val close = 50.0 + ((k * 7919 + ti * 104729) % 1000) / 10.0
+      (t, java.sql.Date.valueOf(base), close)
+    }
+    val p = rows.toDF("ticker", "date", "close")
+    val asOfs = Seq("2017-06-30", "2018-03-31", "2018-07-01", "2018-12-31",
+      "2019-12-31", "2021-12-31")
+    val grid = tickers.flatMap(t => asOfs.map(a => (t, d(a))))
+      .toDF("ticker", "as_of")
+    val gridForm = TickerFeatures.priceBlock(grid, p)
+      .orderBy("ticker", "as_of").collect()
+    val seriesForm = TickerFeatures.priceBlockSeries(grid, p)
+      .orderBy("ticker", "as_of").collect()
+    assert(gridForm.length == tickers.size * asOfs.size)
+    assert(gridForm.length == seriesForm.length)
+    // volatility + SMAs accumulate in different orders between the forms —
+    // tolerance there; every other field is an exact pick/max/count
+    val tolerant = Set("volatility", "sma_50_200_delta")
+    val fields = gridForm.head.schema.fieldNames
+    gridForm.zip(seriesForm).foreach { case (ga, sa) =>
+      fields.foreach { f =>
+        val (x, y) = (ga.getAs[Any](f), sa.getAs[Any](f))
+        (x, y) match {
+          case (a: Double, b: Double) if tolerant(f) =>
+            assert(a.isNaN == b.isNaN &&
+              (a.isNaN || math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a))),
+              s"$f: ${ga.getAs[String]("ticker")}@${ga.getAs[Any]("as_of")}: $a vs $b")
+          case _ =>
+            assert(x == y ||
+              (x.isInstanceOf[Double] && y.isInstanceOf[Double] &&
+                x.asInstanceOf[Double].isNaN && y.asInstanceOf[Double].isNaN),
+              s"$f: ${ga.getAs[String]("ticker")}@${ga.getAs[Any]("as_of")}: $x vs $y")
+        }
+      }
+    }
+  }
+
   test("dynamicFeatures emits the exact reference column set (test_ticker_row_builder)") {
     val grid = gridAt("2024-01-01")
     val in = TickerFeatures.Inputs(
