@@ -143,11 +143,30 @@ object Dedup {
     * Returns (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, NumericType}
+    // the sum-based convergence check needs numeric labels (a string id
+    // would cast to null and fake instant convergence)
+    require(pairs.schema(aCol).dataType.isInstanceOf[NumericType] &&
+      pairs.schema(bCol).dataType.isInstanceOf[NumericType],
+      s"connectedComponents needs numeric node ids, got " +
+        s"${pairs.schema(aCol).dataType}/${pairs.schema(bCol).dataType} — " +
+        "hash string ids to int64 first (e.g. xxhash64)")
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
+    // round 0 fused into the node extraction: component = min(node,
+    // min neighbor) straight off the symmetric edge list — one groupBy
+    // replaces a full propagate round (every node appears as src)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("node"), least(col("node"), col("__nbr")).as("component"))
+      .localCheckpoint()
+    // labels are monotone non-increasing per node, so the label sum is a
+    // strict progress measure: equal consecutive sums == fixed point. One
+    // tiny aggregate per round instead of a join + isEmpty re-execution.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -168,9 +187,9 @@ object Dedup {
         .select(col("node"),
           coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("node"), col("component").as("__old")), Seq("node"))
-        .filter(col("component") =!= col("__old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
