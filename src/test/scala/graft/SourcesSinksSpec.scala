@@ -44,6 +44,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.toSeq == Seq(2, 3, 9))
   }
 
+  test("sliceWithGrace keeps rows within [lo-grace, hi+grace] (S3)") {
+    val series = Seq(
+      ("T", d("2023-09-30"), 1.0), // 2023-10-01 - 3m = 2023-07-01: inside
+      ("T", d("2023-06-30"), 2.0), // before lo-grace: out
+      ("T", d("2024-02-29"), 3.0), // 2023-12-31 + 3m = 2024-03-31: inside
+      ("T", d("2024-04-01"), 4.0)  // after hi+grace: out
+    ).toDF("ticker", "date", "dividend")
+    val out = Sources.sliceWithGrace(series, "date", "2023-10-01", "2023-12-31")
+      .select("dividend").as[Double].collect().toSet
+    assert(out == Set(1.0, 3.0))
+  }
+
   test("ticker list source trims, uppercases, drops blanks") {
     val tmp = Files.createTempDirectory("graft-test").resolve("tickers.txt")
     Files.writeString(tmp, " aapl \nMSFT\n\n tsla\n")
