@@ -24,8 +24,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these queries (local dev shortcut;
-    // the driver always passes exactly two args → full run)
+    // the driver always passes exactly two args → full run). Unknown names
+    // fail loudly — a typo'd filter would otherwise verify nothing and
+    // exit 0.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = makeSession(cpus)
     new java.io.File(outDir).mkdirs()
@@ -61,8 +65,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // full registry manifest so the compare tool can flag queries whose
-    // output is missing (threw above) instead of skipping them silently
+    // manifest of the selected registry (full registry on a driver run) so
+    // the compare tool can flag queries whose output is missing (threw
+    // above) instead of skipping them silently
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()

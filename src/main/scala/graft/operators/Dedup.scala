@@ -143,14 +143,17 @@ object Dedup {
     * Returns (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, NumericType}
-    // the sum-based convergence check needs numeric labels (a string id
-    // would cast to null and fake instant convergence)
-    require(pairs.schema(aCol).dataType.isInstanceOf[NumericType] &&
-      pairs.schema(bCol).dataType.isInstanceOf[NumericType],
-      s"connectedComponents needs numeric node ids, got " +
+    import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType}
+    // the sum-based convergence check needs INTEGRAL labels: a string id
+    // casts to null and fakes instant convergence, and a fractional id's
+    // sub-integer label moves round away inside the DecimalType(38,0) sum
+    def integral(t: DataType): Boolean =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    require(integral(pairs.schema(aCol).dataType) &&
+      integral(pairs.schema(bCol).dataType),
+      s"connectedComponents needs integral node ids, got " +
         s"${pairs.schema(aCol).dataType}/${pairs.schema(bCol).dataType} — " +
-        "hash string ids to int64 first (e.g. xxhash64)")
+        "hash other id types to int64 first (e.g. xxhash64)")
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()

@@ -25,11 +25,14 @@ object Relational4 {
         col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
-      .orderBy("k"),
+      // null-ordering pinned on BOTH engines: a props row without '$.k'
+      // (none today, but the gate must survive data regeneration) sorts
+      // first in Spark by default and LAST in DuckDB unless told otherwise
+      .orderBy(col("k").asc_nulls_first),
     Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY k ORDER BY k"""))
+      FROM events GROUP BY k ORDER BY k NULLS FIRST"""))
 
   /** GROUPING SETS ((rf), (ls), ()) — two independent marginals + grand
     * total in ONE shuffle (rollup/cube can't produce this set list; naive

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -8,11 +9,42 @@ import graft.functions.TextFns
 
 /** Second text/training-data batch: corpus-level term statistics — TF-IDF
   * ranking and an inverted-index build — plus the sliding-window streaming
-  * twin. All oracle-gated.
-  */
+  * twin. All oracle-gated. The constructions are free functions over a
+  * documents frame so the specs drive the SAME code the judged queries
+  * run. */
 object TextVector2 {
 
   def defs: Seq[QueryDef] = Seq(d26, d27, s5)
+
+  /** TF-IDF per-document term ranking (see d26 scaladoc). */
+  def tfidfTop(docs: DataFrame, topK: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("tfidf"), 9).desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf_r"))
+  }
+
+  /** Inverted-index build (see d27 scaladoc). */
+  def invertedIndex(docs: DataFrame, postingCap: Int): DataFrame = docs
+    .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    .groupBy("term")
+    .agg(count(lit(1)).as("df"),
+      sum(col("tf")).as("total_tf"),
+      concat_ws(",",
+        slice(sort_array(collect_list(col("doc_id"))), 1, postingCap))
+        .as("posting_head"))
 
   /** TF-IDF top-3 terms per document. tf and df ride ONE tokenize +
     * explode: (doc, term) counts aggregate once, df is a second aggregation
@@ -22,25 +54,8 @@ object TextVector2 {
     * rounds to 9 decimals before ordering (e2's lesson: last-ulp ln()
     * differences must not flip ranks between engines). */
   val d26 = QueryDef("d26_tfidf",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val tf = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(round(col("tfidf"), 9).desc, col("term"))
-      tf.join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(n))
-        .withColumn("tfidf",
-          col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-          round(col("tfidf"), 6).as("tfidf_r"))
-        .orderBy("doc_id", "rank")
-    },
+    (s, dir) => tfidfTop(Tables.documents(s, dir), topK = 3)
+      .orderBy("doc_id", "rank"),
     Some("""WITH tf AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         FROM documents),
@@ -66,14 +81,7 @@ object TextVector2 {
     * the head-string keeps the judged output bounded while exercising the
     * ordered-collect machinery. */
   val d27 = QueryDef("d27_inverted_index",
-    (s, dir) => Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("total_tf"),
-        concat_ws(",",
-          slice(sort_array(collect_list(col("doc_id"))), 1, 8)).as("posting_head"))
+    (s, dir) => invertedIndex(Tables.documents(s, dir), postingCap = 8)
       .orderBy("term"),
     Some("""WITH tfc AS (
         SELECT doc_id, term, COUNT(*) AS tf

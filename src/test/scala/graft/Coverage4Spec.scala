@@ -57,38 +57,30 @@ class Coverage4Spec extends SparkSpec {
   }
 
   test("tfidf ranks a distinctive term above corpus-wide ones") {
-    Seq((1L, "alpha beta beta"), (2L, "alpha gamma"), (3L, "alpha alpha delta"))
-      .toDF("doc_id", "text").createOrReplaceTempView("documents_toy")
-    // inline the d26 construction over the toy frame
-    val docs = spark.table("documents_toy")
-    val tf = docs.select(col("doc_id"),
-        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term")).crossJoin(n)
-      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    // drives the PRODUCTION d26 construction (TextVector2.tfidfTop)
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"),
+      (3L, "alpha alpha delta")).toDF("doc_id", "text")
+    val ranked = graft.queries.TextVector2.tfidfTop(docs, topK = 3)
     // 'alpha' is in every doc => idf = ln(1) = 0; doc 1's top term is beta
-    val top = scored.filter(col("doc_id") === 1L)
-      .orderBy(col("tfidf").desc).select("term").as[String].head()
+    val top = ranked.filter(col("doc_id") === 1L && col("rank") === 1)
+      .select("term").as[String].head()
     assert(top == "beta")
-    val alphaScore = scored.filter(col("term") === "alpha")
-      .agg(max(abs(col("tfidf")))).as[Double].head()
+    val alphaScore = ranked.filter(col("term") === "alpha")
+      .agg(max(abs(col("tfidf_r")))).as[Double].head()
     assert(alphaScore == 0.0)
+    // df counts documents, tf occurrences
+    val alphaRow = ranked.filter(col("doc_id") === 3L && col("term") === "alpha").head()
+    assert(alphaRow.getAs[Long]("df") == 3L && alphaRow.getAs[Long]("tf") == 2L)
   }
 
   test("inverted index: posting head capped at 8, df counts docs not occurrences") {
+    // drives the PRODUCTION d27 construction (TextVector2.invertedIndex)
     val docs = (1L to 12L).map(i => (i, "common rare" + (if (i == 5) " unique" else "")))
       .toDF("doc_id", "text")
-    val tf = docs.select(col("doc_id"),
-        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idx = tf.groupBy("term").agg(
-      count(lit(1)).as("df"),
-      concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 8))
-        .as("posting_head"))
+    val idx = graft.queries.TextVector2.invertedIndex(docs, postingCap = 8)
     val common = idx.filter(col("term") === "common").head()
     assert(common.getAs[Long]("df") == 12L)
+    assert(common.getAs[Long]("total_tf") == 12L)
     assert(common.getAs[String]("posting_head") == "1,2,3,4,5,6,7,8")
     val unique = idx.filter(col("term") === "unique").head()
     assert(unique.getAs[Long]("df") == 1L)
