@@ -51,6 +51,46 @@ class BucketingStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("zOrderValue interleaves bits (Morton order)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("x", "y")
+    val z = df.select(Bucketing.zOrderValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].collect().toSeq
+    // (x=3, y=5): x bits 011 -> odd positions, y bits 101 -> even positions
+    // z = y0 + 2*x0 + 4*y1 + 8*x1 + 16*y2 + 32*x2 = 1 + 2 + 0 + 8 + 16 + 0
+    assert(z == Seq(0L, 2L, 1L, 3L, 27L))
+  }
+
+  test("z-order layout prunes 2-D box queries better than linear sort") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val dirLin = Files.createTempDirectory("graft_linear").toString
+    // 64x64 grid of points, both layouts into 16 files
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, (x * 64 + y).toDouble)).toDF("x", "y", "v")
+    Bucketing.writeZOrdered(pts, dir, numFiles = 16, "x", "y", bits = 6)
+    Bucketing.writeRangePartitioned(pts, dirLin, numFiles = 16, Seq("x", "y"))
+    def filesIntersectingBox(d: String, lo: Int, hi: Int): Int = {
+      val files = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        !(r.getLong(1) < lo || r.getLong(0) > hi ||
+          r.getLong(3) < lo || r.getLong(2) > hi)
+      }
+    }
+    // an 8x8 box: z-order files have compact 2-D bboxes -> few intersect;
+    // the linear layout slices only on x, every file spans all of y -> the
+    // box's x-range hits ~ numFiles * 8/64 files PLUS each spans full y
+    val zHits = filesIntersectingBox(dir, 24, 31)
+    val linHits = filesIntersectingBox(dirLin, 24, 31)
+    assert(zHits < linHits,
+      s"z-order should prune better: z=$zHits linear=$linHits")
+    assert(zHits <= 4, s"8x8 box in a 64x64/16-file z-layout hit $zHits files")
+    // both layouts preserve the data
+    assert(spark.read.parquet(dir).count() == 64 * 64)
+  }
+
   test("mapGroupsWithState keeps running per-user profiles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
