@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import QueryDef.moneySum
 
@@ -12,7 +13,7 @@ import QueryDef.moneySum
   */
 object Relational4 {
 
-  def defs: Seq[QueryDef] = Seq(q64, q65, q66, q67)
+  def defs: Seq[QueryDef] = Seq(q64, q65, q66, q67, q68)
 
   /** JSON extraction from a string column (semi-structured events payload):
     * `get_json_object` path extraction, typed cast, then a per-key
@@ -106,4 +107,36 @@ object Relational4 {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY week_start, quarter_start
       ORDER BY week_start, quarter_start"""))
+
+  /** Running DISTINCT count over a window — an operator Spark has no
+    * native form for (COUNT(DISTINCT) OVER is unsupported): re-expressed
+    * as size(collect_set) over the running frame, which accumulates
+    * per-partition state exactly once (no retraction needed on an
+    * unbounded-preceding frame). DuckDB runs its native windowed distinct
+    * aggregate — the oracle proves the re-expression. Sort keys carry the
+    * q26 lesson (full-key collision at sf0.1 → l_quantity tie-break). */
+  val q68 = QueryDef("q68_window_distinct",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .withColumn("distinct_parts",
+          size(collect_set(col("l_partkey")).over(w)).cast(LongType))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          col("distinct_parts"))
+        // (suppkey, orderkey, linenumber) is NOT unique in this testdata
+        // (q26 lesson) — ship_date + the count close the output order
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "ship_date",
+          "distinct_parts")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      CAST(l_shipdate AS DATE) AS ship_date,
+      CAST(count(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS distinct_parts
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_date, distinct_parts"""))
 }
