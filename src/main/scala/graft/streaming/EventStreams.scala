@@ -147,6 +147,61 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming keyed upsert into a parquet store via foreachBatch — the
+    * incremental-maintenance sink: each micro-batch merges into the store
+    * with keep-last-per-key semantics (batch rows beat stored rows on ties
+    * via the is-new flag), so replays and restarts are idempotent — the
+    * exactly-once story for a sink without transactional writes. The store
+    * rewrite is proportional to the store, not the history; a real
+    * warehouse target (Delta/Iceberg MERGE) would make it proportional to
+    * the touched partitions — the pattern (dedupe inside foreachBatch,
+    * idempotent under redelivery) is the part that carries.
+    *
+    * Uses Trigger.AvailableNow: processes everything pending, then stops —
+    * the incremental-job shape (B2 skip-existing) run on a schedule. */
+  def upsertAvailableNow(spark: SparkSession, inputDir: String,
+                         storeDir: String, checkpoint: String,
+                         schema: StructType, keyCols: Seq[String],
+                         tsCol: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // ingest directories arrive as per-delivery subfolders — list them all
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(inputDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store = new java.io.File(storeDir)
+        val merged =
+          if (store.exists()) {
+            val cur = spark.read.parquet(storeDir).withColumn("__new", lit(0))
+            graft.core.SeriesOps.keepLastBy(
+              cur.unionByName(batch.withColumn("__new", lit(1))),
+              keyCols, Seq(col(tsCol), col("__new")))
+              .drop("__new")
+          } else graft.core.SeriesOps.keepLastBy(batch, keyCols, Seq(col(tsCol)))
+        // stage-then-swap: the store must never be half-written if the
+        // merge dies mid-write (same discipline as Sinks.atomicWriteText)
+        val tmp = storeDir + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(storeDir)
+        if (target.exists()) {
+          val old = new java.io.File(storeDir + ".old")
+          deleteRecursively(old)
+          target.renameTo(old)
+          new java.io.File(tmp).renameTo(target)
+          deleteRecursively(old)
+        } else new java.io.File(tmp).renameTo(target)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) { f.delete(); () }
+  }
+
   /** Per-user running profile maintained with custom state
     * (`mapGroupsWithState`) — the arbitrary-stateful-processing path for
     * semantics `session_window` can't express (running aggregates that

@@ -91,6 +91,37 @@ class BucketingStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 64 * 64)
   }
 
+  test("foreachBatch upsert store: incremental merge, keep-last per key, idempotent rerun") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_upsert").toString
+    val (in, store, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", LongType),
+      StructField("v", StringType)))
+    def run(): Unit = {
+      val q = EventStreams.upsertAvailableNow(spark, in, store, ckpt,
+        schema, keyCols = Seq("k"), tsCol = "ts")
+      q.awaitTermination(); ()
+    }
+    def storeRows(): Set[(Long, Long, String)] =
+      spark.read.parquet(store).as[(Long, Long, String)].collect().toSet
+
+    Seq((1L, 10L, "a"), (2L, 10L, "b"), (1L, 11L, "a2"))
+      .toDF("k", "ts", "v").write.parquet(s"$in/batch1")
+    run()
+    assert(storeRows() == Set((1L, 11L, "a2"), (2L, 10L, "b")))
+
+    // late update for k=1, new key k=3; stale row (ts 5) must lose
+    Seq((1L, 12L, "a3"), (3L, 10L, "c"), (2L, 5L, "stale"))
+      .toDF("k", "ts", "v").write.parquet(s"$in/batch2")
+    run()
+    assert(storeRows() == Set((1L, 12L, "a3"), (2L, 10L, "b"), (3L, 10L, "c")))
+
+    // nothing new pending: rerun is a no-op (idempotent restart)
+    run()
+    assert(storeRows() == Set((1L, 12L, "a3"), (2L, 10L, "b"), (3L, 10L, "c")))
+  }
+
   test("mapGroupsWithState keeps running per-user profiles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
