@@ -117,8 +117,12 @@ object Relational4 {
     * q26 lesson (full-key collision at sf0.1 → l_quantity tie-break). */
   val q68 = QueryDef("q68_window_distinct",
     (s, dir) => {
+      // l_partkey closes the window order: on a residual full-key tie the
+      // tied rows' RUNNING counts would depend on engine tie order (the
+      // value, not just the output position — stronger than the q26 fix)
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+          "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .withColumn("distinct_parts",
@@ -134,7 +138,7 @@ object Relational4 {
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
       CAST(l_shipdate AS DATE) AS ship_date,
       CAST(count(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_partkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         AS distinct_parts
       FROM lineitem

@@ -39,9 +39,18 @@ object Bucketing {
   def writeRangePartitioned(df: DataFrame, path: String,
                             numFiles: Int, sortCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    val sortExprs = sortCols.map(col)
+    writeSorted(df, path, numFiles, sortCols.map(col), dropCols = Nil)
+  }
+
+  /** The shared sorted-layout write recipe: range-partition on the leading
+    * sort expression, sort within partitions, drop derived columns, write
+    * zstd parquet. */
+  private def writeSorted(df: DataFrame, path: String, numFiles: Int,
+                          sortExprs: Seq[org.apache.spark.sql.Column],
+                          dropCols: Seq[String]): Unit = {
     df.repartitionByRange(numFiles, sortExprs.head)
       .sortWithinPartitions(sortExprs: _*)
+      .drop(dropCols: _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(path)
@@ -50,15 +59,24 @@ object Bucketing {
   /** Morton/Z-order value of two pre-bucketed non-negative ints (each in
     * [0, 2^bits)): interleaves their bits so that sorting by the result
     * clusters rows that are close in BOTH dimensions. Pure bit arithmetic —
-    * codegen'd, no UDF. */
+    * codegen'd, no UDF. An out-of-range input FAILS the job rather than
+    * truncating: dropped high bits would silently collapse far-apart rows
+    * into one file and degrade every read back to a full scan; null in →
+    * null out. */
   def zOrderValue(x: org.apache.spark.sql.Column,
                   y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
+    val lim = 1L << bits
+    val z = (0 until bits).map { i =>
       (shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
         .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1L), 2 * i))
     }.reduce(_.bitwiseOR(_))
+    when(x.isNull || y.isNull, lit(null).cast("long"))
+      .when(x >= 0 && x < lim && y >= 0 && y < lim, z)
+      .otherwise(raise_error(concat(
+        lit(s"zOrderValue input outside [0, $lim): x="), x.cast("string"),
+        lit(" y="), y.cast("string"))).cast("long"))
   }
 
   /** Z-ordered parquet layout over two dimensions: rows are range-
@@ -73,11 +91,6 @@ object Bucketing {
                     xCol: String, yCol: String, bits: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val withZ = df.withColumn("__z", zOrderValue(col(xCol), col(yCol), bits))
-    withZ.repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .parquet(path)
+    writeSorted(withZ, path, numFiles, Seq(col("__z")), dropCols = Seq("__z"))
   }
 }

@@ -169,6 +169,11 @@ object EventStreams {
       .option("recursiveFileLookup", "true").parquet(inputDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a crash between the two swap moves leaves the good store at
+        // .old and nothing at the store path — restore it BEFORE deciding
+        // this is a first batch, or the replay would rebuild the store
+        // from the batch alone and drop every previously-merged key
+        recoverStore(storeDir)
         val store = new java.io.File(storeDir)
         val merged =
           if (store.exists()) {
@@ -178,28 +183,46 @@ object EventStreams {
               keyCols, Seq(col(tsCol), col("__new")))
               .drop("__new")
           } else graft.core.SeriesOps.keepLastBy(batch, keyCols, Seq(col(tsCol)))
-        // stage-then-swap: the store must never be half-written if the
-        // merge dies mid-write (same discipline as Sinks.atomicWriteText)
+        // stage-then-swap; every move THROWS on failure (NIO, not the
+        // silent boolean File.renameTo), so a failed swap fails the batch
+        // and the checkpoint never commits input files whose upserts were
+        // lost — redelivery is safe because the merge is idempotent
         val tmp = storeDir + ".staging"
         merged.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(storeDir)
-        if (target.exists()) {
-          val old = new java.io.File(storeDir + ".old")
-          deleteRecursively(old)
-          target.renameTo(old)
-          new java.io.File(tmp).renameTo(target)
-          deleteRecursively(old)
-        } else new java.io.File(tmp).renameTo(target)
-        ()
+        swapInStore(tmp, storeDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
   }
 
+  /** Crash recovery for [[upsertAvailableNow]]'s two-move swap: if the
+    * store vanished mid-swap, the previous store is intact at `.old`. */
+  private[graft] def recoverStore(storeDir: String): Unit = {
+    val store = new java.io.File(storeDir)
+    val old = new java.io.File(storeDir + ".old")
+    if (!store.exists() && old.exists())
+      java.nio.file.Files.move(old.toPath, store.toPath)
+    ()
+  }
+
+  /** store -> .old, staging -> store, drop .old. Directory renames aren't
+    * jointly atomic — [[recoverStore]] covers the window between them. */
+  private[graft] def swapInStore(tmp: String, storeDir: String): Unit = {
+    val store = new java.io.File(storeDir)
+    val old = new java.io.File(storeDir + ".old")
+    deleteRecursively(old) // stale leftover from a crash after a good swap
+    if (store.exists())
+      java.nio.file.Files.move(store.toPath, old.toPath)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, store.toPath)
+    deleteRecursively(old)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) { f.delete(); () }
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"could not delete ${f.getPath}")
   }
 
   /** Per-user running profile maintained with custom state

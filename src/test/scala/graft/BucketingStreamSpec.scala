@@ -61,6 +61,39 @@ class BucketingStreamSpec extends SparkSpec {
     assert(z == Seq(0L, 2L, 1L, 3L, 27L))
   }
 
+  test("zOrderValue fails loudly out of range, passes nulls through") {
+    val bad = Seq((64L, 0L)).toDF("x", "y")
+      .select(Bucketing.zOrderValue(col("x"), col("y"), 6).as("z"))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(Bucketing.zOrderValue(col("x"), col("y"), 6).as("z"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("upsert store swap survives the mid-swap crash window (recoverStore)") {
+    val base = Files.createTempDirectory("graft_swap").toString
+    val store = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(store)
+    // simulate a crash between the two moves: store renamed away, staging
+    // never promoted
+    java.nio.file.Files.move(
+      new java.io.File(store).toPath, new java.io.File(store + ".old").toPath)
+    assert(!new java.io.File(store).exists())
+    EventStreams.recoverStore(store)
+    assert(spark.read.parquet(store).count() == 1)
+    // recovery is a no-op when the store is healthy
+    EventStreams.recoverStore(store)
+    assert(spark.read.parquet(store).count() == 1)
+    // a stale .old left after a successful swap is cleared by the next swap
+    Seq((2L, "b")).toDF("k", "v").write.parquet(store + ".old")
+    Seq((3L, "c")).toDF("k", "v").write.parquet(store + ".staging")
+    EventStreams.swapInStore(store + ".staging", store)
+    assert(spark.read.parquet(store).select("k").as[Long].collect().toSeq == Seq(3L))
+    assert(!new java.io.File(store + ".old").exists())
+  }
+
   test("z-order layout prunes 2-D box queries better than linear sort") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     val dirLin = Files.createTempDirectory("graft_linear").toString
