@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Third text/training-data batch: edit-distance near-duplicate candidates
+  * (the blocked-quadratic family's third member after Jaccard d6 and
+  * levenshtein-free minhash d5), per-document token entropy (an
+  * information-theoretic quality signal), and the stream-static enrichment
+  * twin. All oracle-gated.
+  */
+object TextVector3 {
+
+  def defs: Seq[QueryDef] = Seq(d28, d29, s6)
+
+  /** Edit-distance candidate pairs (see d28 scaladoc). */
+  def editDistancePairs(docs: DataFrame, bucketChars: Int, prefixLen: Int,
+                        maxDist: Int): DataFrame = {
+    val b = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / bucketChars).cast(LongType).as("bkt"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    val l = b.select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("p").as("a_p"))
+    val r = b.select(col("doc_id").as("b_id"), col("lang"), col("bkt"), col("p").as("b_p"))
+    l.join(r, Seq("lang", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_p"), col("b_p")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
+  }
+
+  /** Per-document token Shannon entropy (see d29 scaladoc). */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast(DoubleType) * log2(col("c").cast(DoubleType))).as("clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens").cast(DoubleType)) -
+          col("clog") / col("n_tokens").cast(DoubleType), 9).as("token_entropy"))
+  }
+
+  /** Levenshtein near-duplicate candidates, blocked to stay sub-quadratic:
+    * pairs are only compared within (lang, length-bucket) blocks — the
+    * equi-join keys carry the shuffle, so the quadratic work happens
+    * per-block, never corpus-wide — and the distance runs on a fixed
+    * 40-char prefix (bounds the DP cost per pair; a full-text distance on a
+    * hot block is the scale hazard). Both engines implement textbook
+    * Levenshtein, so the gate is exact. Boundary pairs that straddle a
+    * length bucket are out of scope by construction (same contract as d6's
+    * blocked Jaccard); minhash d5 is the recall-oriented path. */
+  val d28 = QueryDef("d28_edit_distance",
+    (s, dir) => editDistancePairs(Tables.documents(s, dir),
+      bucketChars = 50, prefixLen = 40, maxDist = 12)
+      .orderBy("a_id", "b_id"),
+    Some("""WITH b AS (
+        SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS bkt,
+          substr(text, 1, 40) AS p
+        FROM documents)
+      SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.lang,
+        CAST(levenshtein(a.p, c.p) AS INT) AS dist
+      FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt
+        AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.p, c.p) <= 12
+      ORDER BY a_id, b_id"""))
+
+  /** Token-distribution Shannon entropy per document: H = log2(n) −
+    * Σ c·log2(c) / n over the token counts — low entropy flags repetitive /
+    * template text (complements d12's ratio-based repetition stats with the
+    * information-theoretic form). One explode + two partial-aggregated
+    * shuffles; entropy rounds to 9 decimals so last-ulp Σ order wobble
+    * can't flip the gate (d26's lesson). */
+  val d29 = QueryDef("d29_token_entropy",
+    (s, dir) => tokenEntropy(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some("""WITH cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents) t
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+          SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+        FROM cnt GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+        ROUND(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 9) AS token_entropy
+      FROM agg ORDER BY doc_id"""))
+
+  /** Stream-static enrichment twin: the SAME transform the streaming job
+    * runs (EventStreams.hourlyBySegment — stream ⨝ broadcast static dim →
+    * watermarked hourly rollup), executed in batch and gated against the
+    * plain join+agg oracle. Streaming agreement pinned by Coverage5Spec's
+    * MemoryStream test. */
+  val s6 = QueryDef("s6_stream_enrich",
+    (s, dir) => graft.streaming.EventStreams.hourlyBySegment(
+      Tables.events(s, dir),
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      withWatermark = false)
+      .orderBy("window_start", "c_mktsegment"),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      c_mktsegment, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"""))
+}

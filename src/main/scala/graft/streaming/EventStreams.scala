@@ -30,6 +30,24 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a SMALL static
+    * dimension (user → market segment), then windowed per-segment rollups.
+    * The canonical streaming topology Spark executes without extra state:
+    * a stream-static inner join is a per-micro-batch broadcast hash join —
+    * the dim is re-resolvable each batch (picks up slowly-changing dims on
+    * restart), no join state, no second watermark. Same plan in batch mode
+    * (s6_stream_enrich is the twin the oracle gates). */
+  def hourlyBySegment(events: DataFrame, userDim: DataFrame,
+                      withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.join(broadcast(userDim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+  }
+
   /** Sliding 2h/30m counts + sums per event_type: each event contributes to
     * 4 overlapping epoch-aligned windows. Same plan batch or streaming
     * (watermark bounds window state in streaming mode); the batch twin is
