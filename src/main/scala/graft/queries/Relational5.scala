@@ -13,7 +13,7 @@ import QueryDef.{dec, moneySum, ONE}
   */
 object Relational5 {
 
-  def defs: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73)
+  def defs: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)
 
   /** TPC-H Q5 shape: 6-table star join with the "local supplier" condition
     * (customer and supplier in the SAME nation — a second equi-constraint
@@ -194,4 +194,28 @@ object Relational5 {
         (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
         ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
       FROM s ORDER BY l_returnflag"""))
+
+  /** The custom PHYSICAL as-of join (plans.AsOfJoinExec: LogicalPlan +
+    * Strategy + SparkPlan, co-partitioned merge — no union, no window)
+    * on q6's exact shape, gated independently by DuckDB's native ASOF
+    * JOIN. Two Spark constructions (q6's union+window, this exec) and
+    * two oracle mechanisms now pin the same semantics. */
+  val q74 = QueryDef("q74_asof_exec",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.plans.AsOfJoinApi.joinBackward(purchases, clicks,
+        Seq("user_id"), "ts", Seq("click_id", "click_value"))
+        .select("event_id", "user_id", "click_id", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
 }
