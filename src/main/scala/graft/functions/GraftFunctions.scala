@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

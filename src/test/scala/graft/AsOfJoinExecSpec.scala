@@ -86,6 +86,33 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin ["), plan)
   }
 
+  test("bucketed inputs join with ZERO exchanges — the union+window form cannot") {
+    // the structural scale advantage of the physical operator: its
+    // ClusteredDistribution requirement is satisfied by bucketed scans, so
+    // pre-bucketed (or pre-shuffled) inputs co-locate with no shuffle at
+    // all; the union construction always re-shuffles because the union of
+    // two hash-partitioned relations has no partitioning
+    val wh = java.nio.file.Files.createTempDirectory("asof_bucket").toFile
+    wh.deleteOnExit()
+    val l = (1 to 1000).map(i => (i % 13L, i.toLong)).toDF("k", "t")
+    val r = (1 to 300).map(i => (i % 13L, i.toLong * 3, i * 0.5)).toDF("k", "t", "v")
+    l.write.mode("overwrite").bucketBy(4, "k").sortBy("k", "t")
+      .option("path", s"$wh/asof_l").saveAsTable("asof_l")
+    r.write.mode("overwrite").bucketBy(4, "k").sortBy("k", "t")
+      .option("path", s"$wh/asof_r").saveAsTable("asof_r")
+    try {
+      val df = AsOfJoinApi.joinBackward(
+        spark.table("asof_l"), spark.table("asof_r"), Seq("k"), "t", Seq("v"))
+      df.collect()
+      val plan = execPlan(df).split("== Initial Plan ==").head
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("multi-key grouping: matches never cross composite keys") {
     val left = Seq((1, "x", 10L), (1, "y", 10L), (2, "x", 10L)).toDF("k1", "k2", "t")
     val right = Seq((1, "x", 5L, 1.0), (1, "y", 6L, 2.0), (2, "y", 1L, 9.0))
