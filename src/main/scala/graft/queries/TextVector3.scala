@@ -16,18 +16,29 @@ object TextVector3 {
 
   def defs: Seq[QueryDef] = Seq(d28, d29, s6)
 
-  /** Edit-distance candidate pairs (see d28 scaladoc). */
+  /** Edit-distance candidate pairs (see d28 scaladoc).
+    *
+    * Two scale decisions beyond the blocking itself:
+    *   - the LEFT side repartitions on the block key: a corpus that fits in
+    *     one scan partition would otherwise evaluate EVERY pair on one
+    *     task — the quadratic work must spread even when the input is
+    *     small relative to it;
+    *   - `levenshtein(a, b, threshold)` runs the BANDED O(n·k) DP with
+    *     early exit instead of the full O(n²) table — above-threshold
+    *     pairs (the vast majority) cost a fraction of an exact distance.
+    *     It returns -1 above the cap, so the filter keeps [0, maxDist]. */
   def editDistancePairs(docs: DataFrame, bucketChars: Int, prefixLen: Int,
                         maxDist: Int): DataFrame = {
     val b = docs.select(col("doc_id"), col("lang"),
       (col("n_chars") / bucketChars).cast(LongType).as("bkt"),
       substring(col("text"), 1, prefixLen).as("p"))
-    val l = b.select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("p").as("a_p"))
+    val l = b.repartition(col("lang"), col("bkt"))
+      .select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("p").as("a_p"))
     val r = b.select(col("doc_id").as("b_id"), col("lang"), col("bkt"), col("p").as("b_p"))
-    l.join(r, Seq("lang", "bkt"))
+    l.join(broadcast(r), Seq("lang", "bkt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_p"), col("b_p")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
   }
 
