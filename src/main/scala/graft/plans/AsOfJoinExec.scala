@@ -42,6 +42,14 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   extends LogicalBinaryNode {
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equality key, same count both sides")
+  // the exec compares right-side rows with orderings built from LEFT types;
+  // a type mismatch would mis-compare silently, not throw
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types differ: ${leftKeys.map(_.dataType.simpleString)} vs " +
+      s"${rightKeys.map(_.dataType.simpleString)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType.simpleString} vs " +
+      s"${rightTime.dataType.simpleString}")
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -68,6 +76,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // output rows keep the left child's partitioning (each output row IS a
+  // left row plus attached values) — without this, downstream operators
+  // keyed on the same keys would re-shuffle already co-partitioned data
+  override def outputPartitioning = left.outputPartitioning
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),

@@ -35,7 +35,12 @@ object TextVector3 {
     val l = b.repartition(col("lang"), col("bkt"))
       .select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("p").as("a_p"))
     val r = b.select(col("doc_id").as("b_id"), col("lang"), col("bkt"), col("p").as("b_p"))
-    l.join(broadcast(r), Seq("lang", "bkt"))
+    // no broadcast hint: a small corpus auto-broadcasts (and the explicit
+    // repartition above keeps the pair work spread either way); a corpus
+    // past the threshold falls back to a shuffle join on the block keys,
+    // which is the design — the blocking exists so pair work never needs
+    // corpus-wide co-location
+    l.join(r, Seq("lang", "bkt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)

@@ -43,8 +43,15 @@ class FixtureJsonSource extends TableProvider with DataSourceRegister {
     FixtureJson.inferSchema(FixtureJson.dir(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new FixtureJsonTable(schema, properties.get("path"))
+                        properties: JMap[String, String]): Table = {
+    // with a user-supplied schema inferSchema (and its path require) never
+    // runs; validate here or a missing/multi path NPEs at scan build
+    val path = properties.get("path")
+    require(path != null,
+      "fixture-json requires exactly one .load(<dir>) / option(\"path\", ...) " +
+        "(multi-path loads are not supported)")
+    new FixtureJsonTable(schema, path)
+  }
 }
 
 private[v2] object FixtureJson {
@@ -75,7 +82,7 @@ private[v2] object FixtureJson {
     require(arr.isArray && arr.size() > 0,
       s"fixture-json: ${files.head} is not a non-empty JSON array")
     val first = arr.get(0)
-    val dataFields = first.fieldNames.asScala.toSeq.sorted.map { f =>
+    val dataFields = first.fieldNames.asScala.toSeq.map { f =>
       val v = first.get(f)
       val t =
         if (f == "date") DateType

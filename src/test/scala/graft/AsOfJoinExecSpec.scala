@@ -107,10 +107,46 @@ class AsOfJoinExecSpec extends SparkSpec {
       val plan = execPlan(df).split("== Initial Plan ==").head
       assert(plan.contains("AsOfJoin"), plan)
       assert(!plan.contains("Exchange"), plan)
+      // outputPartitioning carries the left child's partitioning through,
+      // so a downstream agg on the join keys re-shuffles nothing either
+      val agg = df.groupBy("k").agg(sum("v"))
+      agg.collect()
+      val aggPlan = execPlan(agg).split("== Initial Plan ==").head
+      assert(!aggPlan.contains("Exchange"), aggPlan)
     } finally {
       spark.sql("DROP TABLE IF EXISTS asof_l")
       spark.sql("DROP TABLE IF EXISTS asof_r")
     }
+  }
+
+  test("self-join: both sides from one relation re-alias instead of mis-pruning") {
+    // left and right derive from the SAME DataFrame, so their attribute ids
+    // collide — the API's re-alias branch must keep the optimizer from
+    // resolving right-side references against the left child
+    val ev = Seq((1L, 1L, "click", 1.5), (1L, 5L, "purchase", 0.0),
+      (2L, 2L, "purchase", 0.0)).toDF("user_id", "t", "kind", "v")
+    val purchases = ev.filter($"kind" === "purchase").select("user_id", "t")
+    val clicks = ev.filter($"kind" === "click")
+      .select($"user_id", $"t", $"v".as("click_v"))
+    val out = AsOfJoinApi.joinBackward(purchases, clicks,
+      Seq("user_id"), "t", Seq("click_v"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("click_v")))).toSeq
+    assert(out == Seq((1L, Some(1.5)), (2L, None)))
+  }
+
+  test("mismatched key or time types fail loudly at construction") {
+    val l = Seq((1, 1L)).toDF("k", "t")
+    val rBadKey = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")   // k long vs int
+    val rBadTime = Seq((1, 1.5, 1.0)).toDF("k", "t", "v")  // t double vs long
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoinApi.joinBackward(l, rBadKey, Seq("k"), "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinApi.joinBackward(l, rBadTime, Seq("k"), "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("time types differ"))
   }
 
   test("multi-key grouping: matches never cross composite keys") {
