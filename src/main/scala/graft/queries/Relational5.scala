@@ -13,7 +13,7 @@ import QueryDef.{dec, moneySum, ONE}
   */
 object Relational5 {
 
-  def defs: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)
+  def defs: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75)
 
   /** TPC-H Q5 shape: 6-table star join with the "local supplier" condition
     * (customer and supplier in the SAME nation — a second equi-constraint
@@ -218,4 +218,39 @@ object Relational5 {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
+
+  /** VALUE-based RANGE window frame (vs q46's date-range): for each
+    * lineitem ordered by quantity within its supplier, how many rows (and
+    * how much price) sit within 5 quantity units below it — a density
+    * profile. RANGE frames are peer-inclusive by VALUE, so ties are
+    * deterministic even though the row order under them is not; the
+    * judged output aggregates to one row per supplier (testdata lineitem
+    * has full-row duplicates — the q68 lesson — so no per-row unique
+    * ORDER BY exists). */
+  val q75 = QueryDef("q75_value_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+        .rangeBetween(-5, 0)
+      Tables.lineitem(s, dir)
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_price", sum(dec(col("l_extendedprice"))).over(w)
+          .cast(DoubleType))
+        .groupBy("l_suppkey")
+        .agg(max(col("win_n")).as("peak_density"),
+          moneySum(col("win_price")).as("sum_win_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH w AS (
+        SELECT l_suppkey,
+          COUNT(*) OVER fr AS win_n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER fr AS DOUBLE)
+            AS win_price
+        FROM lineitem
+        WINDOW fr AS (PARTITION BY l_suppkey ORDER BY l_quantity
+          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+      SELECT l_suppkey, MAX(win_n) AS peak_density,
+        CAST(SUM(CAST(win_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_win_price,
+        COUNT(*) AS n
+      FROM w GROUP BY l_suppkey ORDER BY l_suppkey"""))
 }

@@ -14,7 +14,7 @@ import graft.functions.TextFns
   */
 object TextVector3 {
 
-  def defs: Seq[QueryDef] = Seq(d28, d29, s6)
+  def defs: Seq[QueryDef] = Seq(d28, d29, d30, s6, s7)
 
   /** Edit-distance candidate pairs (see d28 scaladoc).
     *
@@ -123,4 +123,45 @@ object TextVector3 {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2 ORDER BY window_start, c_mktsegment"""))
+
+  /** HyperLogLog++ approximate distinct (`approx_count_distinct`) beside
+    * the exact count — the constant-state cardinality path for when even
+    * KMV's k values are too much per group. Registered rows-only: HLL
+    * sketches are engine-specific by construction (d20's KMV is the
+    * deterministic oracle-gated sketch); ApproxDistinctSpec pins the
+    * error envelope against the exact count instead. */
+  val d30 = QueryDef("d30_approx_distinct",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    None)
+
+  /** Stream-stream LEFT OUTER interval join twin (EventStreams
+    * .purchasesWithClick in batch mode): purchases keep their
+    * no-click-preceded rows as NULLs. Null click_ids sort FIRST on both
+    * engines (Spark's asc default vs DuckDB's NULLS LAST — the q64
+    * lesson). Streaming null-emission semantics pinned by Coverage5Spec's
+    * MemoryStream test. */
+  val s7 = QueryDef("s7_stream_left_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.streaming.EventStreams
+        .purchasesWithClick(purchases, clicks, streaming = false)
+        .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+      ORDER BY purchase_id, click_id NULLS FIRST"""))
 }

@@ -148,6 +148,27 @@ object EventStreams {
         col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, with its
+    * preceding-30-minutes clicks attached — or NULLs once it's certain no
+    * click can match. The outer side is the capability inner joins don't
+    * exercise: a purchase row is held in state and emitted with NULLs only
+    * when the watermark passes its match window's upper bound (`c.ts <=
+    * p.ts` means no future click can match once the watermark clears
+    * p.ts), so null emission is event-time-deterministic, not timing-
+    * dependent. Batch mode: the same plan as a left outer hash join +
+    * range filter (s7_stream_left_join gates it). */
+  def purchasesWithClick(purchases: DataFrame, clicks: DataFrame,
+                         streaming: Boolean): DataFrame = {
+    val p = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).alias("p")
+    val c = (if (streaming) clicks.withWatermark("ts", "10 minutes")
+             else clicks).alias("c")
+    p.join(c, expr("p.user_id = c.user_id AND " +
+        "c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts"), "left_outer")
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
+  }
+
   /** File-source stream over an events directory (parquet), processing all
     * available data then stopping — the `Trigger.AvailableNow` incremental
     * pattern that replaces the reference's mtime-staleness checks. */

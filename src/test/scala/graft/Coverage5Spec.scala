@@ -10,6 +10,10 @@ import graft.streaming.EventStreams
   * native-function agreement the exact-decimal oracle form can't see, and
   * streaming/batch agreement.
   */
+object Coverage5Spec {
+  final case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+}
+
 class Coverage5Spec extends SparkSpec {
   import spark.implicits._
 
@@ -138,6 +142,53 @@ class Coverage5Spec extends SparkSpec {
       // the enrich is visible: segments, not event types, key the rollup
       assert(streamed.map(_._2).toSet == Set("AUTO", "RETAIL"))
     } finally q.stop()
+  }
+
+  test("stream-stream left outer join emits NULLs once the watermark clears the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import Coverage5Spec.Ev
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.purchasesWithClick(
+      purchases.toDF(), clicks.toDF(), streaming = true)
+    val q = joined.writeStream.format("memory").queryName("leftjoin_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click then purchase (match); user 2: purchase, no click
+      clicks.addData(Ev(100L, 1L, t("2024-01-01 09:50:00")))
+      purchases.addData(Ev(1L, 1L, t("2024-01-01 10:00:00")),
+        Ev(2L, 2L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // matched row may emit eagerly; the NULL row must NOT exist yet
+      val early = spark.table("leftjoin_test")
+        .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("click_id"))))
+      assert(!early.contains((2L, None)), early.toSeq.toString)
+      // advance BOTH watermarks well past 10:05 + 10 min delay
+      clicks.addData(Ev(101L, 99L, t("2024-01-01 12:00:00")))
+      purchases.addData(Ev(3L, 98L, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // one more batch so the state-eviction pass runs after the new watermark
+      clicks.addData(Ev(102L, 99L, t("2024-01-01 12:30:00")))
+      purchases.addData(Ev(4L, 98L, t("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("leftjoin_test")
+        .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("click_id")))).toSet
+      assert(rows.contains((1L, Some(100L))), rows.toString)  // the match
+      assert(rows.contains((2L, None)), rows.toString)        // null-emitted
+    } finally q.stop()
+  }
+
+  test("approx_count_distinct stays within 5% of exact on the events table") {
+    val df = graft.queries.TextVector3.d30.fn(spark, "/root/testdata/sf0.01")
+      .select("approx_users", "exact_users")
+      .as[(Long, Long)].collect()
+    assert(df.nonEmpty)
+    df.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
   }
 
   test("q69 star join plan broadcasts every dimension (single big-table shuffle)") {
