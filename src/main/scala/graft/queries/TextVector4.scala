@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Seventh coverage batch — training-data pipeline signals: disjoint-segment
+  * exact dedup (the CCNet-style "remove boilerplate blocks" primitive over
+  * whitespace corpora), duplicate-n-gram coverage (the RefinedWeb quality
+  * signal), per-source corpus quality profiling, and the chained-stateful
+  * active-users rollup. Each oracle-gated against DuckDB.
+  */
+object TextVector4 {
+
+  def defs: Seq[QueryDef] = Seq(d31, d32, d33, s8)
+
+  /** Disjoint 20-token segments hashed and counted across the corpus; a
+    * segment is a duplicate when it appears in ≥2 DISTINCT documents. Per
+    * doc: segment count, cross-doc duplicate count, duplicate fraction.
+    * Scale: the explode output is O(tokens/20) rows partitioned by hash —
+    * the global histogram is one shuffle on h; no per-doc state exceeds
+    * its own segment list, and the dup-set join is shuffle-on-h again
+    * (co-partitioned with the histogram, AQE-coalesced). */
+  val d31 = QueryDef("d31_segment_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      val segs = toks.filter(size(col("toks")) >= 20)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), (size(col("toks")) / 20).cast(IntegerType))).as("i"),
+          col("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), (col("i") - 1) * 20 + 1, lit(20)))).as("h"))
+      val dups = segs.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("isdup"))
+      val per = segs.join(dups, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"), count(col("isdup")).as("n_dup_segments"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_dup_segments"), lit(0L)).as("n_dup_segments"),
+          when(col("n_segments").isNotNull,
+            round(col("n_dup_segments") / col("n_segments"), 9)).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      seg AS (SELECT doc_id,
+          md5(array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' ')) AS h
+        FROM tok, UNNEST(generate_series(1, len(toks)//20)) AS t(i)
+        WHERE len(toks) >= 20),
+      dup AS (SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (SELECT seg.doc_id, COUNT(*) AS n_segments, COUNT(dup.h) AS n_dup_segments
+        FROM seg LEFT JOIN dup ON seg.h = dup.h GROUP BY seg.doc_id)
+      SELECT d.doc_id,
+        COALESCE(per.n_segments, 0) AS n_segments,
+        COALESCE(per.n_dup_segments, 0) AS n_dup_segments,
+        CASE WHEN per.n_segments IS NOT NULL
+          THEN round(per.n_dup_segments::DOUBLE / per.n_segments::DOUBLE, 9) END AS dup_frac
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Per-source corpus profile: doc count, exact mean words, distinct
+    * languages, short-doc fraction, and a total-ordered quality rank.
+    * The rank input is 20 rows (one per source) — the window cost is on
+    * the REDUCED set, the corpus only pays one scan + one shuffle. */
+  val d32 = QueryDef("d32_source_quality",
+    (s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("words"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("total_words"),
+          countDistinct(col("lang")).as("n_langs"),
+          count_if(col("words") < 30).as("n_short"))
+      per.select(col("source"), col("n_docs"), col("total_words"), col("n_langs"),
+          round(col("total_words") / col("n_docs"), 9).as("avg_words"),
+          round(col("n_short") / col("n_docs"), 9).as("short_frac"))
+        .withColumn("quality_rank", row_number().over(
+          Window.orderBy(col("avg_words").desc, col("source"))).cast(LongType))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_words,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(*) FILTER (WHERE len(regexp_split_to_array(trim(text), '\s+')) < 30) AS n_short
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, total_words, n_langs,
+        round(total_words::DOUBLE / n_docs::DOUBLE, 9) AS avg_words,
+        round(n_short::DOUBLE / n_docs::DOUBLE, 9) AS short_frac,
+        row_number() OVER (ORDER BY round(total_words::DOUBLE / n_docs::DOUBLE, 9) DESC, source) AS quality_rank
+      FROM per ORDER BY source"""))
+
+  /** Duplicate-n-gram coverage (RefinedWeb-style): the fraction of each
+    * document's DISTINCT word-5-grams that also occur in another document.
+    * Differs from d31 in granularity (sliding, overlapping) and in set
+    * semantics (per-doc distinct). High coverage = templated/boilerplate
+    * text. Same one-shuffle-on-hash scale shape as d31. */
+  val d33 = QueryDef("d33_dup_ngram_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")) - 4)).as("i"), col("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), col("i"), lit(5)))).as("h"))
+        .distinct()
+      val shared = grams.groupBy("h")
+        .agg(count(lit(1)).as("nd")) // rows are distinct per (doc, h) already
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("issh"))
+      grams.join(shared, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("issh")).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared") / col("n_grams"), 9).as("coverage"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        FROM tok, UNNEST(generate_series(1, len(toks)-4)) AS t(i)
+        WHERE len(toks) >= 5),
+      sh AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2)
+      SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(sh.h) AS n_shared,
+        round(COUNT(sh.h)::DOUBLE / COUNT(*)::DOUBLE, 9) AS coverage
+      FROM g LEFT JOIN sh ON g.h = sh.h
+      GROUP BY g.doc_id ORDER BY g.doc_id"""))
+
+  /** Chained stateful aggregation, batch twin: hourly active users via
+    * per-(window, user) pre-aggregation — the scalable COUNT(DISTINCT)
+    * shape (see EventStreams.hourlyActiveUsers for the streaming mode). */
+  val s8 = QueryDef("s8_active_users",
+    (s, dir) => graft.streaming.EventStreams
+      .hourlyActiveUsers(Tables.events(s, dir), withWatermark = false)
+      .orderBy("window_start"),
+    Some("""WITH per AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+        user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT w AS window_start, COUNT(*) AS n_active_users,
+        CAST(SUM(n) AS BIGINT) AS total_events
+      FROM per GROUP BY w ORDER BY w"""))
+}

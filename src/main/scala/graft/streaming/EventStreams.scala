@@ -30,6 +30,26 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** CHAINED stateful aggregation: per-(hour, user) counts re-aggregated to
+    * per-hour active-user counts — two stateful operators in one streaming
+    * query (supported since Spark 3.4's multiple-stateful-operator work;
+    * the second groupBy keys on the FIRST aggregation's window column, so
+    * the watermark propagates through and both state stores evict). The
+    * two-level shape is the scalable form of COUNT(DISTINCT user): the
+    * first level's state is (window, user) — partitioned by user, no
+    * per-window giant set; the second level sees one row per active user
+    * per window, not one per event. Same plan batch or streaming
+    * (s8_active_users is the oracle-gated batch twin). */
+  def hourlyActiveUsers(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_active_users"), sum(col("n")).as("total_events"))
+      .select(col("window.start").as("window_start"),
+        col("n_active_users"), col("total_events"))
+  }
+
   /** Stream-static enrichment: the event stream joined to a SMALL static
     * dimension (user → market segment), then windowed per-segment rollups.
     * The canonical streaming topology Spark executes without extra state:

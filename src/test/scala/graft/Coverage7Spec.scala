@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Specs for the seventh coverage batch (d31-d33, s8). The DuckDB oracle
+  * pins full-output equality; these pin the dedup-signal semantics on
+  * constructed corpora and the chained-stateful streaming/batch agreement.
+  */
+class Coverage7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val t = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  private def seg20(docId: Long, toks: Seq[String]) = (docId, toks.mkString(" "))
+
+  test("segment dedup: a 20-token block shared across docs is flagged in both, unique blocks are not") {
+    val block = (1 to 20).map(i => s"w$i")
+    val uniqA = (1 to 20).map(i => s"a$i")
+    val uniqB = (1 to 20).map(i => s"b$i")
+    val docs = Seq(
+      seg20(1L, block ++ uniqA),   // 2 segments: shared + unique
+      seg20(2L, block ++ uniqB),   // 2 segments: shared + unique
+      seg20(3L, (1 to 15).map(i => s"c$i"))) // <20 tokens → 0 segments
+      .toDF("doc_id", "text")
+    val toks = docs.select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+    val segs = toks.filter(size($"toks") >= 20)
+      .select($"doc_id", explode(sequence(lit(1), (size($"toks") / 20).cast("int"))).as("i"), $"toks")
+      .select($"doc_id", md5(concat_ws(" ", slice($"toks", ($"i" - 1) * 20 + 1, lit(20)))).as("h"))
+    val dups = segs.groupBy("h").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"h", lit(1).as("isdup"))
+    val per = segs.join(dups, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), count($"isdup").as("n_dup_segments"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(per == Seq((1L, 2L, 1L), (2L, 2L, 1L))) // doc 3 has no segments
+  }
+
+  test("dup-ngram coverage: fully-templated doc scores 1.0, disjoint doc scores 0.0") {
+    val shared = (1 to 10).map(i => s"s$i") // doc 1 ⊂ doc 2's vocabulary
+    val docs = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ (1 to 3).map(i => s"x$i")).mkString(" ")),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val grams = docs.select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(sequence(lit(1), size($"toks") - 4)).as("i"), $"toks")
+      .select($"doc_id", md5(concat_ws(" ", slice($"toks", $"i", lit(5)))).as("h"))
+      .distinct()
+    val shared2 = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"h", lit(1).as("issh"))
+    val cov = grams.join(shared2, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg((count($"issh") / count(lit(1))).as("coverage"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(cov(1L) == 1.0)      // every 5-gram of doc 1 appears in doc 2
+    assert(cov(3L) == 0.0)      // doc 3 shares nothing
+    assert(cov(2L) > 0.0 && cov(2L) < 1.0)
+  }
+
+  test("chained stateful streaming: hourly active users agrees with the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      EventStreams.EventIn(1L, t("2024-01-01 05:07:00"), "click", 1.0),
+      EventStreams.EventIn(1L, t("2024-01-01 05:30:00"), "view", 2.0),
+      EventStreams.EventIn(2L, t("2024-01-01 05:59:00"), "view", 2.0),
+      EventStreams.EventIn(1L, t("2024-01-01 06:20:00"), "click", 4.0))
+    // watermark pusher: far-future event closes the 05h and 06h windows
+    val pusher = EventStreams.EventIn(9L, t("2024-01-01 09:00:00"), "click", 0.0)
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.hourlyActiveUsers(stream.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("active_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(rows.take(3)); q.processAllAvailable()
+      stream.addData(rows.drop(3)); q.processAllAvailable()
+      stream.addData(Seq(pusher)); q.processAllAvailable()
+      // one more batch so the new watermark actually evicts + emits
+      stream.addData(Seq(pusher)); q.processAllAvailable()
+      val streamed = spark.table("active_test")
+        .filter($"window_start" < t("2024-01-01 09:00:00"))
+        .orderBy("window_start")
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+      val batch = EventStreams.hourlyActiveUsers(
+          rows.toDF().select($"user_id", $"ts", $"event_type", $"value"),
+          withWatermark = false)
+        .orderBy("window_start")
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      // two users in the 05h window, one in the 06h window
+      assert(batch.map(x => (x._2, x._3)) == Seq((2L, 3L), (1L, 1L)))
+    } finally q.stop()
+  }
+}
