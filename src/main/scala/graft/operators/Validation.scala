@@ -28,6 +28,24 @@ object Validation {
     }
   }
 
+  /** Single-pass pipeline observability: `df.observe` attaches aggregate
+    * metrics (row count, null counts, value bounds) that are computed
+    * DURING whatever action consumes the frame — at 100 TB a separate
+    * stats scan doubles the I/O bill; observed metrics ride the existing
+    * pass for free (they run as accumulator-backed aggregates, no extra
+    * shuffle, no extra scan). Returns the instrumented frame plus the
+    * Observation handle; call `obs.get` AFTER an action completes. */
+  def observedStats(df: DataFrame, cols: Seq[String]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(count_if(col(c).isNull).as(s"${c}_nulls"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+      }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** Jump rule (reference V3): flag when |cur/prev| > limit and |prev| >=
     * floor, prev taken from the previous row per entity. */
   final case class JumpRule(colName: String, limit: Double, prevFloor: Double) {

@@ -14,7 +14,7 @@ import QueryDef.{dec, moneySum}
   */
 object Relational6 {
 
-  def defs: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83)
+  def defs: Seq[QueryDef] = Seq(q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 
   /** Day-resolution (date, orderkey) encoded into ONE sortable BIGINT —
     * both engines' argmin/argmax take a scalar ordering value, and the
@@ -232,4 +232,40 @@ object Relational6 {
       COUNT(DISTINCT l_linestatus) AS n_status,
       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Distributed global row numbering (`core.Indexing.globalRowIds`): dense
+    * 0-based ids ordered by orderkey WITHOUT the single-partition Window
+    * the naive row_number-over-everything plans — two distributed passes
+    * (monotone bucketing + broadcast offset join). The oracle IS the naive
+    * form, proving bucketing is invisible in the result. */
+  val q84 = QueryDef("q84_global_rowid",
+    (s, dir) => {
+      graft.core.Indexing.globalRowIds(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          key = "o_orderkey", idCol = "rid", nBuckets = 64)
+        .select("o_orderkey", "o_custkey", "rid")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Histogram binning via width_bucket: fixed [0, 55) quantity bins.
+    * The bin id is a pure scalar function — the histogram is ONE shuffle
+    * on the (tiny) bin key, the canonical distributed-histogram shape. */
+  val q85 = QueryDef("q85_width_bucket",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(width_bucket(col("l_quantity"), lit(0d), lit(55d), lit(11))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CASE WHEN l_quantity < 0 THEN 0
+             WHEN l_quantity >= 55 THEN 12
+             ELSE CAST(floor(l_quantity / 5) AS BIGINT) + 1 END AS bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1 ORDER BY bucket"""))
 }

@@ -60,6 +60,50 @@ class Coverage7Spec extends SparkSpec {
     assert(cov(2L) > 0.0 && cov(2L) < 1.0)
   }
 
+  test("globalRowIds equals the single-partition row_number and avoids its plan") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed keys + duplicates (tie-break column makes the order total)
+    val df = (1 to 500).map(i => (math.min(i, 450).toLong, i.toLong))
+      .toDF("k", "tb")
+    val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
+      nBuckets = 16, tieBreak = Seq("tb"))
+    val want = df.withColumn("rid",
+      row_number().over(Window.orderBy($"k", $"tb")) - 1)
+    assert(got.select("k", "tb", "rid").except(want.select("k", "tb", "rid")).isEmpty &&
+      want.select("k", "tb", "rid").except(got.select("k", "tb", "rid")).isEmpty)
+    // ids are dense 0..n-1
+    val ids = got.select("rid").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 500L))
+    // the scalable plan must not sort everything into one partition: the
+    // only SinglePartition exchange allowed is over the tiny bucket
+    // histogram (its input is an aggregate, not the full input relation)
+    val plan = got.queryExecution.executedPlan.toString
+    val naive = want.queryExecution.executedPlan.toString
+    assert(naive.contains("SinglePartition"), "baseline should show the hazard")
+    val winLines = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!winLines.contains("__bucket ASC") || !plan.contains("rangepartitioning(k"),
+      s"row ids must come from the per-bucket window, got:\n$plan")
+  }
+
+  test("globalRowIds: single-value key collapses to one bucket and still works") {
+    val df = Seq(5L, 5L, 5L).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "tb")
+    val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
+      nBuckets = 8, tieBreak = Seq("tb"))
+      .orderBy("tb").select("rid").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("observe: metrics ride the consuming action, no second scan") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(9.0))).toDF("id", "v")
+    val (instrumented, obs) = graft.operators.Validation.observedStats(df, Seq("v"))
+    assert(instrumented.count() == 3) // the action that materializes metrics
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("v_nulls") == 1L)
+    assert(m("v_min") == 2.0 && m("v_max") == 9.0)
+  }
+
   test("chained stateful streaming: hourly active users agrees with the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
