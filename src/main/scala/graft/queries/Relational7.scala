@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import QueryDef.moneySum
+
+/** Eighth coverage batch: correlated EXISTS decorrelation, the NOT IN /
+  * NOT EXISTS null-semantics trap, IGNORE NULLS window navigation, and
+  * EXCEPT ALL multiset difference — each oracle-gated against DuckDB —
+  * plus the approximate-quantile sketch (rows-only, envelope-gated by
+  * spec like the HLL d30).
+  */
+object Relational7 {
+
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, d34)
+
+  /** Correlated EXISTS: customers having at least one high-value 1997
+    * order. Catalyst decorrelates the per-row subquery probe into ONE
+    * left-semi hash join — |customer| probes become one shuffle. */
+  val q86 = QueryDef("q86_exists_subquery",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_v")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_v")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM cust_v
+        WHERE EXISTS (SELECT 1 FROM ord_v
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            AND year(o_orderdate) = 1997)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000
+          AND year(o_orderdate) = 1997)
+      ORDER BY c_custkey"""))
+
+  /** The NOT IN vs NOT EXISTS null trap, pinned on BOTH engines: a NOT IN
+    * whose subquery can yield NULL returns an EMPTY set (three-valued
+    * logic — x <> NULL is unknown), while NOT EXISTS does the intended
+    * anti-join. The query emits both counts so the semantic difference
+    * is itself the oracle-gated result; the null is injected to make the
+    * trap fire deterministically. Scale note: Spark plans NOT IN as a
+    * null-aware anti join (broadcast required for correctness) — a known
+    * scale hazard, which is WHY the anti-join form (q20) is the
+    * recommended surface. */
+  val q87 = QueryDef("q87_not_in_trap",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust87_v")
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 250000)
+        .select(when(col("o_orderkey") % 1000 === 0, lit(null).cast(LongType))
+          .otherwise(col("o_custkey")).as("k"))
+        .createOrReplaceTempView("okeys87_v")
+      s.sql("""SELECT
+          (SELECT COUNT(*) FROM cust87_v WHERE c_custkey NOT IN (SELECT k FROM okeys87_v)) AS n_not_in,
+          (SELECT COUNT(*) FROM cust87_v c WHERE NOT EXISTS (
+             SELECT 1 FROM okeys87_v o WHERE o.k = c.c_custkey)) AS n_not_exists""")
+    },
+    Some("""WITH okeys AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+            ELSE o_custkey END AS k FROM orders WHERE o_totalprice > 250000)
+      SELECT
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM okeys)) AS n_not_in,
+        (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (
+           SELECT 1 FROM okeys o WHERE o.k = c.c_custkey)) AS n_not_exists"""))
+
+  /** IGNORE NULLS window navigation: per customer's order sequence, the
+    * previous non-null "big order" price and the first/last non-null over
+    * the whole partition. The sparse carry (lag ignore nulls) is the
+    * same primitive the gap-fill (q70) uses frame-wide. */
+  val q88 = QueryDef("q88_ignore_nulls_nav",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .withColumn("big", when(col("o_totalprice") > 150000, col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("big"),
+          lag(col("big"), 1, null, ignoreNulls = true).over(w).as("prev_big"),
+          first(col("big"), ignoreNulls = true).over(wFull).as("first_big"),
+          last(col("big"), ignoreNulls = true).over(wFull).as("last_big"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big,
+        lag(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_big,
+        first_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_big,
+        last_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_big
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** EXCEPT ALL: multiset difference keeps surplus duplicates (set EXCEPT
+    * would collapse them — q54 covers that form). 1997's (custkey,
+    * priority) bag minus 1996's: a customer with three 1997 URGENT orders
+    * and one 1996 URGENT order keeps TWO rows. One shuffle per side. */
+  val q89 = QueryDef("q89_except_all",
+    (s, dir) => {
+      def bag(y: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      bag(1997).exceptAll(bag(1996))
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("surplus"))
+        .orderBy("o_custkey", "o_orderpriority")
+    },
+    Some("""WITH d AS (
+        SELECT o_custkey, o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+        EXCEPT ALL
+        SELECT o_custkey, o_orderpriority FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS surplus
+      FROM d GROUP BY o_custkey, o_orderpriority
+      ORDER BY o_custkey, o_orderpriority"""))
+
+  /** Approximate percentile sketch (rows-only — like the HLL d30, the
+    * sketch is engine-specific; CoverageSpec gates the error envelope
+    * against the exact quantiles instead). Constant-memory mergeable
+    * state per group vs the exact form's full sort — the 100 TB path
+    * when ±1% rank error is acceptable. */
+  val d34 = QueryDef("d34_approx_quantile",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("approx_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    None)
+}

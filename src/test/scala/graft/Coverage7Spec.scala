@@ -104,6 +104,51 @@ class Coverage7Spec extends SparkSpec {
     assert(m("v_min") == 2.0 && m("v_max") == 9.0)
   }
 
+  test("NOT IN with a null in the subquery returns empty; NOT EXISTS anti-joins") {
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("trap_l")
+    Seq(Some(1L), None).toDF("k").createOrReplaceTempView("trap_r")
+    val notIn = spark.sql(
+      "SELECT COUNT(*) FROM trap_l WHERE id NOT IN (SELECT k FROM trap_r)").head().getLong(0)
+    val notExists = spark.sql(
+      """SELECT COUNT(*) FROM trap_l l WHERE NOT EXISTS (
+           SELECT 1 FROM trap_r r WHERE r.k = l.id)""").head().getLong(0)
+    assert(notIn == 0L)      // three-valued logic: id <> NULL is unknown
+    assert(notExists == 2L)  // ids 2 and 3 have no match
+  }
+
+  test("exceptAll keeps surplus duplicate multiplicity; except collapses it") {
+    val a = Seq("x", "x", "x", "y").toDF("v")
+    val b = Seq("x", "z").toDF("v")
+    assert(a.exceptAll(b).groupBy("v").count().orderBy("v")
+      .as[(String, Long)].collect().toSeq == Seq(("x", 2L), ("y", 1L)))
+    assert(a.except(b).orderBy("v").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("lag ignore nulls skips over null rows to the last real value") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)))
+      .toDF("i", "x")
+    val got = df.select($"i",
+        lag($"x", 1, null, ignoreNulls = true).over(Window.orderBy("i")).as("p"))
+      .orderBy("i").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    assert(got == Seq(None, Some(10.0), Some(10.0), Some(10.0)))
+  }
+
+  test("approx_percentile stays within a 2% rank envelope of the exact quantiles") {
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val approx = li.agg(approx_percentile($"l_extendedprice",
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))).head().getSeq[Double](0)
+    val n = li.count().toDouble
+    // measure the realized rank of each approximate cut — the sketch bound
+    // is on RANK error (<= 1/accuracy), not on the value
+    approx.zip(Seq(0.25, 0.5, 0.75)).foreach { case (cut, p) =>
+      val rank = li.filter($"l_extendedprice" <= cut).count() / n
+      assert(math.abs(rank - p) <= 0.02, s"cut $cut for p=$p landed at rank $rank")
+    }
+  }
+
   test("chained stateful streaming: hourly active users agrees with the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
