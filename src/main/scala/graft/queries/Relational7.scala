@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, d34)
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -115,6 +115,72 @@ object Relational7 {
       SELECT o_custkey, o_orderpriority, COUNT(*) AS surplus
       FROM d GROUP BY o_custkey, o_orderpriority
       ORDER BY o_custkey, o_orderpriority"""))
+
+  /** Positional explode: tokens with their 1-based ordinal. posexplode
+    * carries the index through the flatten — no window, no join-back-on-
+    * self; the per-row lateral runs inside the scan stage. */
+  val q90 = QueryDef("q90_posexplode",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(slice(graft.functions.TextFns.tokens(col("text")), 1, 5)))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id, i AS pos, toks[i] AS token
+      FROM tok, UNNEST(generate_series(1, least(len(toks), 5))) AS t(i)
+      ORDER BY doc_id, pos"""))
+
+  /** Array set algebra on collected per-year distinct quantity sets:
+    * intersect / except / union, all sorted so the array VALUES are the
+    * judged surface (set-op output order is engine-specific). The arrays
+    * stay per-group small (≤50 distinct quantities) — build cost is one
+    * shuffle, the set ops are per-row lambdas. */
+  val q91 = QueryDef("q91_array_set_ops",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def yearSet(y: Int) = li.filter(year(col("l_shipdate")) === y)
+        .groupBy("l_returnflag")
+        .agg(array_sort(collect_set(col("l_quantity"))).as(s"qs_$y"))
+      yearSet(1996).join(yearSet(1997), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          array_sort(array_intersect(col("qs_1996"), col("qs_1997"))).as("both"),
+          array_sort(array_except(col("qs_1996"), col("qs_1997"))).as("only_1996"),
+          array_sort(array_union(col("qs_1996"), col("qs_1997"))).as("either"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH a AS (SELECT l_returnflag, list_sort(list_distinct(list(l_quantity))) AS qs
+        FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_returnflag),
+      b AS (SELECT l_returnflag, list_sort(list_distinct(list(l_quantity))) AS qs
+        FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY l_returnflag)
+      SELECT a.l_returnflag,
+        list_sort(list_intersect(a.qs, b.qs)) AS both,
+        list_sort(list_filter(a.qs, x -> NOT list_contains(b.qs, x))) AS only_1996,
+        list_sort(list_distinct(list_concat(a.qs, b.qs))) AS either
+      FROM a JOIN b USING (l_returnflag)
+      ORDER BY a.l_returnflag"""))
+
+  /** Discrete percentiles via the WITHIN GROUP ordered-set syntax: the cut
+    * is an ACTUAL data value (first value whose cume_dist ≥ p), so unlike
+    * interpolated quantiles it's exact-comparable without rounding. */
+  val q92 = QueryDef("q92_percentile_disc",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li92_v")
+      s.sql("""SELECT l_returnflag,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+        FROM li92_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope
