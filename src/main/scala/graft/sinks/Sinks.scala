@@ -21,6 +21,49 @@ object Sinks {
   /** K2: write-if-changed. Spark parquet bytes aren't stable run-to-run, so
     * change detection hashes content (order-independent) instead of
     * comparing file bytes; returns true when the store changed. */
+  /** Format-matrix batch write: parquet+zstd is the default store, ORC the
+    * columnar alternative, CSV/JSON the interchange escapes. One code
+    * path, format picked by name — at scale the columnar pair keeps
+    * predicate pushdown + column pruning; the text pair exists for
+    * hand-off, never for re-reading at volume (no pushdown, full parse).
+    * CSV writes a header so the roundtrip keeps column names; timestamps
+    * are written as ISO micros in UTC on every format. */
+  def writeFormat(df: DataFrame, path: String, format: String): Unit = {
+    val w = df.write.mode("overwrite")
+    format match {
+      case "parquet" => w.option("compression", "zstd").parquet(path)
+      case "orc"     => w.option("compression", "zstd").orc(path)
+      case "csv"     => w.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").csv(path)
+      case "json"    => w
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
+      case other     => throw new IllegalArgumentException(
+        s"unsupported sink format: $other (parquet|orc|csv|json)")
+    }
+  }
+
+  /** Read back what `writeFormat` wrote. CSV/JSON lose type information in
+    * transit — the caller supplies the schema to restore it (schema-less
+    * inference is non-deterministic at scale: it samples). */
+  def readFormat(spark: org.apache.spark.sql.SparkSession, path: String,
+                 format: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    format match {
+      case "parquet" => r.parquet(path)
+      case "orc"     => r.orc(path)
+      case "csv"     =>
+        val base = r.option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        schema.map(base.schema).getOrElse(base).csv(path)
+      case "json"    =>
+        val base = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        schema.map(base.schema).getOrElse(base).json(path)
+      case other     => throw new IllegalArgumentException(
+        s"unsupported source format: $other (parquet|orc|csv|json)")
+    }
+  }
+
   def writeIfChanged(df: DataFrame, path: String,
                      previousHash: Option[String]): (Boolean, String) = {
     val h = contentHash(df)
