@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, d34)
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -181,6 +181,31 @@ object Relational7 {
         percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Incremental aggregate maintenance (`core.IncrementalAgg`): the rollup
+    * is assembled from PER-YEAR partial states merged algebraically — the
+    * pattern that folds one new partition into stored state instead of
+    * re-scanning 100 TB. The oracle is the plain one-shot GROUP BY: the
+    * incremental path must be invisible in the result. */
+  val q93 = QueryDef("q93_incremental_agg",
+    (s, dir) => {
+      import graft.core.IncrementalAgg._
+      val o = Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+      // one partial state per ingest partition (year), merged pairwise in
+      // arbitrary order — associativity makes the shape irrelevant
+      val states = Seq(
+        partialize(o.filter(col("yr") <= 1996), Seq("o_custkey"), "o_totalprice"),
+        partialize(o.filter(col("yr") === 1997), Seq("o_custkey"), "o_totalprice"),
+        partialize(o.filter(col("yr") >= 1998), Seq("o_custkey"), "o_totalprice"))
+      finalizeState(merge(states, Seq("o_custkey"), "o_totalprice"), "o_totalprice")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        COUNT(o_totalprice) AS n,
+        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(o_totalprice) AS mean
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope

@@ -149,6 +149,28 @@ class Coverage7Spec extends SparkSpec {
     }
   }
 
+  test("incremental agg: merged partials equal the one-shot aggregate on any split") {
+    import graft.core.IncrementalAgg._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 300).map(_ => (rng.nextInt(10).toLong, rng.nextInt(1000) / 4.0))
+    val df = rows.toDF("k", "v")
+    // split into 3 arbitrary uneven partitions
+    val parts = Seq(df.filter($"v" < 60), df.filter($"v" >= 60 && $"v" < 90),
+      df.filter($"v" >= 90))
+    val inc = finalizeState(
+      merge(parts.map(p => partialize(p, Seq("k"), "v")), Seq("k"), "v"), "v")
+    val oneShot = finalizeState(partialize(df, Seq("k"), "v"), "v")
+    assert(inc.except(oneShot).isEmpty && oneShot.except(inc).isEmpty)
+    // folding a NEW partition into stored state changes only affected keys
+    val newPart = Seq((3L, 10000.0)).toDF("k", "v")
+    val updated = finalizeState(
+      merge(Seq(partialize(df, Seq("k"), "v"), partialize(newPart, Seq("k"), "v")),
+        Seq("k"), "v"), "v")
+    val hi3 = updated.filter($"k" === 3L).select("hi").head().getDouble(0)
+    assert(hi3 == 10000.0)
+    assert(updated.filter($"k" =!= 3L).except(oneShot.filter($"k" =!= 3L)).isEmpty)
+  }
+
   test("chained stateful streaming: hourly active users agrees with the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
