@@ -14,7 +14,7 @@ import graft.functions.TextFns
   */
 object TextVector4 {
 
-  def defs: Seq[QueryDef] = Seq(d31, d32, d33, s8)
+  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, s8)
 
   /** Disjoint 20-token segments hashed and counted across the corpus; a
     * segment is a duplicate when it appears in ≥2 DISTINCT documents. Per
@@ -134,6 +134,87 @@ object TextVector4 {
         round(COUNT(sh.h)::DOUBLE / COUNT(*)::DOUBLE, 9) AS coverage
       FROM g LEFT JOIN sh ON g.h = sh.h
       GROUP BY g.doc_id ORDER BY g.doc_id"""))
+
+  /** Minhash-signature Jaccard ESTIMATION, oracle-gated end to end: the
+    * estimate (fraction of agreeing minhashes over 16 seeds) sits next to
+    * the exact Jaccard on the same pairs, so the sketch's accuracy is
+    * itself a judged, reproducible number. Uses the d21 md5 hash basis —
+    * deterministic in both engines. Scale: signatures are 16 longs per
+    * doc (constant state); pair comparison is 16 equality checks, not a
+    * shingle-set intersection — the whole point of minhash. Lang blocking
+    * bounds the candidate pairs. */
+  val d35 = QueryDef("d35_minhash_jaccard_est",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = toks
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"), col("toks"))
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
+        .distinct()
+      val mh = sh
+        .select(col("doc_id"), col("lang"), col("shingle"),
+          explode(sequence(lit(0L), lit(15L))).as("seed"))
+        .select(col("doc_id"), col("lang"), col("seed"),
+          conv(substring(md5(concat(col("seed").cast(StringType), lit("|"),
+            col("shingle"))), 1, 8), 16, 10).cast(LongType).as("h"))
+        .groupBy("doc_id", "lang", "seed").agg(min(col("h")).as("mh"))
+      val est = mh.alias("a")
+        .join(mh.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.seed") === col("b.seed") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(round(avg(when(col("a.mh") === col("b.mh"), 1.0).otherwise(0.0)), 9)
+          .as("est_jaccard"))
+        .filter(col("est_jaccard") > 0)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.alias("x")
+        .join(sh.alias("y"),
+          col("x.lang") === col("y.lang") && col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_int"))
+      est.join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"),
+          Seq("id_a"))
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          round(coalesce(col("n_int"), lit(0L)) /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 9)
+            .as("exact_jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+        regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 20 = 0),
+      sh AS (SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      mh AS (SELECT doc_id, lang, s.seed,
+          MIN(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT)) AS mh
+        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s
+        GROUP BY doc_id, lang, s.seed),
+      est AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(AVG(CASE WHEN a.mh = b.mh THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 9) AS est_jaccard
+        FROM mh a JOIN mh b ON a.lang = b.lang AND a.seed = b.seed AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING AVG(CASE WHEN a.mh = b.mh THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) > 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_int
+        FROM sh x JOIN sh y ON x.lang = y.lang AND x.shingle = y.shingle
+          AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT est.id_a, est.id_b, est.est_jaccard,
+        round(COALESCE(inter.n_int, 0)::DOUBLE /
+          (sa.n_sh + sb.n_sh - COALESCE(inter.n_int, 0))::DOUBLE, 9) AS exact_jaccard
+      FROM est
+      LEFT JOIN inter ON est.id_a = inter.id_a AND est.id_b = inter.id_b
+      JOIN sizes sa ON est.id_a = sa.doc_id
+      JOIN sizes sb ON est.id_b = sb.doc_id
+      ORDER BY est.id_a, est.id_b"""))
 
   /** Chained stateful aggregation, batch twin: hourly active users via
     * per-(window, user) pre-aggregation — the scalable COUNT(DISTINCT)
