@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, d34)
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -206,6 +206,34 @@ object Relational7 {
         MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(o_totalprice) AS mean
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** DYNAMIC pivot — the two-phase pattern: phase 1 discovers the pivot
+    * domain (a distinct scan of ONE low-cardinality column, collected to
+    * the driver — bounded by assertion, never by hope), phase 2 plans the
+    * pivot with the explicit value list so the output schema is fixed
+    * before execution. Spark's value-less pivot() does the same discovery
+    * implicitly; doing it explicitly caps the domain and makes the
+    * sanitized column names deterministic. q55 is the static cousin. */
+  val q94 = QueryDef("q94_dynamic_pivot",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val vals = o.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      require(vals.length <= 50, s"pivot domain too wide: ${vals.length}")
+      def sanitize(v: String) = v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      val piv = o.groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+        .pivot("o_orderpriority", vals)
+        .agg(moneySum(col("o_totalprice")))
+      vals.foldLeft(piv)((df, v) => df.withColumnRenamed(v, sanitize(v)))
+        .orderBy("yr")
+    },
+    Some("""SELECT year(o_orderdate) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS "1_urgent",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS "2_high",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS "3_medium",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4_not_specified",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS "5_low"
+      FROM orders GROUP BY 1 ORDER BY yr"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope

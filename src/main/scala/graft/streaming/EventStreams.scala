@@ -255,6 +255,60 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming MATERIALIZED AGGREGATE: each micro-batch is partialized
+    * (core.IncrementalAgg) and folded into the stored per-key state —
+    * the streaming twin of q93's incremental maintenance. Additive merge
+    * is NOT naturally idempotent (replaying a batch would double-count),
+    * so the store carries the last folded batch id in a `_batch_id`
+    * sidecar ("_"-prefixed files are invisible to parquet readers) that
+    * travels through the same stage-then-swap as the data: a replayed
+    * batch after a checkpoint/swap race is detected and skipped, which
+    * restores exactly-once. Store size is O(keys), not O(history) — the
+    * whole point: the 100 TB of events never gets re-scanned. */
+  def aggregateStoreAvailableNow(spark: SparkSession, inputDir: String,
+                                 storeDir: String, checkpoint: String,
+                                 schema: StructType, keyCols: Seq[String],
+                                 measure: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(inputDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverStore(storeDir)
+        val store = new java.io.File(storeDir)
+        val lastId = readBatchMarker(storeDir)
+        if (batchId <= lastId) () // replay of an already-folded batch
+        else {
+          val newState = graft.core.IncrementalAgg
+            .partialize(batch, keyCols, measure)
+          val merged =
+            if (store.exists())
+              graft.core.IncrementalAgg.merge(
+                Seq(spark.read.parquet(storeDir), newState), keyCols, measure)
+            else newState
+          val tmp = storeDir + ".staging"
+          merged.write.mode("overwrite").parquet(tmp)
+          writeBatchMarker(tmp, batchId)
+          swapInStore(tmp, storeDir)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private[graft] def readBatchMarker(storeDir: String): Long = {
+    val f = java.nio.file.Paths.get(storeDir, "_batch_id")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private[graft] def writeBatchMarker(storeDir: String, batchId: Long): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(storeDir, "_batch_id"),
+      batchId.toString.getBytes("UTF-8"))
+    ()
+  }
+
   /** Crash recovery for [[upsertAvailableNow]]'s two-move swap: if the
     * store vanished mid-swap, the previous store is intact at `.old`. */
   private[graft] def recoverStore(storeDir: String): Unit = {

@@ -155,6 +155,49 @@ class BucketingStreamSpec extends SparkSpec {
     assert(storeRows() == Set((1L, 12L, "a3"), (2L, 10L, "b"), (3L, 10L, "c")))
   }
 
+  test("streaming materialized aggregate: incremental fold equals one-shot, replay-safe") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_aggstore").toString
+    val (in, store, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    def run(): Unit = {
+      val q = EventStreams.aggregateStoreAvailableNow(spark, in, store, ckpt,
+        schema, keyCols = Seq("k"), measure = "v")
+      q.awaitTermination(); ()
+    }
+    def result(): Map[Long, (Double, Long, Double, Double, Double)] =
+      graft.core.IncrementalAgg.finalizeState(spark.read.parquet(store), "v")
+        .as[(Long, Double, Long, Double, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v").write.parquet(s"$in/b1")
+    run()
+    assert(result() == Map(1L -> ((30.0, 2L, 10.0, 20.0, 15.0)),
+      2L -> ((5.0, 1L, 5.0, 5.0, 5.0))))
+
+    // second delivery folds WITHOUT re-reading the first
+    Seq((1L, 30.0), (3L, 7.0)).toDF("k", "v").write.parquet(s"$in/b2")
+    run()
+    val wantAfterB2 = Map(1L -> ((60.0, 3L, 10.0, 30.0, 20.0)),
+      2L -> ((5.0, 1L, 5.0, 5.0, 5.0)), 3L -> ((7.0, 1L, 7.0, 7.0, 7.0)))
+    assert(result() == wantAfterB2)
+
+    // restart with nothing pending: no double-count
+    run()
+    assert(result() == wantAfterB2)
+
+    // simulate a replayed micro-batch (checkpoint lost AFTER the store
+    // committed): same batch id re-delivered must be skipped via the
+    // _batch_id marker, not folded twice
+    assert(EventStreams.readBatchMarker(store) >= 0L)
+    val markerBefore = EventStreams.readBatchMarker(store)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    run() // the stream replays both deliveries from batch 0
+    assert(EventStreams.readBatchMarker(store) == markerBefore)
+    assert(result() == wantAfterB2, "replayed batches must not double-count")
+  }
+
   test("mapGroupsWithState keeps running per-user profiles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
