@@ -14,7 +14,7 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, d34)
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -234,6 +234,32 @@ object Relational7 {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4_not_specified",
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS "5_low"
       FROM orders GROUP BY 1 ORDER BY yr"""))
+
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): the implicit binary tree
+    * over customer keys (parent = child DIV 2) walked from the root, per-
+    * depth rollup. Each recursion step is an EQUI-join of the previous
+    * level against the table (never an OR-expansion nested loop), so every
+    * iteration is one hash join — the same shape `Dedup.
+    * connectedComponents` hand-rolls where iteration count needs a
+    * convergence guard instead of a fixed-point union. */
+  val q95 = QueryDef("q95_recursive_cte",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust95_v")
+      s.sql("""WITH RECURSIVE tree(k, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS k, 1 AS depth
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM tree t JOIN cust95_v c ON c.c_custkey DIV 2 = t.k)
+        SELECT depth, COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi
+        FROM tree GROUP BY depth ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE tree(k, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS k, 1 AS depth
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1
+        FROM tree t JOIN customer c ON c.c_custkey // 2 = t.k)
+      SELECT depth, COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi
+      FROM tree GROUP BY depth ORDER BY depth"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope
