@@ -9,8 +9,9 @@ import QueryDef.{dec, moneySum}
 /** Sixth coverage batch: argmin/argmax aggregates, filtered (conditional)
   * aggregation, higher-order array functions, deterministic mode, exact
   * higher central moments (skewness/kurtosis from integer power sums),
-  * LATERAL correlated top-k, overlapping full-outer join, and map-typed
-  * intermediate state — each oracle-gated against DuckDB.
+  * LATERAL correlated top-k, overlapping full-outer join, map-typed
+  * intermediate state, distributed global row ids (`core.Indexing`), and
+  * width_bucket histogram binning — each oracle-gated against DuckDB.
   */
 object Relational6 {
 

@@ -7,10 +7,13 @@ import graft.core.Tables
 import QueryDef.moneySum
 
 /** Eighth coverage batch: correlated EXISTS decorrelation, the NOT IN /
-  * NOT EXISTS null-semantics trap, IGNORE NULLS window navigation, and
-  * EXCEPT ALL multiset difference — each oracle-gated against DuckDB —
-  * plus the approximate-quantile sketch (rows-only, envelope-gated by
-  * spec like the HLL d30).
+  * NOT EXISTS null-semantics trap, IGNORE NULLS window navigation,
+  * EXCEPT ALL multiset difference, positional explode, array set algebra,
+  * percentile_disc WITHIN GROUP, incremental aggregate maintenance
+  * (q93 — `core.IncrementalAgg`), two-phase dynamic pivot, and the
+  * recursive CTE — each oracle-gated against DuckDB — plus the
+  * approximate-quantile sketch (rows-only, envelope-gated by spec like
+  * the HLL d30).
   */
 object Relational7 {
 
@@ -221,6 +224,8 @@ object Relational7 {
         .collect().map(_.getString(0)).sorted
       require(vals.length <= 50, s"pivot domain too wide: ${vals.length}")
       def sanitize(v: String) = v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      require(vals.map(sanitize).distinct.length == vals.length,
+        s"sanitized pivot columns collide: ${vals.mkString(", ")}")
       val piv = o.groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
         .pivot("o_orderpriority", vals)
         .agg(moneySum(col("o_totalprice")))

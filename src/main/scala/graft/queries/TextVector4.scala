@@ -9,8 +9,9 @@ import graft.functions.TextFns
 /** Seventh coverage batch — training-data pipeline signals: disjoint-segment
   * exact dedup (the CCNet-style "remove boilerplate blocks" primitive over
   * whitespace corpora), duplicate-n-gram coverage (the RefinedWeb quality
-  * signal), per-source corpus quality profiling, and the chained-stateful
-  * active-users rollup. Each oracle-gated against DuckDB.
+  * signal), per-source corpus quality profiling, minhash-signature Jaccard
+  * estimation (sketch accuracy judged next to the exact value), and the
+  * chained-stateful active-users rollup. Each oracle-gated against DuckDB.
   */
 object TextVector4 {
 

@@ -18,10 +18,7 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** K2: write-if-changed. Spark parquet bytes aren't stable run-to-run, so
-    * change detection hashes content (order-independent) instead of
-    * comparing file bytes; returns true when the store changed. */
-  /** Format-matrix batch write: parquet+zstd is the default store, ORC the
+  /** K6 format-matrix batch write: parquet+zstd is the default store, ORC the
     * columnar alternative, CSV/JSON the interchange escapes. One code
     * path, format picked by name — at scale the columnar pair keeps
     * predicate pushdown + column pruning; the text pair exists for
@@ -64,6 +61,9 @@ object Sinks {
     }
   }
 
+  /** K2: write-if-changed. Spark parquet bytes aren't stable run-to-run, so
+    * change detection hashes content (order-independent) instead of
+    * comparing file bytes; returns true when the store changed. */
   def writeIfChanged(df: DataFrame, path: String,
                      previousHash: Option[String]): (Boolean, String) = {
     val h = contentHash(df)

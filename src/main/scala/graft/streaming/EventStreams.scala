@@ -263,8 +263,15 @@ object EventStreams {
     * sidecar ("_"-prefixed files are invisible to parquet readers) that
     * travels through the same stage-then-swap as the data: a replayed
     * batch after a checkpoint/swap race is detected and skipped, which
-    * restores exactly-once. Store size is O(keys), not O(history) — the
-    * whole point: the 100 TB of events never gets re-scanned. */
+    * restores exactly-once. Batch ids are only comparable WITHIN one
+    * checkpoint lineage (a rebuilt checkpoint restarts at 0 and re-bundles
+    * inputs differently), so the sidecar also records the streaming query
+    * id from the checkpoint metadata: a marker from a different lineage
+    * FAILS the query loudly — skipping would silently drop any new data
+    * riding the replay, folding would double-count; neither is
+    * recoverable automatically. Operators must move store and checkpoint
+    * together. Store size is O(keys), not O(history) — the whole point:
+    * the 100 TB of events never gets re-scanned. */
   def aggregateStoreAvailableNow(spark: SparkSession, inputDir: String,
                                  storeDir: String, checkpoint: String,
                                  schema: StructType, keyCols: Seq[String],
@@ -275,20 +282,30 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recoverStore(storeDir)
         val store = new java.io.File(storeDir)
-        val lastId = readBatchMarker(storeDir)
-        if (batchId <= lastId) () // replay of an already-folded batch
-        else {
-          val newState = graft.core.IncrementalAgg
-            .partialize(batch, keyCols, measure)
-          val merged =
-            if (store.exists())
-              graft.core.IncrementalAgg.merge(
-                Seq(spark.read.parquet(storeDir), newState), keyCols, measure)
-            else newState
-          val tmp = storeDir + ".staging"
-          merged.write.mode("overwrite").parquet(tmp)
-          writeBatchMarker(tmp, batchId)
-          swapInStore(tmp, storeDir)
+        val lineage = checkpointQueryId(checkpoint)
+        val marker = readBatchMarker(storeDir)
+        marker match {
+          case Some((storedLineage, _)) if storedLineage != lineage =>
+            throw new IllegalStateException(
+              s"aggregate store $storeDir was built by checkpoint lineage " +
+                s"$storedLineage but the query is running as $lineage — " +
+                "batch ids are not comparable across lineages. Restore the " +
+                "matching checkpoint, or delete BOTH store and checkpoint " +
+                "to rebuild from the full input.")
+          case Some((_, lastId)) if batchId <= lastId =>
+            () // replay of an already-folded batch within this lineage
+          case _ =>
+            val newState = graft.core.IncrementalAgg
+              .partialize(batch, keyCols, measure)
+            val merged =
+              if (store.exists())
+                graft.core.IncrementalAgg.merge(
+                  Seq(spark.read.parquet(storeDir), newState), keyCols, measure)
+              else newState
+            val tmp = storeDir + ".staging"
+            merged.write.mode("overwrite").parquet(tmp)
+            writeBatchMarker(tmp, lineage, batchId)
+            swapInStore(tmp, storeDir)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -296,16 +313,32 @@ object EventStreams {
       .start()
   }
 
-  private[graft] def readBatchMarker(storeDir: String): Long = {
-    val f = java.nio.file.Paths.get(storeDir, "_batch_id")
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-    else -1L
+  /** The streaming query id from `<checkpoint>/metadata` — stable across
+    * restarts of the SAME checkpoint, different for a rebuilt one. The
+    * file exists by the time the first batch runs (written at query
+    * start). */
+  private[graft] def checkpointQueryId(checkpoint: String): String = {
+    val f = java.nio.file.Paths.get(checkpoint, "metadata")
+    val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id in checkpoint metadata at $f"))
   }
 
-  private[graft] def writeBatchMarker(storeDir: String, batchId: Long): Unit = {
+  private[graft] def readBatchMarker(storeDir: String): Option[(String, Long)] = {
+    val f = java.nio.file.Paths.get(storeDir, "_batch_id")
+    if (java.nio.file.Files.exists(f)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .trim.split('|')
+      Some((parts(0), parts(1).toLong))
+    } else None
+  }
+
+  private[graft] def writeBatchMarker(storeDir: String, lineage: String,
+                                      batchId: Long): Unit = {
     java.nio.file.Files.write(java.nio.file.Paths.get(storeDir, "_batch_id"),
-      batchId.toString.getBytes("UTF-8"))
+      s"$lineage|$batchId".getBytes("UTF-8"))
     ()
   }
 

@@ -176,6 +176,11 @@ class BucketingStreamSpec extends SparkSpec {
     assert(result() == Map(1L -> ((30.0, 2L, 10.0, 20.0, 15.0)),
       2L -> ((5.0, 1L, 5.0, 5.0, 5.0))))
 
+    // snapshot the checkpoint BEFORE b2 so the replay scenario below can
+    // roll back to it (same lineage, earlier committed offset)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(s"$base/ckpt_snapshot"))
+
     // second delivery folds WITHOUT re-reading the first
     Seq((1L, 30.0), (3L, 7.0)).toDF("k", "v").write.parquet(s"$in/b2")
     run()
@@ -187,15 +192,31 @@ class BucketingStreamSpec extends SparkSpec {
     run()
     assert(result() == wantAfterB2)
 
-    // simulate a replayed micro-batch (checkpoint lost AFTER the store
-    // committed): same batch id re-delivered must be skipped via the
-    // _batch_id marker, not folded twice
-    assert(EventStreams.readBatchMarker(store) >= 0L)
+    // SAME-LINEAGE replay: roll the checkpoint back to its pre-b2
+    // snapshot (simulates the commit-after-swap crash window). The stream
+    // re-delivers b2 under the same lineage with the same batch id; the
+    // _batch_id marker must skip it — folding again would double-count.
     val markerBefore = EventStreams.readBatchMarker(store)
+    assert(markerBefore.exists(_._2 >= 0L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
-    run() // the stream replays both deliveries from batch 0
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$base/ckpt_snapshot"), new java.io.File(ckpt))
+    run() // re-delivers b2 as the same lineage + batch id
     assert(EventStreams.readBatchMarker(store) == markerBefore)
     assert(result() == wantAfterB2, "replayed batches must not double-count")
+
+    // CROSS-LINEAGE guard: a REBUILT checkpoint restarts batch numbering,
+    // so the marker is incomparable — the query must fail loudly instead
+    // of silently skipping (drops new data) or folding (double-counts)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    Seq((4L, 1.0)).toDF("k", "v").write.parquet(s"$in/b3")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causeChain(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint lineage")))
+    assert(result() == wantAfterB2, "a failed guard must leave the store untouched")
   }
 
   test("mapGroupsWithState keeps running per-user profiles across micro-batches") {

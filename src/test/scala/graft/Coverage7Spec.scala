@@ -85,6 +85,25 @@ class Coverage7Spec extends SparkSpec {
       s"row ids must come from the per-bucket window, got:\n$plan")
   }
 
+  test("globalRowIds: null keys get the FIRST ids (nulls-first), nothing dropped or shifted") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((Some(5L), 1L), (None, 2L), (Some(1L), 3L), (None, 4L))
+      .toDF("k", "tb")
+    val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
+      nBuckets = 4, tieBreak = Seq("tb"))
+    assert(got.count() == 4, "null-key rows must survive")
+    val want = df.withColumn("rid",
+      row_number().over(Window.orderBy($"k".asc_nulls_first, $"tb")) - 1)
+    assert(got.select("k", "tb", "rid").except(want.select("k", "tb", "rid")).isEmpty &&
+      want.select("k", "tb", "rid").except(got.select("k", "tb", "rid")).isEmpty)
+    // all-null degenerate: ids still dense over the tie-break order
+    val allNull = Seq((Option.empty[Long], 1L), (None, 2L)).toDF("k", "tb")
+    val ids = graft.core.Indexing.globalRowIds(allNull, "k", "rid",
+      nBuckets = 4, tieBreak = Seq("tb"))
+      .orderBy("tb").select("rid").as[Long].collect()
+    assert(ids.toSeq == Seq(0L, 1L))
+  }
+
   test("globalRowIds: single-value key collapses to one bucket and still works") {
     val df = Seq(5L, 5L, 5L).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }.toDF("k", "tb")
