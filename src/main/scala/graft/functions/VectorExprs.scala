@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -31,6 +31,19 @@ private[functions] object VecRead {
         s"unsupported embedding element type $other")
     }
   }
+
+  /** The same element read as generated Java (static dispatch on the
+    * analysis-time element type — no per-row type tests in the loop). */
+  def getterCode(dt: DataType, arr: String, i: String): String = {
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported embedding element type $other")
+    }
+  }
 }
 
 /** Dot product of two numeric arrays in double precision. NULL if either
@@ -38,7 +51,7 @@ private[functions] object VecRead {
   * `aggregate(zip_with(...))` column form (zip_with pads the shorter array
   * with NULLs and one NULL product poisons the whole fold). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   // Returns NULL for non-null inputs (length mismatch, null element), so
   // nullability must not be inferred from the children.
@@ -47,6 +60,32 @@ case class DotProduct(left: Expression, right: Expression)
 
   @transient private lazy val readL = VecRead.reader(left.dataType)
   @transient private lazy val readR = VecRead.reader(right.dataType)
+
+  /** Whole-stage-codegen body: the identical index-order left-fold as
+    * nullSafeEval, emitted as a tight primitive loop (a CodegenFallback
+    * here would call the interpreted eval per ROW PAIR — exactly the
+    * per-candidate cost the ANN kernels exist to avoid). */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getL = VecRead.getterCode(left.dataType, a, i)
+      val getR = VecRead.getterCode(right.dataType, b, i)
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += ($getL) * ($getR);
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
+        }
+      """
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -73,7 +112,7 @@ case class DotProduct(left: Expression, right: Expression)
   * norm is 0 (zero vector), lengths differ, or any element is NULL,
   * matching `VectorFns.cosine` on every input class. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   // NULL on length mismatch, null element, or zero-norm input — never
   // inherit non-nullability from the children.
@@ -82,6 +121,46 @@ case class CosineSim(left: Expression, right: Expression)
 
   @transient private lazy val readL = VecRead.reader(left.dataType)
   @transient private lazy val readR = VecRead.reader(right.dataType)
+
+  /** Same three-accumulator single pass as nullSafeEval, in generated
+    * Java — accumulation order identical, so codegen and interpreted
+    * modes are bit-identical (pinned by spec in both modes). */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("dd")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb")
+      val getL = VecRead.getterCode(left.dataType, a, i)
+      val getR = VecRead.getterCode(right.dataType, b, i)
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $x = $getL;
+            double $y = $getR;
+            $d += $x * $y;
+            $na += $x * $x;
+            $nb += $y * $y;
+          }
+          if (!${ev.isNull}) {
+            double $sa = java.lang.Math.sqrt($na);
+            double $sb = java.lang.Math.sqrt($nb);
+            if ($sa > 0 && $sb > 0) { ${ev.value} = $d / ($sa * $sb); }
+            else { ${ev.isNull} = true; }
+          }
+        }
+      """
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -119,6 +119,36 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("vector expressions: generated and interpreted paths are bit-identical") {
+    // CODEGEN_ONLY turns a broken doGenCode into a loud failure (the
+    // default FALLBACK mode would silently interpret instead); NO_CODEGEN
+    // pins the nullSafeEval path. Same rows through both must match bitwise.
+    val vecs = (0 until 20).map { i =>
+      (Array.tabulate(32)(j => ((i * 13 + j * 5) % 11 - 5) * 0.377f),
+       Array.tabulate(32)(j => ((i * 7 + j * 3) % 7 - 3) * 0.519f))
+    } :+ ((Array.fill(32)(0.0f), Array.fill(32)(1.0f)))
+    val df = vecs.toDF("a", "b")
+    def run(): Array[(Option[Double], Option[Double])] =
+      df.select(
+          graft.functions.VectorExprs.dot(col("a"), col("b")).as("d"),
+          graft.functions.VectorExprs.cosine(col("a"), col("b")).as("c"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val fmKey = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(fmKey)
+    val gen = try { spark.conf.set(fmKey, "CODEGEN_ONLY"); run() }
+      finally spark.conf.set(fmKey, prev)
+    val interp = try { spark.conf.set(fmKey, "NO_CODEGEN"); run() }
+      finally spark.conf.set(fmKey, prev)
+    assert(gen.length == interp.length)
+    gen.zip(interp).foreach { case ((d1, c1), (d2, c2)) =>
+      assert(d1.isDefined == d2.isDefined && c1.isDefined == c2.isDefined)
+      for ((x, y) <- d1.zip(d2)) assert(java.lang.Double.compare(x, y) == 0)
+      for ((x, y) <- c1.zip(c2)) assert(java.lang.Double.compare(x, y) == 0)
+    }
+  }
+
   test("brute-force top-k ranks the closest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
