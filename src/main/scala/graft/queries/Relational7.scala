@@ -17,7 +17,7 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, d34)
+  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -265,6 +265,55 @@ object Relational7 {
         FROM tree t JOIN customer c ON c.c_custkey // 2 = t.k)
       SELECT depth, COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi
       FROM tree GROUP BY depth ORDER BY depth"""))
+
+  /** Temporal SCD2 dimension lookup: each lineitem resolves the customer
+    * state version VALID AT its ship date. The naive plan — equi-join on
+    * the key then filter valid_from <= t < valid_to — materializes
+    * |facts| × |versions-per-key| rows before filtering; because SCD2
+    * intervals partition time, the lookup is EXACTLY an as-of backward
+    * join on valid_from (`core.AsOf.joinBackward`, one shuffle, no
+    * blowup). The oracle is the naive interval join — the as-of rewrite
+    * must be invisible in the result. */
+  val q96 = QueryDef("q96_scd2_lookup",
+    (s, dir) => {
+      val dim = graft.core.SeriesOps.buildScd2(
+          Tables.orders(s, dir)
+            .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("change_d"),
+              col("o_totalprice").as("state_price"), col("o_orderkey")),
+          Seq("o_custkey"), "change_d", tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("valid_from").as("ship_d"), col("state_price"))
+      val facts = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 5000)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_returnflag"),
+          col("l_shipdate").cast(DateType).as("ship_d"))
+      graft.core.AsOf.joinBackward(facts, dim, Seq("o_custkey"), "ship_d",
+          valueCols = Seq("state_price"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(col("state_price")).as("n_matched"),
+          sum(QueryDef.dec(col("state_price"))).cast(DoubleType).as("sum_state"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH dedup AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS change_d,
+        o_totalprice AS state_price
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+          ORDER BY o_orderkey DESC) = 1),
+      dim AS (SELECT o_custkey, change_d AS valid_from,
+          lead(change_d) OVER (PARTITION BY o_custkey ORDER BY change_d) AS valid_to,
+          state_price
+        FROM dedup),
+      facts AS (SELECT o.o_custkey, l.l_returnflag, CAST(l.l_shipdate AS DATE) AS ship_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey < 5000)
+      SELECT f.l_returnflag, COUNT(*) AS n, COUNT(d.state_price) AS n_matched,
+        CAST(SUM(CAST(d.state_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_state
+      FROM facts f LEFT JOIN dim d
+        ON f.o_custkey = d.o_custkey AND f.ship_d >= d.valid_from
+          AND (d.valid_to IS NULL OR f.ship_d < d.valid_to)
+      GROUP BY f.l_returnflag ORDER BY f.l_returnflag"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope
