@@ -15,7 +15,7 @@ import graft.functions.TextFns
   */
 object TextVector4 {
 
-  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, s8)
+  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, d36, d37, s8)
 
   /** Disjoint 20-token segments hashed and counted across the corpus; a
     * segment is a duplicate when it appears in ≥2 DISTINCT documents. Per
@@ -216,6 +216,92 @@ object TextVector4 {
       JOIN sizes sa ON est.id_a = sa.doc_id
       JOIN sizes sb ON est.id_b = sb.doc_id
       ORDER BY est.id_a, est.id_b"""))
+
+  /** The SQL-expressible slice of the corpus-cleaning composite
+    * (normalize → exact dedup → quality filter), oracle-gated end to end —
+    * d11's full cleanCorpus stays rows-only because of the minhash stage,
+    * so this pins every deterministic stage of the same pipeline against
+    * DuckDB: whitespace/case normalization, keep-min-id exact dedup on
+    * the normalized text, and a token-count + stopword-ratio quality
+    * gate. One shuffle for the dedup, everything else scan-local. */
+  val d36 = QueryDef("d36_filter_pipeline",
+    (s, dir) => {
+      val en = TextFns.langStopwords.toMap.apply("en")
+      val normalized = Tables.documents(s, dir)
+        .withColumn("norm",
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("toks", TextFns.tokens(col("norm")))
+      val keepers = normalized
+        .groupBy(md5(col("norm")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      normalized.join(keepers, Seq("doc_id"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isin(en.map(lit(_)): _*))).cast(LongType))
+        .filter(col("n_tokens") >= 15 &&
+          col("n_stop") * 10L >= col("n_tokens")) // stop ratio >= 0.1, integer form
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (SELECT doc_id, lang,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(norm)),
+      toks AS (SELECT n.doc_id, n.lang,
+          regexp_split_to_array(trim(n.norm), '\s+') AS t
+        FROM norm n JOIN keep k ON n.doc_id = k.doc_id)
+      SELECT doc_id, lang,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(t, x -> list_contains(
+          ['the','a','of','and','to','in','is','that','it','for'], x))) AS BIGINT) AS n_stop
+      FROM toks
+      WHERE len(t) >= 15
+        AND len(list_filter(t, x -> list_contains(
+          ['the','a','of','and','to','in','is','that','it','for'], x))) * 10 >= len(t)
+      ORDER BY doc_id"""))
+
+  /** Mixture rebalance (curriculum reweighting): downsample every language
+    * stream to the SMALLEST language's token count so the training mix is
+    * token-balanced. Rates are DATA-DEPENDENT (quota / actual), converted
+    * to a basis-point threshold with one floor() so both engines cut the
+    * md5 bucket space identically; inclusion is the d13-style
+    * deterministic hash bucket — rerunnable, no rand(). The rate table is
+    * |langs| rows, broadcast back. */
+  val d37 = QueryDef("d37_mixture_rebalance",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("n_tok"))
+      val perLang = toks.groupBy("lang").agg(sum(col("n_tok")).as("total_tok"))
+      val quota = perLang.agg(min(col("total_tok"))).head().getLong(0)
+      val rates = perLang.select(col("lang"),
+        least(lit(10000L),
+          floor(lit(quota.toDouble) / col("total_tok") * 10000.0).cast(LongType))
+          .as("rate_bp"))
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 10000
+      toks.join(broadcast(rates), Seq("lang"))
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < col("rate_bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("tokens_kept"),
+          max(col("rate_bp")).as("rate_bp"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tok FROM toks GROUP BY lang),
+      q AS (SELECT MIN(total_tok) AS quota FROM per),
+      rates AS (SELECT lang,
+          least(10000, CAST(floor(q.quota::DOUBLE / per.total_tok * 10000.0) AS BIGINT)) AS rate_bp
+        FROM per, q)
+      SELECT t.lang, COUNT(*) AS n_docs_kept,
+        CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept, MAX(r.rate_bp) AS rate_bp
+      FROM toks t JOIN rates r ON t.lang = r.lang
+      WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate_bp
+      GROUP BY t.lang ORDER BY t.lang"""))
 
   /** Chained stateful aggregation, batch twin: hourly active users via
     * per-(window, user) pre-aggregation — the scalable COUNT(DISTINCT)
