@@ -126,4 +126,23 @@ class PropertiesSpec extends SparkSpec {
       else assert(one > 0.0)
     }
   }
+
+  test("property: globalRowIds equals naive row_number for random keys/nulls/buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.option(Gen.choose(-50L, 50L)), Gen.choose(0L, 1000000L)))
+    val bucketsGen = Gen.oneOf(1, 2, 7, 64)
+    for (((rows0, nBuckets), i) <- samples(Gen.zip(rowsGen, bucketsGen), 4).zipWithIndex) {
+      // unique tie-break per row (scalacheck may duplicate the pair)
+      val rows = rows0.zipWithIndex.map { case ((k, _), j) => (k, j.toLong) }
+      val df = rows.toDF("k", "tb")
+      val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
+        nBuckets = nBuckets, tieBreak = Seq("tb"))
+      val want = df.withColumn("rid",
+        row_number().over(Window.orderBy(col("k").asc_nulls_first, col("tb"))) - 1)
+      assert(got.select("k", "tb", "rid").except(want.select("k", "tb", "rid")).isEmpty &&
+        want.select("k", "tb", "rid").except(got.select("k", "tb", "rid")).isEmpty,
+        s"case $i (nBuckets=$nBuckets) diverged from row_number")
+    }
+  }
 }
