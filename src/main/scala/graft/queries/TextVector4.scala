@@ -15,7 +15,7 @@ import graft.functions.TextFns
   */
 object TextVector4 {
 
-  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, d36, d37, s8)
+  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, d36, d37, s8, s9)
 
   /** Disjoint 20-token segments hashed and counted across the corpus; a
     * segment is a duplicate when it appears in ≥2 DISTINCT documents. Per
@@ -316,4 +316,30 @@ object TextVector4 {
       SELECT w AS window_start, COUNT(*) AS n_active_users,
         CAST(SUM(n) AS BIGINT) AS total_events
       FROM per GROUP BY w ORDER BY w"""))
+
+  /** Stream-stream FULL OUTER interval join, batch twin (inner s4, left
+    * outer s7 — this completes the matrix): unmatched rows from EITHER
+    * side survive with NULLs. Order key: the (purchase_id, click_id) pair
+    * is unique incl. the one-sided rows; nulls pinned FIRST on both
+    * engines. */
+  val s9 = QueryDef("s9_stream_full_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.streaming.EventStreams
+        .purchasesFullClicks(purchases, clicks, streaming = false)
+        .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        COALESCE(p.user_id, c.user_id) AS user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+      FULL OUTER JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+      ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST"""))
 }

@@ -189,6 +189,27 @@ object EventStreams {
         col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-mode
+    * matrix (inner s4, left outer s7): unmatched rows from BOTH sides
+    * emit with NULLs once the watermark clears their side's match window.
+    * Full outer requires the time constraint to bound each side relative
+    * to the other (here `c.ts ∈ [p.ts - 30m, p.ts]` does both), or state
+    * on the unbounded side could never be evicted. Batch mode is the
+    * plain full outer join + range condition (s9_stream_full_join gates
+    * it). */
+  def purchasesFullClicks(purchases: DataFrame, clicks: DataFrame,
+                          streaming: Boolean): DataFrame = {
+    val p = (if (streaming) purchases.withWatermark("ts", "10 minutes")
+             else purchases).alias("p")
+    val c = (if (streaming) clicks.withWatermark("ts", "10 minutes")
+             else clicks).alias("c")
+    p.join(c, expr("p.user_id = c.user_id AND " +
+        "c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts"), "full_outer")
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        coalesce(col("p.user_id"), col("c.user_id")).as("user_id"))
+  }
+
   /** File-source stream over an events directory (parquet), processing all
     * available data then stopping — the `Trigger.AvailableNow` incremental
     * pattern that replaces the reference's mtime-staleness checks. */

@@ -7,6 +7,10 @@ import graft.streaming.EventStreams
   * pins full-output equality; these pin the dedup-signal semantics on
   * constructed corpora and the chained-stateful streaming/batch agreement.
   */
+object Coverage7Spec {
+  final case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+}
+
 class Coverage7Spec extends SparkSpec {
   import spark.implicits._
 
@@ -188,6 +192,76 @@ class Coverage7Spec extends SparkSpec {
     val hi3 = updated.filter($"k" === 3L).select("hi").head().getDouble(0)
     assert(hi3 == 10000.0)
     assert(updated.filter($"k" =!= 3L).except(oneShot.filter($"k" =!= 3L)).isEmpty)
+  }
+
+  test("full outer stream-stream join emits NULLs on BOTH sides after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import Coverage7Spec.Ev
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.purchasesFullClicks(
+      purchases.toDF(), clicks.toDF(), streaming = true)
+    val q = joined.writeStream.format("memory").queryName("fulljoin_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // p1 has a click 10 min earlier (match); p2 has none; c99's user
+      // never purchases — both one-sided rows must surface as NULLs
+      purchases.addData(Ev(100L, 1L, t("2024-01-01 10:10:00")),
+        Ev(200L, 2L, t("2024-01-01 10:12:00")))
+      clicks.addData(Ev(10L, 1L, t("2024-01-01 10:00:00")),
+        Ev(99L, 7L, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // push both watermarks far past every match window
+      purchases.addData(Ev(900L, 50L, t("2024-01-01 13:00:00")))
+      clicks.addData(Ev(901L, 51L, t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      purchases.addData(Ev(902L, 50L, t("2024-01-01 14:00:00")))
+      clicks.addData(Ev(903L, 51L, t("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("fulljoin_test")
+        .filter($"purchase_id" < 900L || $"purchase_id".isNull)
+        .filter($"click_id" < 900L || $"click_id".isNull)
+        .collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+      assert(rows.contains((Some(100L), Some(10L))), "matched pair")
+      assert(rows.contains((Some(200L), None)), "purchase with no click")
+      assert(rows.contains((None, Some(99L))), "click with no purchase")
+    } finally q.stop()
+  }
+
+  test("streaming aggregation runs on the RocksDB state store provider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // large-state deployments move state off-heap: same query, RocksDB
+    // provider — results must be identical to the default HDFS-backed one
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.EventIn]
+      val q = EventStreams.hourlyByType(stream.toDF(), withWatermark = false)
+        .writeStream.format("memory").queryName("rocksdb_test")
+        .outputMode(OutputMode.Complete).start()
+      try {
+        stream.addData(
+          EventStreams.EventIn(1L, t("2024-01-01 05:07:00"), "click", 1.0),
+          EventStreams.EventIn(2L, t("2024-01-01 05:30:00"), "click", 2.0))
+        q.processAllAvailable()
+        stream.addData(EventStreams.EventIn(3L, t("2024-01-01 05:40:00"), "click", 4.0))
+        q.processAllAvailable()
+        val r = spark.table("rocksdb_test")
+          .select("n", "sum_value").as[(Long, Double)].collect().toSeq
+        assert(r == Seq((3L, 7.0)), s"state must accumulate across batches, got $r")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("chained stateful streaming: hourly active users agrees with the batch twin") {
