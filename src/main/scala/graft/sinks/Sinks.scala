@@ -61,6 +61,29 @@ object Sinks {
     }
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition's files untouched — the physical
+    * form of U6 replace-partition (q37 is the logical form). With static
+    * overwrite (the default) this write would TRUNCATE the whole store;
+    * at 100 TB that difference is the job. Session conf is set per-write
+    * and restored, so the sink can't silently change other writers'
+    * semantics. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** K2: write-if-changed. Spark parquet bytes aren't stable run-to-run, so
     * change detection hashes content (order-independent) instead of
     * comparing file bytes; returns true when the store changed. */

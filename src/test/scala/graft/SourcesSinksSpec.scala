@@ -152,6 +152,24 @@ class SourcesSinksSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sinks.writeFormat(df, s"$base/x", "avro"))
   }
 
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val base = Files.createTempDirectory("graft-dynpart").toString
+    val full = Seq((1996, "a", 1.0), (1996, "b", 2.0), (1997, "c", 3.0))
+      .toDF("yr", "k", "v")
+    Sinks.overwritePartitionsDynamic(full, base, Seq("yr"))
+    // rewrite ONLY 1997 with new content
+    val patch = Seq((1997, "c2", 30.0)).toDF("yr", "k", "v")
+    Sinks.overwritePartitionsDynamic(patch, base, Seq("yr"))
+    val back = spark.read.parquet(base)
+      .select("yr", "k", "v").as[(Int, String, Double)].collect().toSet
+    assert(back == Set((1996, "a", 1.0), (1996, "b", 2.0), (1997, "c2", 30.0)),
+      "1996 partition must survive the 1997 overwrite untouched")
+    // static overwrite of the same patch would have dropped 1996 — prove
+    // the conf was restored afterwards (no leak into other writers)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
+
   test("status JSON sink writes atomic parseable stats") {
     val validated = Seq(("T", "ok"), ("U", "flagged"), ("V", "ok"))
       .toDF("ticker", "validation_status")
