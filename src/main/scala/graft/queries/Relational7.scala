@@ -17,7 +17,8 @@ import QueryDef.moneySum
   */
 object Relational7 {
 
-  def defs: Seq[QueryDef] = Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, d34)
+  def defs: Seq[QueryDef] =
+    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -314,6 +315,25 @@ object Relational7 {
         ON f.o_custkey = d.o_custkey AND f.ship_d >= d.valid_from
           AND (d.valid_to IS NULL OR f.ship_d < d.valid_to)
       GROUP BY f.l_returnflag ORDER BY f.l_returnflag"""))
+
+  /** Typed JSON parsing: from_json with an explicit schema (vs q64's
+    * per-path get_json_object string extraction) — the parse happens once
+    * per row into a struct, every field access after is free; malformed
+    * documents surface as NULL structs, not errors. */
+  val q97 = QueryDef("q97_from_json",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"), StructType(Seq(
+          StructField("k", LongType)))))
+        .groupBy((col("p.k") / 10).cast(LongType).as("k_decade"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.k")).as("k_sum"))
+        .orderBy("k_decade")
+    },
+    Some("""SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS k_decade,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+      FROM events GROUP BY 1 ORDER BY k_decade"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope

@@ -84,6 +84,44 @@ object Sinks {
     }
   }
 
+  /** Small-files compaction for a partitioned parquet store — the standing
+    * maintenance job every streaming/incremental sink accumulates toward:
+    * each micro-batch appends a file per partition, and a year of
+    * 5-minute batches is 100k tiny files whose open/footer cost dwarfs the
+    * data. Strategy: count files per partition directory (driver-side
+    * listing, O(partitions)), and rewrite ONLY partitions exceeding
+    * `maxFilesPerPartition` — each coalesced to `targetFiles` — through
+    * dynamic partition overwrite, so healthy partitions keep their files
+    * byte-for-byte. Returns the rewritten partition values.
+    *
+    * @param partitionCol single partition column (the common case; the
+    *   pattern extends to nested partitioning by listing deeper) */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        partitionCol: String, maxFilesPerPartition: Int = 8,
+                        targetFiles: Int = 1): Seq[String] = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no store at $path")
+    val fragmented = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
+      .filter(_.listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) > maxFilesPerPartition)
+      .map(_.getName.stripPrefix(s"$partitionCol="))
+      .toSeq
+    fragmented.foreach { value =>
+      // read THROUGH the store root (not the partition dir) so the
+      // partition column survives; filter prunes to the one partition.
+      // localCheckpoint materializes the partition BEFORE the overwrite —
+      // without it Spark rejects writing a path that the plan still reads
+      // (and the write would otherwise race its own input)
+      val part = spark.read.parquet(path)
+        .filter(col(partitionCol) === value)
+        .coalesce(targetFiles)
+        .localCheckpoint()
+      overwritePartitionsDynamic(part, path, Seq(partitionCol))
+    }
+    fragmented
+  }
+
   /** K2: write-if-changed. Spark parquet bytes aren't stable run-to-run, so
     * change detection hashes content (order-independent) instead of
     * comparing file bytes; returns true when the store changed. */

@@ -170,6 +170,32 @@ class SourcesSinksSpec extends SparkSpec {
       .contains("dynamic"))
   }
 
+  test("compaction rewrites only fragmented partitions, data intact, healthy files untouched") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    // healthy partition: one file; fragmented partition: 12 appended files
+    Seq((1996, "a", 1.0)).toDF("yr", "k", "v")
+      .coalesce(1).write.mode("overwrite").partitionBy("yr").parquet(base)
+    for (i <- 0 until 12)
+      Seq((1997, s"f$i", i.toDouble)).toDF("yr", "k", "v")
+        .coalesce(1).write.mode("append").partitionBy("yr").parquet(base)
+    def files(p: String): Seq[String] =
+      new java.io.File(s"$base/yr=$p").listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSeq
+    val healthyBefore = files("1996")
+    assert(files("1997").size == 12)
+    val before = spark.read.parquet(base)
+      .select("yr", "k", "v").as[(Int, String, Double)].collect().toSet
+
+    val rewritten = Sinks.compactPartitions(spark, base, "yr",
+      maxFilesPerPartition = 8, targetFiles = 1)
+    assert(rewritten == Seq("1997"))
+    assert(files("1997").size == 1, "fragmented partition must coalesce")
+    assert(files("1996") == healthyBefore, "healthy partition files must be untouched")
+    val after = spark.read.parquet(base)
+      .select("yr", "k", "v").as[(Int, String, Double)].collect().toSet
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("status JSON sink writes atomic parseable stats") {
     val validated = Seq(("T", "ok"), ("U", "flagged"), ("V", "ok"))
       .toDF("ticker", "validation_status")
