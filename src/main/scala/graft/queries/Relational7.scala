@@ -18,7 +18,7 @@ import QueryDef.moneySum
 object Relational7 {
 
   def defs: Seq[QueryDef] =
-    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, d34)
+    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -334,6 +334,44 @@ object Relational7 {
         COUNT(*) AS n,
         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
       FROM events GROUP BY 1 ORDER BY k_decade"""))
+
+  /** Distribution drift via PSI (population stability index): order-value
+    * distributions of 1996 vs 1997 over FIXED bins (fixed cutpoints, not
+    * data-dependent quantiles, so both engines bin identically and a
+    * production monitor compares periods against a frozen baseline).
+    * PSI = Σ (p−q)·ln(p/q); the standard alert threshold is 0.2. One
+    * scan, one shuffle on the tiny bin key; proportions divide ONCE per
+    * bin. Laplace-style +1 smoothing keeps empty bins finite. */
+  val q98 = QueryDef("q98_psi_drift",
+    (s, dir) => {
+      val bin = least(floor(col("o_totalprice") / 50000.0).cast(LongType), lit(9L))
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(year(col("o_orderdate")).as("yr"), bin.as("bin"))
+      val counts = o.groupBy("bin")
+        .agg(count_if(col("yr") === 1996).as("n_ref"),
+          count_if(col("yr") === 1997).as("n_cur"))
+      val totals = counts.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(((col("n_ref") + 1) / (col("t_ref") + 10) -
+                 (col("n_cur") + 1) / (col("t_cur") + 10)) *
+            log(((col("n_ref") + 1) / (col("t_ref") + 10)) /
+                ((col("n_cur") + 1) / (col("t_cur") + 10))), 9).as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH o AS (SELECT year(o_orderdate) AS yr,
+          least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+      c AS (SELECT bin,
+          COUNT(*) FILTER (WHERE yr = 1996) AS n_ref,
+          COUNT(*) FILTER (WHERE yr = 1997) AS n_cur
+        FROM o GROUP BY bin),
+      t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM c)
+      SELECT bin, n_ref, n_cur,
+        round(((n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE - (n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE) *
+          ln(((n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE) / ((n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE)), 9) AS psi_term
+      FROM c CROSS JOIN t ORDER BY bin"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope
