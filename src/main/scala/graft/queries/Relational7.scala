@@ -294,7 +294,7 @@ object Relational7 {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           count(col("state_price")).as("n_matched"),
-          sum(QueryDef.dec(col("state_price"))).cast(DoubleType).as("sum_state"))
+          moneySum(col("state_price")).as("sum_state"))
         .orderBy("l_returnflag")
     },
     Some("""WITH dedup AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS change_d,
@@ -325,7 +325,7 @@ object Relational7 {
       Tables.events(s, dir)
         .withColumn("p", from_json(col("props"), StructType(Seq(
           StructField("k", LongType)))))
-        .groupBy((col("p.k") / 10).cast(LongType).as("k_decade"))
+        .groupBy(floor(col("p.k") / 10).cast(LongType).as("k_decade"))
         .agg(count(lit(1)).as("n"),
           sum(col("p.k")).as("k_sum"))
         .orderBy("k_decade")

@@ -238,7 +238,7 @@ object TextVector4 {
       normalized.join(keepers, Seq("doc_id"))
         .withColumn("n_tokens", size(col("toks")).cast(LongType))
         .withColumn("n_stop",
-          size(filter(col("toks"), t => t.isin(en.map(lit(_)): _*))).cast(LongType))
+          TextFns.vocabTokenCountOf(col("toks"), en).cast(LongType))
         .filter(col("n_tokens") >= 15 &&
           col("n_stop") * 10L >= col("n_tokens")) // stop ratio >= 0.1, integer form
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"))
@@ -273,12 +273,19 @@ object TextVector4 {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(TextFns.tokens(col("text"))).cast(LongType).as("n_tok"))
+      // ONE aggregation scan collects the (tiny) per-lang totals; quota
+      // and rates derive driver-side so the final plan re-scans documents
+      // once, not three times
       val perLang = toks.groupBy("lang").agg(sum(col("n_tok")).as("total_tok"))
-      val quota = perLang.agg(min(col("total_tok"))).head().getLong(0)
-      val rates = perLang.select(col("lang"),
-        least(lit(10000L),
-          floor(lit(quota.toDouble) / col("total_tok") * 10000.0).cast(LongType))
-          .as("rate_bp"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val quota = perLang.map(_._2).min
+      val rates = {
+        import s.implicits._
+        perLang.map { case (lang, total) =>
+          (lang, math.min(10000L,
+            math.floor(quota.toDouble / total * 10000.0).toLong))
+        }.toDF("lang", "rate_bp")
+      }
       val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
         .cast(LongType) % 10000
       toks.join(broadcast(rates), Seq("lang"))

@@ -101,23 +101,38 @@ object Sinks {
                         targetFiles: Int = 1): Seq[String] = {
     val root = new java.io.File(path)
     require(root.isDirectory, s"no store at $path")
+    def dataFiles(dir: java.io.File): Int = dir.listFiles().count(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
     val fragmented = root.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
-      .filter(_.listFiles().count(f =>
-        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) > maxFilesPerPartition)
+      .filter(dataFiles(_) > maxFilesPerPartition)
       .map(_.getName.stripPrefix(s"$partitionCol="))
       .toSeq
-    fragmented.foreach { value =>
+    fragmented.foreach { escaped =>
+      // directory names carry Hive path-escaping (":" -> "%3A", null ->
+      // the default-partition sentinel) — unescape before comparing to
+      // COLUMN values or the filter silently matches nothing
+      val pred =
+        if (escaped == "__HIVE_DEFAULT_PARTITION__") col(partitionCol).isNull
+        else col(partitionCol) ===
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(escaped)
       // read THROUGH the store root (not the partition dir) so the
       // partition column survives; filter prunes to the one partition.
       // localCheckpoint materializes the partition BEFORE the overwrite —
       // without it Spark rejects writing a path that the plan still reads
       // (and the write would otherwise race its own input)
       val part = spark.read.parquet(path)
-        .filter(col(partitionCol) === value)
+        .filter(pred)
         .coalesce(targetFiles)
         .localCheckpoint()
       overwritePartitionsDynamic(part, path, Seq(partitionCol))
+      // a value/dir mismatch would make the overwrite a silent no-op —
+      // fail loudly instead of reporting a partition as compacted
+      val after = dataFiles(new java.io.File(s"$path/$partitionCol=$escaped"))
+      require(after <= targetFiles,
+        s"compaction of $partitionCol=$escaped left $after files " +
+          s"(expected <= $targetFiles) — partition filter matched nothing?")
     }
     fragmented
   }

@@ -196,6 +196,27 @@ class SourcesSinksSpec extends SparkSpec {
     assert(after == before, "compaction must not change the data")
   }
 
+  test("compaction handles Hive-escaped string partition values") {
+    val base = Files.createTempDirectory("graft-compact-esc").toString
+    // ":" is path-escaped to %3A in the partition directory name — the
+    // compactor must unescape before filtering or it rewrites nothing
+    for (i <- 0 until 10)
+      Seq(("12:30", s"f$i", i.toDouble)).toDF("slot", "k", "v")
+        .coalesce(1).write.mode("append").partitionBy("slot").parquet(base)
+    val dir = new java.io.File(base).listFiles().filter(_.isDirectory).head
+    assert(dir.getName.contains("%3A"), s"expected escaped dir, got ${dir.getName}")
+    val before = spark.read.parquet(base)
+      .select("slot", "k", "v").as[(String, String, Double)].collect().toSet
+    val rewritten = Sinks.compactPartitions(spark, base, "slot",
+      maxFilesPerPartition = 4, targetFiles = 1)
+    assert(rewritten.size == 1)
+    assert(dir.listFiles().count(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) == 1)
+    val after = spark.read.parquet(base)
+      .select("slot", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == before)
+  }
+
   test("status JSON sink writes atomic parseable stats") {
     val validated = Seq(("T", "ok"), ("U", "flagged"), ("V", "ok"))
       .toDF("ticker", "validation_status")

@@ -136,11 +136,32 @@ class TextVectorSpec extends SparkSpec {
         .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
           if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     val fmKey = "spark.sql.codegen.factoryMode"
+    val exKey = "spark.sql.optimizer.excludedRules"
     val prev = spark.conf.get(fmKey)
-    val gen = try { spark.conf.set(fmKey, "CODEGEN_ONLY"); run() }
-      finally spark.conf.set(fmKey, prev)
-    val interp = try { spark.conf.set(fmKey, "NO_CODEGEN"); run() }
-      finally spark.conf.set(fmKey, prev)
+    val prevEx = spark.conf.getOption(exKey)
+    // ConvertToLocalRelation would fold the projection over this local
+    // data at OPTIMIZATION time with an interpreted projection — both
+    // legs would silently skip doGenCode. Excluding it keeps a real
+    // Project in the plan so CODEGEN_ONLY actually compiles the kernels.
+    spark.conf.set(exKey,
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    def restore(): Unit = {
+      spark.conf.set(fmKey, prev)
+      prevEx match {
+        case Some(v) => spark.conf.set(exKey, v)
+        case None => spark.conf.unset(exKey)
+      }
+    }
+    val (gen, interp) = try {
+      assert(!df.select(graft.functions.VectorExprs.dot(col("a"), col("b")))
+        .queryExecution.optimizedPlan.toString.startsWith("LocalRelation"),
+        "projection must survive optimization or codegen is never exercised")
+      spark.conf.set(fmKey, "CODEGEN_ONLY")
+      val g = run()
+      spark.conf.set(fmKey, "NO_CODEGEN")
+      val i = run()
+      (g, i)
+    } finally restore()
     assert(gen.length == interp.length)
     gen.zip(interp).foreach { case ((d1, c1), (d2, c2)) =>
       assert(d1.isDefined == d2.isDefined && c1.isDefined == c2.isDefined)
