@@ -334,6 +334,29 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming observability twin of `Validation.observedStats`: a
+    * listener that accumulates per-query input-row and processed-rows
+    * counts from the engine's own progress events — no extra action, no
+    * second pass, works for ANY running query. At fleet scale this is
+    * what feeds lag/throughput dashboards; here it's the minimal
+    * thread-safe core (progress events arrive on the listener bus
+    * thread). Register via `spark.streams.addListener`. */
+  final class ProgressTracker
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val rows = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+    private val batches = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      rows.merge(e.progress.id, e.progress.numInputRows, (a, b) => a + b)
+      batches.merge(e.progress.id, 1L, (a, b) => a + b)
+      ()
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def inputRows(queryId: java.util.UUID): Long = rows.getOrDefault(queryId, 0L)
+    def nBatches(queryId: java.util.UUID): Long = batches.getOrDefault(queryId, 0L)
+  }
+
   /** The streaming query id from `<checkpoint>/metadata` — stable across
     * restarts of the SAME checkpoint, different for a rebuilt one. The
     * file exists by the time the first batch runs (written at query

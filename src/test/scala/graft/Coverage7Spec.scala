@@ -264,6 +264,36 @@ class Coverage7Spec extends SparkSpec {
     }
   }
 
+  test("streaming progress listener accumulates input rows across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val tracker = new EventStreams.ProgressTracker
+    spark.streams.addListener(tracker)
+    val stream = MemoryStream[EventStreams.EventIn]
+    val q = EventStreams.hourlyByType(stream.toDF(), withWatermark = false)
+      .writeStream.format("memory").queryName("progress_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(
+        EventStreams.EventIn(1L, t("2024-01-01 05:00:00"), "click", 1.0),
+        EventStreams.EventIn(2L, t("2024-01-01 05:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(EventStreams.EventIn(3L, t("2024-01-01 05:02:00"), "click", 3.0))
+      q.processAllAvailable()
+      // listener events ride an async bus — give it a beat
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (tracker.inputRows(q.id) < 3L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(tracker.inputRows(q.id) == 3L,
+        s"expected 3 input rows, saw ${tracker.inputRows(q.id)}")
+      assert(tracker.nBatches(q.id) >= 2L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(tracker)
+    }
+  }
+
   test("chained stateful streaming: hourly active users agrees with the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
