@@ -18,7 +18,7 @@ import QueryDef.moneySum
 object Relational7 {
 
   def defs: Seq[QueryDef] =
-    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, d34)
+    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, d34)
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
@@ -372,6 +372,23 @@ object Relational7 {
         round(((n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE - (n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE) *
           ln(((n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE) / ((n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE)), 9) AS psi_term
       FROM c CROSS JOIN t ORDER BY bin"""))
+
+  /** GROUP BY ALL / ORDER BY ALL — the modern SQL ergonomics both engines
+    * resolve identically: every non-aggregate select item becomes a group
+    * key, the full select list the sort key. Semantically q1's shape;
+    * the judged point is that the sugar resolves the same way. */
+  val q99 = QueryDef("q99_group_by_all",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("ord99_v")
+      s.sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM ord99_v GROUP BY ALL ORDER BY ALL""")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ALL ORDER BY ALL"""))
 
   /** Approximate percentile sketch (rows-only — like the HLL d30, the
     * sketch is engine-specific; CoverageSpec gates the error envelope

@@ -15,7 +15,7 @@ import graft.functions.TextFns
   */
 object TextVector4 {
 
-  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, d36, d37, s8, s9)
+  def defs: Seq[QueryDef] = Seq(d31, d32, d33, d35, d36, d37, d38, s8, s9)
 
   /** Disjoint 20-token segments hashed and counted across the corpus; a
     * segment is a duplicate when it appears in ≥2 DISTINCT documents. Per
@@ -309,6 +309,43 @@ object TextVector4 {
       FROM toks t JOIN rates r ON t.lang = r.lang
       WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate_bp
       GROUP BY t.lang ORDER BY t.lang"""))
+
+  /** Character-coverage signal (the SentencePiece `character_coverage`
+    * analysis): the corpus character histogram picks a top-16 alphabet
+    * (count desc, char asc — total order), and each document reports how
+    * much of it the alphabet covers. Low coverage = wrong-script or noisy
+    * docs. Two phases like d37: the alphabet derives from ONE histogram
+    * aggregation (collected driver-side — 16 values), the per-doc pass is
+    * scan-local with the alphabet inlined as a literal array. The char
+    * explode uses the substr(i,1) idiom shared with m2/d25 so both
+    * engines split identically. */
+  val d38 = QueryDef("d38_char_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chars = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+        .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("c"))
+      val alphabet = chars.groupBy("c").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("c").asc).limit(16)
+        .select("c").collect().map(_.getString(0)).toSeq
+      chars.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chars"),
+          count_if(col("c").isin(alphabet.map(lit(_)): _*)).as("n_covered"))
+        .select(col("doc_id"), col("n_chars"), col("n_covered"),
+          round(col("n_covered") / col("n_chars"), 9).as("coverage"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+              FROM documents)),
+      alpha AS (SELECT c FROM ch GROUP BY c
+        ORDER BY COUNT(*) DESC, c ASC LIMIT 16)
+      SELECT doc_id, COUNT(*) AS n_chars,
+        COUNT(*) FILTER (WHERE c IN (SELECT c FROM alpha)) AS n_covered,
+        round(COUNT(*) FILTER (WHERE c IN (SELECT c FROM alpha))::DOUBLE
+          / COUNT(*)::DOUBLE, 9) AS coverage
+      FROM ch GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Chained stateful aggregation, batch twin: hourly active users via
     * per-(window, user) pre-aggregation — the scalable COUNT(DISTINCT)
