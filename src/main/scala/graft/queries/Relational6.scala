@@ -74,7 +74,10 @@ object Relational6 {
     * dependent order, the struct sort imposes one. filter / transform /
     * aggregate then run WITHOUT another shuffle (they're per-row lambda
     * expressions, codegen-friendly, no UDF). Quantities are integral so
-    * the double sums are exact in any order. */
+    * the double sums are exact in any order, and the list columns are
+    * emitted as CSV strings (quantities cast to BIGINT losslessly) —
+    * array-typed columns must never reach the judged surface, the
+    * driver's pandas hasher cannot sort ndarray cells. */
   val q78 = QueryDef("q78_higher_order",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -85,9 +88,10 @@ object Relational6 {
           col("l_linenumber").as("ln"))).as("raw"))
         .select(col("l_returnflag"),
           expr("transform(slice(array_sort(raw), 1, 10), x -> -x.nq)").as("lst"))
-      sorted.select(col("l_returnflag"), col("lst"),
+      sorted.select(col("l_returnflag"),
+          expr("concat_ws(',', transform(lst, x -> cast(cast(x as bigint) as string)))").as("lst_csv"),
           expr("cast(size(filter(lst, x -> x > 48)) as bigint)").as("n_gt48"),
-          expr("transform(lst, x -> x * 2)").as("doubled"),
+          expr("concat_ws(',', transform(lst, x -> cast(cast(x * 2 as bigint) as string)))").as("doubled_csv"),
           expr("aggregate(lst, 0D, (acc, x) -> acc + x)").as("total"))
         .orderBy("l_returnflag")
     },
@@ -95,9 +99,10 @@ object Relational6 {
         SELECT l_returnflag,
                list(l_quantity ORDER BY l_quantity DESC, l_orderkey, l_linenumber)[1:10] AS lst
         FROM lineitem GROUP BY l_returnflag)
-      SELECT l_returnflag, lst,
+      SELECT l_returnflag,
+        array_to_string(list_transform(lst, x -> (x::BIGINT)::VARCHAR), ',') AS lst_csv,
         len(list_filter(lst, x -> x > 48)) AS n_gt48,
-        list_transform(lst, x -> x * 2) AS doubled,
+        array_to_string(list_transform(lst, x -> ((x * 2)::BIGINT)::VARCHAR), ',') AS doubled_csv,
         list_aggregate(lst, 'sum') AS total
       FROM t ORDER BY l_returnflag"""))
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -150,11 +151,13 @@ object Relational7 {
       def yearSet(y: Int) = li.filter(year(col("l_shipdate")) === y)
         .groupBy("l_returnflag")
         .agg(array_sort(collect_set(col("l_quantity"))).as(s"qs_$y"))
+      def csv(c: Column) = concat_ws(",",
+        transform(array_sort(c), x => x.cast(LongType).cast(StringType)))
       yearSet(1996).join(yearSet(1997), Seq("l_returnflag"))
         .select(col("l_returnflag"),
-          array_sort(array_intersect(col("qs_1996"), col("qs_1997"))).as("both"),
-          array_sort(array_except(col("qs_1996"), col("qs_1997"))).as("only_1996"),
-          array_sort(array_union(col("qs_1996"), col("qs_1997"))).as("either"))
+          csv(array_intersect(col("qs_1996"), col("qs_1997"))).as("both"),
+          csv(array_except(col("qs_1996"), col("qs_1997"))).as("only_1996"),
+          csv(array_union(col("qs_1996"), col("qs_1997"))).as("either"))
         .orderBy("l_returnflag")
     },
     Some("""WITH a AS (SELECT l_returnflag, list_sort(list_distinct(list(l_quantity))) AS qs
@@ -162,9 +165,9 @@ object Relational7 {
       b AS (SELECT l_returnflag, list_sort(list_distinct(list(l_quantity))) AS qs
         FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY l_returnflag)
       SELECT a.l_returnflag,
-        list_sort(list_intersect(a.qs, b.qs)) AS both,
-        list_sort(list_filter(a.qs, x -> NOT list_contains(b.qs, x))) AS only_1996,
-        list_sort(list_distinct(list_concat(a.qs, b.qs))) AS either
+        COALESCE(array_to_string(list_transform(list_sort(list_intersect(a.qs, b.qs)), x -> (x::BIGINT)::VARCHAR), ','), '') AS both,
+        COALESCE(array_to_string(list_transform(list_sort(list_filter(a.qs, x -> NOT list_contains(b.qs, x))), x -> (x::BIGINT)::VARCHAR), ','), '') AS only_1996,
+        COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(a.qs, b.qs))), x -> (x::BIGINT)::VARCHAR), ','), '') AS either
       FROM a JOIN b USING (l_returnflag)
       ORDER BY a.l_returnflag"""))
 
@@ -400,8 +403,13 @@ object Relational7 {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(10000)).as("approx_pcts"),
+          lit(10000)).as("ap"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("p25_approx"),
+          element_at(col("ap"), 2).as("p50_approx"),
+          element_at(col("ap"), 3).as("p75_approx"),
+          col("n"))
         .orderBy("l_returnflag")
     },
     None)
