@@ -1,7 +1,10 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Runtime-filter joins: cut the big side of a selective join BEFORE its
@@ -25,11 +28,20 @@ object RuntimeFilters {
 
   /** Bloom prefilter predicate for `bigKey`, built by scanning `smallKeys`
     * (one job; the small side should be the already-filtered dimension).
-    * Probe and build must hash the same representation: integral keys go
-    * through the long path on both sides (Spark's bloomFilter inserts
-    * integral columns with putLong), strings through the string path —
-    * any other key type is rejected up front rather than silently
-    * producing false NEGATIVES from a representation mismatch. */
+    * The probe is Spark's native `might_contain` expression — the same
+    * `BloomFilterMightContain` that backs InjectRuntimeFilter, codegen'd
+    * and fed the serialized filter as a foldable binary literal — NOT a
+    * Scala udf, which would break whole-stage codegen exactly on the hot
+    * scan stage the prefilter exists to keep cheap.
+    *
+    * Probe and build must hash the same representation:
+    * `BloomFilterMightContain` probes with `mightContainLong`, so both
+    * key types are funneled to longs — integral keys by cast (lossless),
+    * strings by `xxhash64` applied identically at build and probe (a
+    * deterministic hash on both sides preserves the no-false-negative
+    * guarantee; it only stacks a second, negligible FP source). Any other
+    * key type is rejected up front rather than silently producing false
+    * NEGATIVES from a representation mismatch. */
   def bloomPredicate(small: DataFrame, smallKey: String, big: DataFrame,
                      bigKey: String, expectedItems: Long = 4000000L,
                      fpp: Double = 0.03): Column = {
@@ -37,22 +49,25 @@ object RuntimeFilters {
     val bigType = big.schema(bigKey).dataType
     val smallType = small.schema(smallKey).dataType
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    (bigType, smallType) match {
+    val (buildKey: Column, probeKey: Column) = (bigType, smallType) match {
       case (b, s) if integral(b) && integral(s) =>
-        val smallLong = small.select(col(smallKey).cast("long").as(smallKey))
-        val bf: BloomFilter = smallLong.stat.bloomFilter(smallKey, expectedItems, fpp)
-        val mightContain = udf((k: java.lang.Long) =>
-          k != null && bf.mightContainLong(k))
-        mightContain(col(bigKey).cast("long"))
+        (col(smallKey).cast("long"), col(bigKey).cast("long"))
       case (StringType, StringType) =>
-        val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-        val mightContain = udf((k: String) =>
-          k != null && bf.mightContainString(k))
-        mightContain(col(bigKey))
+        (xxhash64(col(smallKey)), xxhash64(col(bigKey)))
       case (b, s) => throw new IllegalArgumentException(
         s"bloomSemiJoin supports integral or string keys on both sides, " +
           s"got $bigKey: ${b.simpleString} vs $smallKey: ${s.simpleString}")
     }
+    val bf: BloomFilter =
+      small.select(buildKey.as("__k")).stat.bloomFilter("__k", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // null probe → null → dropped by filter, matching semi-join semantics.
+    // BloomFilterMightContain is not in the public FunctionRegistry, so the
+    // expression is constructed directly and bridged back to a Column.
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnBridge.expression(probeKey)))
   }
 
   /** Exact semi-join of `big` against `small`'s key set, with the Bloom

@@ -33,6 +33,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Seq("42", "b"))
   }
 
+  test("bloom prefilter is the native might_contain expression, not a udf") {
+    // spark.range (not a local relation, which Catalyst would fold away
+    // with the filter) so the prefilter survives into the physical plan
+    val big = spark.range(1, 101).select(col("id").as("k"))
+    val small = Seq(3L, 7L).toDF("sk")
+    val plan = RuntimeFilters.bloomSemiJoin(big, "k", small, "sk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("bloomSemiJoin rejects mismatched or unsupported key types up front") {
     val longs = Seq(1L).toDF("k")
     val strs = Seq("1").toDF("sk")
