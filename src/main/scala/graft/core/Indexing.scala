@@ -40,17 +40,27 @@ object Indexing {
                    nBuckets: Int = 1024, tieBreak: Seq[String] = Nil): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val k = col(key).cast(DoubleType)
-    // narrow scan 1: bounds over non-null keys (min/max ignore nulls)
-    val Array(bounds) = df.agg(min(k).as("lo"), max(k).as("hi")).collect()
+    // narrow scan 1: bounds over finite keys. NaN is excluded explicitly:
+    // Spark's max treats NaN as greater than any double, so one NaN row
+    // would otherwise poison hi (and then every bucket) with NaN.
+    val Array(bounds) = df.agg(
+      min(when(!isnan(k), k)).as("lo"),
+      max(when(!isnan(k), k)).as("hi")).collect()
     val (lo, hi) =
-      if (bounds.isNullAt(0)) (0.0, 0.0) // all-null keys: one real bucket, unused
+      if (bounds.isNullAt(0)) (0.0, 0.0) // no finite keys: one real bucket, unused
       else (bounds.getDouble(0), bounds.getDouble(1))
-    // monotone, clamped; nulls sort FIRST via the reserved bucket -1
+    // monotone, clamped; nulls sort FIRST via the reserved bucket -1 and
+    // NaN sorts LAST in Spark's double ordering via the reserved bucket
+    // nBuckets — so double keys containing NaN keep the documented
+    // "none dropped, none shifted" contract instead of silently vanishing
+    // on the bucket equi-join (floor(NaN) casts to a null bucket).
     val width = (hi - lo) / nBuckets.toDouble
     val realBucket = if (width == 0.0) lit(0)
       else least(floor((k - lit(lo)) / lit(width)).cast(IntegerType), lit(nBuckets - 1))
     def bucketOf(keyCol: Column): Column =
-      when(keyCol.isNull, lit(-1)).otherwise(realBucket)
+      when(keyCol.isNull, lit(-1))
+        .when(isnan(keyCol.cast(DoubleType)), lit(nBuckets))
+        .otherwise(realBucket)
     // narrow scan 2: the bucket histogram → exclusive prefix sum. The
     // window runs over ≤ nBuckets+1 rows (the REDUCED set), then ships to
     // every task as a broadcast.

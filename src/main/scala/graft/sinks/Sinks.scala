@@ -99,14 +99,23 @@ object Sinks {
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
                         partitionCol: String, maxFilesPerPartition: Int = 8,
                         targetFiles: Int = 1): Seq[String] = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"no store at $path")
-    def dataFiles(dir: java.io.File): Int = dir.listFiles().count(f =>
-      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    val fragmented = root.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
-      .filter(dataFiles(_) > maxFilesPerPartition)
-      .map(_.getName.stripPrefix(s"$partitionCol="))
+    // Hadoop FileSystem API, not java.io.File: the store is an object-store
+    // or HDFS path at scale, and listStatus can't return null the way
+    // File.listFiles does on races/permissions (it throws instead).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"no store at $path")
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith(".")
+      }
+    val fragmented = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+      .filter(st => dataFiles(st.getPath) > maxFilesPerPartition)
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol="))
       .toSeq
     fragmented.foreach { escaped =>
       // directory names carry Hive path-escaping (":" -> "%3A", null ->
@@ -129,7 +138,8 @@ object Sinks {
       overwritePartitionsDynamic(part, path, Seq(partitionCol))
       // a value/dir mismatch would make the overwrite a silent no-op —
       // fail loudly instead of reporting a partition as compacted
-      val after = dataFiles(new java.io.File(s"$path/$partitionCol=$escaped"))
+      val after = dataFiles(
+        new org.apache.hadoop.fs.Path(root, s"$partitionCol=$escaped"))
       require(after <= targetFiles,
         s"compaction of $partitionCol=$escaped left $after files " +
           s"(expected <= $targetFiles) — partition filter matched nothing?")

@@ -108,6 +108,21 @@ class Coverage7Spec extends SparkSpec {
     assert(ids.toSeq == Seq(0L, 1L))
   }
 
+  test("globalRowIds: NaN keys sort LAST and are never dropped") {
+    import org.apache.spark.sql.expressions.Window
+    // NaN must not poison the max-bound (Spark max treats NaN > any double)
+    // nor vanish on the bucket join (floor(NaN) casts to a null bucket)
+    val df = Seq((5.0, 1L), (Double.NaN, 2L), (1.0, 3L), (Double.NaN, 4L),
+      (9.0, 5L)).toDF("k", "tb")
+    val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
+      nBuckets = 4, tieBreak = Seq("tb"))
+    assert(got.count() == 5, "NaN-key rows must survive")
+    val want = df.withColumn("rid",
+      row_number().over(Window.orderBy($"k".asc_nulls_first, $"tb")) - 1)
+    assert(got.select("tb", "rid").except(want.select("tb", "rid")).isEmpty &&
+      want.select("tb", "rid").except(got.select("tb", "rid")).isEmpty)
+  }
+
   test("globalRowIds: single-value key collapses to one bucket and still works") {
     val df = Seq(5L, 5L, 5L).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }.toDF("k", "tb")
