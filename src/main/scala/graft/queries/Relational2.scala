@@ -18,7 +18,7 @@ import QueryDef.{dec, moneySum, ONE}
 object Relational2 {
 
   def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q44, q45, q46, q47, q48, q49, q50)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   /** P2: prefix-based projection over a dynamically-widened frame (the
     * reference selects `sector_*` columns by introspection). */
@@ -210,6 +210,73 @@ object Relational2 {
         UNION ALL
         SELECT o_custkey::DOUBLE, o_orderkey + 10000000, o_orderstatus, CAST(NULL AS DOUBLE) FROM orders) t
       ORDER BY o_orderkey"""))
+
+  /** B5: merge-with-existing through the ACTUAL pipeline operator
+    * (`TickerFeaturePipeline.merge`) — store ∪ fresh with schema drift
+    * (fresh carries an extra n_orders column), keep-last per
+    * (ticker, as_of) with fresh winning, sorted superset columns. The
+    * overlap window (1996) makes the fresh-wins rule observable: its
+    * spend is deliberately 1.5× the store's. Money sums go through
+    * DECIMAL so the doubles are order-independent on both engines. */
+  val q42 = QueryDef("q42_merge_with_existing",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      def daily(df: DataFrame) = df.groupBy(
+        col("o_custkey").cast(StringType).as("ticker"),
+        col("o_orderdate").as("as_of"))
+      val store = daily(o.filter(col("o_orderdate") < to_date(lit("1997-01-01"))))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
+      val fresh = daily(o.filter(col("o_orderdate") >= to_date(lit("1996-01-01"))))
+        .agg((moneySum(col("o_totalprice")) * lit(1.5)).as("spend"),
+          count(lit(1)).as("n_orders"))
+      graft.pipeline.TickerFeaturePipeline.merge(store, fresh)
+    },
+    Some("""WITH store AS (
+        SELECT o_custkey::VARCHAR AS ticker, o_orderdate AS as_of,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1, 2),
+      fresh AS (
+        SELECT o_custkey::VARCHAR AS ticker, o_orderdate AS as_of,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 1.5::DOUBLE AS spend,
+               COUNT(*) AS n_orders
+        FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1, 2),
+      u AS (
+        SELECT ticker, as_of, spend, NULL::BIGINT AS n_orders, 0 AS gen FROM store
+        UNION ALL
+        SELECT ticker, as_of, spend, n_orders, 1 AS gen FROM fresh)
+      SELECT as_of, n_orders, spend, ticker FROM u
+      QUALIFY row_number() OVER (PARTITION BY ticker, as_of ORDER BY gen DESC) = 1
+      ORDER BY ticker, as_of"""))
+
+  /** B6: static-store upsert through `TickerFeaturePipeline.mergeStatic` —
+    * keep-last per ticker with fresh winning, plus dtype drift (nation is
+    * INT in the store, BIGINT in fresh → harmonized to the static path's
+    * Int target; integral-only so no rounding-vs-truncation hazard) and
+    * column drift (seg only in fresh). */
+  val q43 = QueryDef("q43_static_upsert",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val store = c.filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey").cast(StringType).as("ticker"),
+          col("c_nationkey").cast(IntegerType).as("nation"))
+      val fresh = c.filter(col("c_custkey").between(500, 1500))
+        .select(col("c_custkey").cast(StringType).as("ticker"),
+          (col("c_nationkey") + 100).cast(LongType).as("nation"),
+          col("c_mktsegment").as("seg"))
+      graft.pipeline.TickerFeaturePipeline.mergeStatic(store, fresh)
+    },
+    Some("""WITH store AS (
+        SELECT c_custkey::VARCHAR AS ticker, c_nationkey::INTEGER AS nation,
+               NULL::VARCHAR AS seg, 0 AS gen
+        FROM customer WHERE c_custkey <= 1000),
+      fresh AS (
+        SELECT c_custkey::VARCHAR AS ticker, (c_nationkey + 100)::INTEGER AS nation,
+               c_mktsegment AS seg, 1 AS gen
+        FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+      u AS (SELECT * FROM store UNION ALL SELECT * FROM fresh)
+      SELECT nation, seg, ticker FROM u
+      QUALIFY row_number() OVER (PARTITION BY ticker ORDER BY gen DESC) = 1
+      ORDER BY ticker"""))
 
   /** A11: full pairwise Pearson correlation matrix in long form. */
   val q41 = {
