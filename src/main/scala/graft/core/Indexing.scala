@@ -81,4 +81,34 @@ object Indexing {
       .withColumn(idCol, col("__offset") + local - 1)
       .drop("__bucket", "__offset")
   }
+
+  /** Exact distributed ntile over (key, tieBreak) ordering — the scale-safe
+    * form of `ntile(n).over(Window.orderBy(...))`, which moves EVERY row to
+    * one task. Global row ids come from the bucketed two-pass above; the
+    * tile is then pure arithmetic on the id, reproducing ntile's exact
+    * fill rule (the first `total mod n` tiles hold one extra row), so the
+    * result is row-identical to the single-partition window — pinned by
+    * Coverage7Spec — while the plan's only windows are per-bucket.
+    * Integral `div`, not `/`: double division would lose exactness past
+    * 2^53 rows. One extra distributed count pass over the input. */
+  def globalNtile(df: DataFrame, nTiles: Int, key: String, tileCol: String,
+                  descending: Boolean = false, tieBreak: Seq[String] = Nil,
+                  nBuckets: Int = 1024): DataFrame = {
+    require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
+    val total = df.count()
+    val keyed = if (descending) df.withColumn("__negkey", -col(key).cast(DoubleType)) else df
+    val orderKey = if (descending) "__negkey" else key
+    val withId = globalRowIds(keyed, orderKey, "__rid", nBuckets, tieBreak)
+    val base = total / nTiles
+    val rem = total % nTiles
+    val tile =
+      if (base == 0) col("__rid") + 1 // fewer rows than tiles: tile = rank
+      else {
+        val cut = rem * (base + 1)
+        when(col("__rid") < cut, expr(s"__rid div ${base + 1}") + 1)
+          .otherwise(lit(rem) + expr(s"(__rid - $cut) div $base") + 1)
+      }
+    withId.withColumn(tileCol, tile.cast(IntegerType))
+      .drop("__rid", "__negkey")
+  }
 }

@@ -372,14 +372,20 @@ object Relational2 {
                             WHERE i.o_custkey = o.o_custkey)
       ORDER BY o_orderkey"""))
 
-  /** ntile decile bucketing over customer lifetime spend. */
+  /** ntile decile bucketing over customer lifetime spend — through the
+    * scale-safe `Indexing.globalNtile` (bucketed global row ids + exact
+    * ntile arithmetic) rather than `ntile(10).over(Window.orderBy(...))`,
+    * whose empty-partition window moves every customer to ONE task. The
+    * oracle stays the exact single-partition ntile: globalNtile is
+    * row-identical to it by construction (Coverage7Spec). */
   val q50 = QueryDef("q50_spend_deciles",
     (s, dir) => {
       val spend = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(moneySum(col("o_totalprice")).as("ltv"))
-      val w = Window.orderBy(col("ltv").desc, col("o_custkey").asc)
-      spend.withColumn("decile", ntile(10).over(w))
+      graft.core.Indexing.globalNtile(spend, 10, "ltv", "decile",
+        descending = true, tieBreak = Seq("o_custkey"))
+        .select("o_custkey", "ltv", "decile")
         .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey, ltv, CAST(decile AS INT) AS decile FROM (

@@ -108,6 +108,27 @@ class Coverage7Spec extends SparkSpec {
     assert(ids.toSeq == Seq(0L, 1L))
   }
 
+  test("globalNtile equals single-partition ntile exactly, including uneven fills") {
+    import org.apache.spark.sql.expressions.Window
+    // 503 rows: 503 mod 10 = 3 → first 3 tiles hold 51 rows, the rest 50;
+    // duplicate keys so the tie-break carries the ordering
+    val df = (1 to 503).map(i => (math.min(i, 470).toLong, i.toLong))
+      .toDF("k", "tb")
+    val got = graft.core.Indexing.globalNtile(df, 10, "k", "dec",
+      descending = true, tieBreak = Seq("tb"), nBuckets = 16)
+    val want = df.withColumn("dec",
+      ntile(10).over(Window.orderBy($"k".desc, $"tb")))
+    assert(got.select("k", "tb", "dec").except(want.select("k", "tb", "dec")).isEmpty &&
+      want.select("k", "tb", "dec").except(got.select("k", "tb", "dec")).isEmpty)
+    // fewer rows than tiles: tile = rank, matching ntile's one-per-tile fill
+    val tiny = Seq((5L, 1L), (1L, 2L), (9L, 3L)).toDF("k", "tb")
+    val gotTiny = graft.core.Indexing.globalNtile(tiny, 10, "k", "dec",
+      tieBreak = Seq("tb"))
+    val wantTiny = tiny.withColumn("dec", ntile(10).over(Window.orderBy($"k", $"tb")))
+    assert(gotTiny.select("k", "dec").except(wantTiny.select("k", "dec")).isEmpty &&
+      wantTiny.select("k", "dec").except(gotTiny.select("k", "dec")).isEmpty)
+  }
+
   test("globalRowIds: NaN keys sort LAST and are never dropped") {
     import org.apache.spark.sql.expressions.Window
     // NaN must not poison the max-bound (Spark max treats NaN > any double)
