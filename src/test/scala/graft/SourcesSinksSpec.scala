@@ -80,6 +80,58 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.toSeq == Seq("AAPL", "BRK.B", "MSFT"))
   }
 
+  test("universe HTML scrape: first table with a Symbol/Ticker header, raw-symbol regex (S9)") {
+    val tmp = Files.createTempDirectory("graft-test").resolve("sp500.html")
+    Files.writeString(tmp, """<html><body>
+      <table><tr><th>Rank</th><th>Name</th></tr>
+        <tr><td>1</td><td>Not the constituents table</td></tr></table>
+      <table class="wikitable">
+        <tr><th>Symbol</th><th>Security</th><th>Sector</th></tr>
+        <tr><td><a href="/wiki/Apple">AAPL</a></td><td>Apple</td><td>IT</td></tr>
+        <tr><td>BRK.B</td><td>Berkshire</td><td>Financials</td></tr>
+        <tr><td>^VIX</td><td>index, caret-invalid</td><td>-</td></tr>
+        <tr><td>msft</td><td>lowercase is dropped, not uppercased</td><td>IT</td></tr>
+        <tr><td>TOOLONGSYM</td><td>over 6 chars</td><td>-</td></tr>
+        <tr><td> MMM &amp; Co</td><td>embedded space fails the regex</td><td>-</td></tr>
+        <tr><td>AAPL</td><td>duplicate</td><td>IT</td></tr>
+      </table></body></html>""")
+    val out = Sources.universeHtml(spark, tmp.toString)
+      .orderBy("ticker").as[String].collect()
+    assert(out.toSeq == Seq("AAPL", "BRK.B"))
+    // Nasdaq-100 shape: the symbol column is named Ticker and not first
+    val tmp2 = Files.createTempDirectory("graft-test").resolve("ndx.html")
+    Files.writeString(tmp2, """<table><tr><th>Company</th><th>Ticker</th></tr>
+      <tr><td>NVIDIA</td><td>NVDA</td></tr></table>""")
+    assert(Sources.universeHtml(spark, tmp2.toString).as[String].collect().toSeq == Seq("NVDA"))
+    // no matching table: loud failure, like the reference's raise
+    val tmp3 = Files.createTempDirectory("graft-test").resolve("bad.html")
+    Files.writeString(tmp3, "<table><tr><th>Nope</th></tr><tr><td>x</td></tr></table>")
+    val ex = intercept[IllegalArgumentException] {
+      Sources.universeHtml(spark, tmp3.toString)
+    }
+    assert(ex.getMessage.contains("Symbol/Ticker"))
+  }
+
+  test("universe probe: >=5 non-null closes in the trailing 30d window (S9)") {
+    val universe = Seq("AAPL", "DEAD", "SPARSE", "OLD").toDF("ticker")
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 6, 1).plusDays(i))
+    val prices =
+      // AAPL: 6 recent non-null closes -> kept
+      (0 until 6).map(i => ("AAPL", day(24 + i), Option(100.0 + i))) ++
+      // SPARSE: recent but only 4 non-null (one null row doesn't count)
+      (0 until 4).map(i => ("SPARSE", day(26 + i), Option(10.0))) :+
+      ("SPARSE", day(25), Option.empty[Double]) :+
+      // OLD: plenty of closes but all before the 30d window
+      ("OLD", day(-40), Option(5.0))
+    val pricesDf = (prices ++ (0 until 6).map(i => ("OLD", day(-40 - i), Option(5.0))))
+      .toDF("ticker", "date", "close")
+    val kept = Sources.validateUniverse(universe, pricesDf)
+      .as[String].collect().toSeq
+    assert(kept == Seq("AAPL"))
+    // empty history -> empty universe, not a crash
+    assert(Sources.validateUniverse(universe, pricesDf.limit(0)).count() == 0)
+  }
+
   test("ticker-list writer: sorted unique symbols, atomic text file (K5)") {
     val df = Seq("msft", "AAPL", " aapl ", "TSLA").toDF("ticker")
     val path = Files.createTempDirectory("graft-sink").resolve("tickers.txt").toString
