@@ -89,4 +89,27 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Measured recall@k of an IVF configuration against the exact
+    * brute-force baseline on a query SAMPLE — the tuning tool for the
+    * recall/nProbe trade-off. Recall rises roughly linearly in nProbe on
+    * unstructured (near-random) embeddings — the worst case for any
+    * space-partitioning index, since cell membership carries little
+    * neighbor signal; clustered real-world embeddings need far fewer
+    * probes for the same recall. Run this on a few hundred sampled
+    * queries to pick nProbe for a target recall; the sample cost is
+    * |sample| × |corpus| (one brute pass), negligible next to serving. */
+  def measureRecall(sampleQueries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nCells: Int, nProbe: Int,
+                    seed: Long = 42L): Double = {
+    def pairs(df: DataFrame): Set[(Any, Any)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+    val brute = pairs(bruteForceTopK(sampleQueries, corpus, idCol, vecCol, k))
+    val centroids = kmeansCentroids(corpus, vecCol, nCells, seed)
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val q = sampleQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val ivf = pairs(ivfTopK(q, cells, centroids, k, nProbe))
+    if (brute.isEmpty) 1.0 else (brute intersect ivf).size.toDouble / brute.size
+  }
 }
