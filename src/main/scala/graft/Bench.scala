@@ -29,36 +29,51 @@ object Bench {
         }
       }
     } else System.err.println(s"[bench] warm-up skipped: $warmDir missing")
-    // The sf0.001 warm-up materialized p1 for THAT dir only; drop it so the
-    // measured p1 run builds (and pays for) the sfDir feature table itself.
-    queries.Pipeline.clearMaterialized()
-    val errors = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch {
-        case e: Throwable =>
-          // a crashing query must be VISIBLE in the output, not recorded as
-          // a normal fast timing
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Single-run totals swing ±20% with VM load (the r3 committed run was
+    // a 142s outlier against 83-107s quiet runs of the same code). Measure
+    // every query across SPARK_GRAFT_BENCH_RUNS full rounds (default 3) and
+    // report per-query MEDIANS, with each round's total in "runs" so the
+    // variance is visible in the committed artifact itself.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    val runMaps: Seq[Map[String, Double]] = (1 to nRuns).map { r =>
+      // The warm-up (and any previous round) materialized p1; drop it so
+      // every measured round builds (and pays for) the sfDir feature table.
+      queries.Pipeline.clearMaterialized()
+      named.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            // a crashing query must be VISIBLE in the output, not recorded
+            // as a normal fast timing
+            errors += name
+            System.err.println(s"[bench] run $r $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
+    val results = named.map { case (name, _) => name -> median(runMaps.map(_(name))) }
+    val runTotals = runMaps.map(_.values.sum)
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val total = s3(results.map(_._2).sum)
+    val runsJson = runTotals.map(s3).mkString("[", ",", "]")
     // Full detail to a file the judge can read; compact line to stdout.
     val detailPath = "bench_detail.json"
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_runs":$nRuns,"run_totals":$runsJson,""" +
       s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_runs":$nRuns,"run_totals":$runsJson,""" +
       s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],"detail":"$detailPath",""" +
       s""""queries":${jmap(slow)},"sf":"$sfDir"}""")
     spark.stop()

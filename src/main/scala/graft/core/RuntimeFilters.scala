@@ -41,9 +41,16 @@ object RuntimeFilters {
     * deterministic hash on both sides preserves the no-false-negative
     * guarantee; it only stacks a second, negligible FP source). Any other
     * key type is rejected up front rather than silently producing false
-    * NEGATIVES from a representation mismatch. */
+    * NEGATIVES from a representation mismatch.
+    *
+    * `expectedItems <= 0` (the default) sizes the filter from an actual
+    * count of the build side — one extra cheap pass over the (by
+    * construction small, already-filtered) dimension. A fixed oversize
+    * wastes broadcast bytes AND build time proportional to the capacity,
+    * not the content: the old 4M default was a 3.6 MB task-binary rider
+    * on a 30k-row build side. */
   def bloomPredicate(small: DataFrame, smallKey: String, big: DataFrame,
-                     bigKey: String, expectedItems: Long = 4000000L,
+                     bigKey: String, expectedItems: Long = -1L,
                      fpp: Double = 0.03): Column = {
     import org.apache.spark.sql.types._
     val bigType = big.schema(bigKey).dataType
@@ -58,8 +65,10 @@ object RuntimeFilters {
         s"bloomSemiJoin supports integral or string keys on both sides, " +
           s"got $bigKey: ${b.simpleString} vs $smallKey: ${s.simpleString}")
     }
+    val items =
+      if (expectedItems > 0) expectedItems else math.max(small.count(), 64L)
     val bf: BloomFilter =
-      small.select(buildKey.as("__k")).stat.bloomFilter("__k", expectedItems, fpp)
+      small.select(buildKey.as("__k")).stat.bloomFilter("__k", items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     // null probe → null → dropped by filter, matching semi-join semantics.
@@ -74,7 +83,7 @@ object RuntimeFilters {
     * prefilter applied to `big` before the join shuffle. */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
-                    expectedItems: Long = 4000000L,
+                    expectedItems: Long = -1L,
                     fpp: Double = 0.03): DataFrame = {
     val pred = bloomPredicate(small, smallKey, big, bigKey, expectedItems, fpp)
     big.filter(col(bigKey).isNotNull && pred)
