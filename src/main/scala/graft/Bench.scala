@@ -10,6 +10,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parse BEFORE the multi-minute warm-up so a typo'd value fails fast
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got '$v'"))
+      case None => 3
+    }
     val spark = Verify.makeSession(cpus)
     // Warm the JVM/codegen on the smallest scale so per-query numbers
     // measure the plan, not first-call JIT + classloading. One query per
@@ -34,7 +40,6 @@ object Bench {
     // every query across SPARK_GRAFT_BENCH_RUNS full rounds (default 3) and
     // report per-query MEDIANS, with each round's total in "runs" so the
     // variance is visible in the committed artifact itself.
-    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     val runMaps: Seq[Map[String, Double]] = (1 to nRuns).map { r =>

@@ -40,27 +40,35 @@ object Indexing {
                    nBuckets: Int = 1024, tieBreak: Seq[String] = Nil): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val k = col(key).cast(DoubleType)
-    // narrow scan 1: bounds over finite keys. NaN is excluded explicitly:
-    // Spark's max treats NaN as greater than any double, so one NaN row
-    // would otherwise poison hi (and then every bucket) with NaN.
+    // narrow scan 1: bounds over FINITE keys only. NaN would poison hi
+    // (Spark's max ranks NaN above any double) and a single ±Infinity
+    // would drive width to Infinity, collapsing every finite key into
+    // bucket 0 — the single-task window this function exists to avoid.
+    val finite = !isnan(k) && k > Double.NegativeInfinity && k < Double.PositiveInfinity
     val Array(bounds) = df.agg(
-      min(when(!isnan(k), k)).as("lo"),
-      max(when(!isnan(k), k)).as("hi")).collect()
+      min(when(finite, k)).as("lo"),
+      max(when(finite, k)).as("hi")).collect()
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0.0, 0.0) // no finite keys: one real bucket, unused
       else (bounds.getDouble(0), bounds.getDouble(1))
-    // monotone, clamped; nulls sort FIRST via the reserved bucket -1 and
-    // NaN sorts LAST in Spark's double ordering via the reserved bucket
-    // nBuckets — so double keys containing NaN keep the documented
-    // "none dropped, none shifted" contract instead of silently vanishing
-    // on the bucket equi-join (floor(NaN) casts to a null bucket).
+    // monotone, clamped; reserved buckets mirror Spark's double ordering:
+    // null FIRST (-1), then -Inf (edge of bucket 0 — within-bucket sort
+    // keeps it ahead of the finite keys sharing the bucket), finite,
+    // +Inf (edge of the last real bucket), NaN LAST (nBuckets). So double
+    // keys containing NaN/±Inf keep the documented "none dropped, none
+    // shifted" contract instead of vanishing on the bucket equi-join or
+    // degenerating to one bucket.
     val width = (hi - lo) / nBuckets.toDouble
     val realBucket = if (width == 0.0) lit(0)
       else least(floor((k - lit(lo)) / lit(width)).cast(IntegerType), lit(nBuckets - 1))
-    def bucketOf(keyCol: Column): Column =
+    def bucketOf(keyCol: Column): Column = {
+      val kk = keyCol.cast(DoubleType)
       when(keyCol.isNull, lit(-1))
-        .when(isnan(keyCol.cast(DoubleType)), lit(nBuckets))
+        .when(isnan(kk), lit(nBuckets))
+        .when(kk === Double.NegativeInfinity, lit(0))
+        .when(kk === Double.PositiveInfinity, lit(nBuckets - 1))
         .otherwise(realBucket)
+    }
     // narrow scan 2: the bucket histogram → exclusive prefix sum. The
     // window runs over ≤ nBuckets+1 rows (the REDUCED set), then ships to
     // every task as a broadcast.
@@ -96,7 +104,20 @@ object Indexing {
                   nBuckets: Int = 1024): DataFrame = {
     require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
     val total = df.count()
-    val keyed = if (descending) df.withColumn("__negkey", -col(key).cast(DoubleType)) else df
+    // Descending = ascending over a transformed key. Negation alone is not
+    // enough: Window.orderBy(desc) is desc_nulls_last with NaN greatest
+    // (first), while the bucketed ascending pass puts null first and NaN
+    // last. Swapping null <-> NaN under the negation makes the ascending
+    // reserved buckets land exactly where the desc window would: NaN ->
+    // null -> bucket -1 (first), null -> NaN -> bucket nBuckets (last).
+    val keyed =
+      if (descending) {
+        val kk = col(key).cast(DoubleType)
+        df.withColumn("__negkey",
+          when(isnan(kk), lit(null).cast(DoubleType))
+            .when(kk.isNull, lit(Double.NaN))
+            .otherwise(-kk))
+      } else df
     val orderKey = if (descending) "__negkey" else key
     val withId = globalRowIds(keyed, orderKey, "__rid", nBuckets, tieBreak)
     val base = total / nTiles

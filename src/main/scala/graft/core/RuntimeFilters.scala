@@ -60,7 +60,11 @@ object RuntimeFilters {
       case (b, s) if integral(b) && integral(s) =>
         (col(smallKey).cast("long"), col(bigKey).cast("long"))
       case (StringType, StringType) =>
-        (xxhash64(col(smallKey)), xxhash64(col(bigKey)))
+        // xxhash64(null) is the SEED (a real long), not null — probe must
+        // map null keys to null explicitly or they'd pass the prefilter
+        (xxhash64(col(smallKey)),
+          when(col(bigKey).isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(col(bigKey))))
       case (b, s) => throw new IllegalArgumentException(
         s"bloomSemiJoin supports integral or string keys on both sides, " +
           s"got $bigKey: ${b.simpleString} vs $smallKey: ${s.simpleString}")

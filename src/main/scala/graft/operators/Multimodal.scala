@@ -53,7 +53,11 @@ object Multimodal {
     * reader claims (true for video/audio containers), sending the caller
     * to the documented stub. */
   def decodeImage(bytes: Array[Byte]): Option[Row] = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream directly: the createImageInputStream
+    // factory defaults to a disk-backed cache — a temp file created and
+    // deleted PER IMAGE inside the partition loop (and a null return on
+    // factory failure). Header reads over a byte array need no cache file.
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -67,10 +71,14 @@ object Multimodal {
           Some(Row("image", r.getWidth(0), r.getHeight(0), ch, 0L,
             "imageio-" + r.getFormatName.toLowerCase))
         } catch {
-          case _: java.io.IOException => None // truncated/corrupt header
+          // NonFatal, not just IOException: ImageIO readers throw
+          // RuntimeExceptions (AIOOBE, NegativeArraySize, IllegalArgument)
+          // on fuzzed/corrupt bytes whose magic number a reader claimed —
+          // one bad asset must fall back to the stub, not kill the job.
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
-    } finally if (in != null) in.close()
+    } finally in.close()
   }
 
   /** Decode dispatch: images go through the real javax.imageio path,

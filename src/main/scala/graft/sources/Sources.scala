@@ -105,11 +105,13 @@ object Sources {
       .filter(col("ticker") =!= "")
 
   /** S9 ticker validity (reference `populate_tickers.py:9-10`): 1-6 chars
-    * of [A-Z.], no index tickers (leading caret). Validation runs on the
-    * RAW trimmed symbol — lowercase entries are dropped, not uppercased,
-    * matching the reference's filter-then-upper order. */
+    * of [A-Z.]. Validation runs on the RAW trimmed symbol — lowercase
+    * entries are dropped, not uppercased, matching the reference's
+    * filter-then-upper order. (The reference also spells out a no-leading-
+    * caret rule for index tickers; the character class already excludes
+    * carets, so the regex is the whole rule.) */
   def isValidTicker(t: String): Boolean =
-    t.matches("[A-Z.]{1,6}") && !t.startsWith("^")
+    t.matches("[A-Z.]{1,6}")
 
   /** Minimal HTML table extractor for the universe scrape: every
     * <table> as (header cells, body rows). Tag-strip + entity-decode per
@@ -121,10 +123,13 @@ object Sources {
     val tableRe = "(?is)<table[^>]*>(.*?)</table>".r
     val rowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
     val cellRe = "(?is)<t[hd][^>]*>(.*?)</t[hd]>".r
+    // &amp; decodes LAST — decoding it first would double-decode escaped
+    // entity text ("&amp;lt;" means the literal "&lt;", not "<")
     def text(s: String): String = s
       .replaceAll("(?is)<[^>]*>", " ")
-      .replace("&amp;", "&").replace("&nbsp;", " ")
+      .replace("&nbsp;", " ")
       .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&amp;", "&")
       .replaceAll("\\s+", " ").trim
     tableRe.findAllMatchIn(html).map { tm =>
       val rows = rowRe.findAllMatchIn(tm.group(1))

@@ -129,15 +129,31 @@ class Coverage7Spec extends SparkSpec {
       wantTiny.select("k", "dec").except(gotTiny.select("k", "dec")).isEmpty)
   }
 
-  test("globalRowIds: NaN keys sort LAST and are never dropped") {
+  test("globalNtile descending: null and NaN keys order like the desc window") {
     import org.apache.spark.sql.expressions.Window
-    // NaN must not poison the max-bound (Spark max treats NaN > any double)
-    // nor vanish on the bucket join (floor(NaN) casts to a null bucket)
+    // Window.orderBy(desc) is desc_nulls_last with NaN greatest (FIRST);
+    // the bucketed pass must reproduce that, not the ascending reserve order
+    val df = Seq((Some(5.0), 1L), (None, 2L), (Some(Double.NaN), 3L),
+      (Some(1.0), 4L), (Some(9.0), 5L)).toDF("k", "tb")
+    val got = graft.core.Indexing.globalNtile(df, 3, "k", "dec",
+      descending = true, tieBreak = Seq("tb"), nBuckets = 4)
+    val want = df.withColumn("dec", ntile(3).over(Window.orderBy($"k".desc, $"tb")))
+    assert(got.select("tb", "dec").except(want.select("tb", "dec")).isEmpty &&
+      want.select("tb", "dec").except(got.select("tb", "dec")).isEmpty)
+  }
+
+  test("globalRowIds: NaN and infinity keys keep window order, never poison buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // NaN must not poison the max-bound (Spark max treats NaN > any double),
+    // one ±Inf must not drive the bucket width to Infinity (which would
+    // collapse every finite key into a single bucket), and neither may
+    // vanish on the bucket join (floor(NaN) casts to a null bucket)
     val df = Seq((5.0, 1L), (Double.NaN, 2L), (1.0, 3L), (Double.NaN, 4L),
-      (9.0, 5L)).toDF("k", "tb")
+      (9.0, 5L), (Double.PositiveInfinity, 6L), (Double.NegativeInfinity, 7L))
+      .toDF("k", "tb")
     val got = graft.core.Indexing.globalRowIds(df, "k", "rid",
       nBuckets = 4, tieBreak = Seq("tb"))
-    assert(got.count() == 5, "NaN-key rows must survive")
+    assert(got.count() == 7, "NaN/Inf-key rows must survive")
     val want = df.withColumn("rid",
       row_number().over(Window.orderBy($"k".asc_nulls_first, $"tb")) - 1)
     assert(got.select("tb", "rid").except(want.select("tb", "rid")).isEmpty &&

@@ -33,6 +33,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Seq("42", "b"))
   }
 
+  test("bloomPredicate alone drops null string keys (xxhash64(null) is the seed, not null)") {
+    val big = Seq(Some("a"), None, Some("b")).toDF("k")
+    val small = Seq(Some("a"), None).toDF("sk")
+    val pred = RuntimeFilters.bloomPredicate(small, "sk", big, "k")
+    // standalone prefilter semantics: null never passes, even with a null
+    // present on the build side
+    assert(big.filter(pred).as[String].collect().toSeq == Seq("a"))
+  }
+
   test("bloom prefilter is the native might_contain expression, not a udf") {
     // spark.range (not a local relation, which Catalyst would fold away
     // with the filter) so the prefilter survives into the physical plan

@@ -103,6 +103,14 @@ class SourcesSinksSpec extends SparkSpec {
     Files.writeString(tmp2, """<table><tr><th>Company</th><th>Ticker</th></tr>
       <tr><td>NVIDIA</td><td>NVDA</td></tr></table>""")
     assert(Sources.universeHtml(spark, tmp2.toString).as[String].collect().toSeq == Seq("NVDA"))
+    // entity decode order: "&amp;lt;" is the literal "&lt;", not "<" —
+    // visible through the header match (an escaped header must NOT decode
+    // into a matching one)
+    val tmpE = Files.createTempDirectory("graft-test").resolve("esc.html")
+    Files.writeString(tmpE, """<table><tr><th>&amp;Symbol</th></tr>
+      <tr><td>ZZZ</td></tr></table>
+      <table><tr><th>Symbol</th></tr><tr><td>IBM</td></tr></table>""")
+    assert(Sources.universeHtml(spark, tmpE.toString).as[String].collect().toSeq == Seq("IBM"))
     // no matching table: loud failure, like the reference's raise
     val tmp3 = Files.createTempDirectory("graft-test").resolve("bad.html")
     Files.writeString(tmp3, "<table><tr><th>Nope</th></tr><tr><td>x</td></tr></table>")
