@@ -12,6 +12,24 @@ class EntrySmokeSpec extends SparkSpec {
         (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).mkString(", "))
   }
 
+  test("driver contract: no registered query emits array/map/struct columns") {
+    // r3's only red rows were array-typed judged columns — the driver's
+    // pandas harness cannot hash ndarray cells, EVEN for rows-only
+    // queries (d34 erred despite having no oracle). Schema-only check:
+    // analysis cost, no execution.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"non-hashable judged columns (stringify or project scalars):\n${offenders.mkString("\n")}")
+  }
+
   test("q2's filters and projection reach the parquet scan (pushdown regression)") {
     // the README's manual Explain audit, pinned: a plan change that stops
     // pushing filters/columns into the scan multiplies the 100 TB read

@@ -32,6 +32,13 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(path):
             continue
         spark_tbl = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+        # mirror the driver's pandas harness, which dies on ndarray cells:
+        # nested dtypes are an error even for rows-only queries (r3's d34)
+        nested = [c for c, t in zip(spark_tbl.columns, map(str, spark_tbl.types))
+                  if "[" in t or t.startswith("STRUCT") or t.startswith("MAP")]
+        if nested:
+            results[name] = f"NESTED-DTYPE (driver harness cannot hash): {nested}"
+            continue
         if name not in oracle:
             results[name] = f"rows-only: {spark_tbl.shape[0]} rows"
             continue
