@@ -19,7 +19,72 @@ import QueryDef.moneySum
 object Relational7 {
 
   def defs: Seq[QueryDef] =
-    Seq(q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, d34)
+    Seq(q58, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
+      q99, d34, d39)
+
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click): each step is a per-user aggregate joined to
+    * the previous step's first-event time, so ordering is enforced by a
+    * plain predicate, not a sequence scan. All three stages shuffle on
+    * user_id — Spark reuses the exchange, so the staged funnel costs ONE
+    * partitioning of the events table regardless of funnel depth. */
+  val q58 = QueryDef("q58_funnel_steps",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      def step(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+      step(v, "1_view").union(step(c, "2_click")).union(step(p, "3_purchase"))
+        .orderBy("step")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      SELECT '1_view' AS step, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+      ORDER BY step"""))
+
+  /** Weekly retention cohorts: users bucketed by first-signup week, then
+    * distinct-active counts per (cohort week, week offset). Both weeks
+    * come from date_trunc, so the offset is exact integral arithmetic —
+    * one join to broadcast-sized cohort labels + one distinct-count
+    * shuffle; the classic cohort triangle without a self-join. */
+  val d39 = QueryDef("d39_retention_cohort",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      // cast to DATE: DuckDB's date_trunc('week', ts) is a DATE, Spark's a
+      // TIMESTAMP — the judged dtype must agree
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("su_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("su_ts")).cast(DateType).as("cohort_wk"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("wk", date_trunc("week", col("ts")).cast(DateType))
+        .filter(col("wk") >= col("cohort_wk"))
+        .withColumn("wk_offset", expr("datediff(wk, cohort_wk) div 7"))
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+    Some("""WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+        FROM events WHERE event_type = 'signup' GROUP BY 1)
+      SELECT cohort_wk, date_diff('day', cohort_wk, date_trunc('week', e.ts)) // 7 AS wk_offset,
+             count(DISTINCT e.user_id) AS n_active
+      FROM events e JOIN cohort USING (user_id)
+      WHERE date_trunc('week', e.ts) >= cohort_wk
+      GROUP BY 1, 2 ORDER BY cohort_wk, wk_offset"""))
 
   /** Correlated EXISTS: customers having at least one high-value 1997
     * order. Catalyst decorrelates the per-row subquery probe into ONE
