@@ -145,4 +145,24 @@ class PropertiesSpec extends SparkSpec {
         s"case $i (nBuckets=$nBuckets) diverged from row_number")
     }
   }
+
+  test("property: globalNtile equals window ntile for random sizes/tiles/direction") {
+    import org.apache.spark.sql.expressions.Window
+    val caseGen = Gen.zip(
+      Gen.choose(1, 80),            // row count (may be < nTiles)
+      Gen.oneOf(1, 3, 10, 17),      // tiles: divisible and not
+      Gen.oneOf(true, false),       // descending
+      Gen.oneOf(2, 8))              // buckets
+    for (((n, tiles, desc, buckets), i) <- samples(caseGen, 5).zipWithIndex) {
+      // duplicated keys (k mod 7) force tie-break ordering through fills
+      val df = (1 to n).map(j => ((j % 7).toLong, j.toLong)).toDF("k", "tb")
+      val got = graft.core.Indexing.globalNtile(df, tiles, "k", "dec",
+        descending = desc, tieBreak = Seq("tb"), nBuckets = buckets)
+      val order = if (desc) col("k").desc else col("k").asc
+      val want = df.withColumn("dec", ntile(tiles).over(Window.orderBy(order, col("tb"))))
+      assert(got.select("k", "tb", "dec").except(want.select("k", "tb", "dec")).isEmpty &&
+        want.select("k", "tb", "dec").except(got.select("k", "tb", "dec")).isEmpty,
+        s"case $i (n=$n tiles=$tiles desc=$desc buckets=$buckets) diverged from ntile")
+    }
+  }
 }
