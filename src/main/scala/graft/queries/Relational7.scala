@@ -58,8 +58,11 @@ object Relational7 {
   /** Weekly retention cohorts: users bucketed by first-signup week, then
     * distinct-active counts per (cohort week, week offset). Both weeks
     * come from date_trunc, so the offset is exact integral arithmetic —
-    * one join to broadcast-sized cohort labels + one distinct-count
-    * shuffle; the classic cohort triangle without a self-join. */
+    * one equi-join on user_id + one distinct-count shuffle; the classic
+    * cohort triangle without a self-join. No broadcast hint: the cohort
+    * side is one row PER SIGNED-UP USER — dimension-sized only at toy
+    * scale — so the join strategy is left to AQE, which broadcasts when
+    * the measured size allows and hash-joins when it doesn't. */
   val d39 = QueryDef("d39_retention_cohort",
     (s, dir) => {
       val ev = Tables.events(s, dir)
@@ -69,7 +72,7 @@ object Relational7 {
         .groupBy("user_id").agg(min(col("ts")).as("su_ts"))
         .select(col("user_id"),
           date_trunc("week", col("su_ts")).cast(DateType).as("cohort_wk"))
-      ev.join(broadcast(cohort), Seq("user_id"))
+      ev.join(cohort, Seq("user_id"))
         .withColumn("wk", date_trunc("week", col("ts")).cast(DateType))
         .filter(col("wk") >= col("cohort_wk"))
         .withColumn("wk_offset", expr("datediff(wk, cohort_wk) div 7"))

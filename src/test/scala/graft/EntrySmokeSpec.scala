@@ -15,19 +15,24 @@ class EntrySmokeSpec extends SparkSpec {
   test("driver contract: no registered query emits array/map/struct columns") {
     // r3's only red rows were array-typed judged columns — the driver's
     // pandas harness cannot hash ndarray cells, EVEN for rows-only
-    // queries (d34 erred despite having no oracle). Schema-only check:
-    // analysis cost, no execution.
+    // queries (d34 erred despite having no oracle). Reading .schema only
+    // needs analysis, but CONSTRUCTING some queries runs real jobs (p1
+    // materializes its checkpoint, q50/d16 run sizing counts, q94
+    // discovers pivot values) — a few seconds at sf0.001, accepted for
+    // full-registry coverage; p1's store is released afterwards.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val bad = fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val bad = fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
       }
-      bad
-    }
-    assert(offenders.isEmpty,
-      s"non-hashable judged columns (stringify or project scalars):\n${offenders.mkString("\n")}")
+      assert(offenders.isEmpty,
+        s"non-hashable judged columns (stringify or project scalars):\n${offenders.mkString("\n")}")
+    } finally queries.Pipeline.clearMaterialized()
   }
 
   test("q2's filters and projection reach the parquet scan (pushdown regression)") {

@@ -154,11 +154,19 @@ class PropertiesSpec extends SparkSpec {
       Gen.oneOf(true, false),       // descending
       Gen.oneOf(2, 8))              // buckets
     for (((n, tiles, desc, buckets), i) <- samples(caseGen, 5).zipWithIndex) {
-      // duplicated keys (k mod 7) force tie-break ordering through fills
-      val df = (1 to n).map(j => ((j % 7).toLong, j.toLong)).toDF("k", "tb")
+      // duplicated keys (k mod 7) force tie-break ordering through fills;
+      // null and NaN rows pin the descending path's null<->NaN transposition
+      // (desc_nulls_last with NaN greatest — the subtlest branch)
+      val df = (1 to n).map { j =>
+        val k: Option[Double] =
+          if (j % 11 == 0) None
+          else if (j % 13 == 0) Some(Double.NaN)
+          else Some((j % 7).toDouble)
+        (k, j.toLong)
+      }.toDF("k", "tb")
       val got = graft.core.Indexing.globalNtile(df, tiles, "k", "dec",
         descending = desc, tieBreak = Seq("tb"), nBuckets = buckets)
-      val order = if (desc) col("k").desc else col("k").asc
+      val order = if (desc) col("k").desc else col("k").asc_nulls_first
       val want = df.withColumn("dec", ntile(tiles).over(Window.orderBy(order, col("tb"))))
       assert(got.select("k", "tb", "dec").except(want.select("k", "tb", "dec")).isEmpty &&
         want.select("k", "tb", "dec").except(got.select("k", "tb", "dec")).isEmpty,
