@@ -20,7 +20,7 @@ import QueryDef.moneySum
   */
 object FeatureBlocks {
 
-  def defs: Seq[QueryDef] = Seq(w1, w2)
+  def defs: Seq[QueryDef] = Seq(w1, w2, w3)
 
   /** Deterministic per-(customer, date) base series: one ratio spine, no
     * duplicate dates (max_by ties would be engine-arbitrary otherwise). */
@@ -121,6 +121,93 @@ object FeatureBlocks {
         round(CASE WHEN n >= 2 AND fcf_start IS NOT NULL AND fcf_start > 0
                    AND fcf_end IS NOT NULL AND fcf_end > 0
               THEN pow(fcf_end / fcf_start, 1.0/3) - 1 ELSE 'NaN'::DOUBLE END, 6) AS fcf_cagr_3y
+      FROM agg ORDER BY ticker, as_of"""))
+
+  /** W1/W3/W5/W8 + A1/A3/A5 as COMPOSED in the pipeline: the full price
+    * block — global prefix-stable daily returns (lag), 6m/12m
+    * point-to-point returns with 0.0-on-missing, annualized sample-stddev
+    * volatility, 1y+15d-grace max drawdown (running peak over the shared
+    * ascending sort), and the 50/200 SMA delta gated at 200 observations.
+    * The series is supplier × ship-date (≈600 dates per supplier at any
+    * SF) so the SMA-200 gate and both its branches actually fire — the
+    * orders-per-customer series would leave n<200 everywhere. stddev and
+    * the SMA means are floating aggregates: round(6) at the boundary per
+    * the repo-wide rule. */
+  val w3 = QueryDef("w3_price_block",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val prices = li.groupBy(
+        col("l_suppkey").cast(StringType).as("ticker"),
+        col("l_shipdate").as("date"))
+        .agg((moneySum(col("l_extendedprice")) / 100.0).as("close"))
+      val grid = li.select(col("l_suppkey").cast(StringType).as("ticker")).distinct()
+        .withColumn("as_of", explode(array(
+          to_date(lit("1997-06-30")), to_date(lit("1998-06-30")))))
+      TickerFeatures.priceBlock(grid, prices)
+        .select(col("ticker"), col("as_of"),
+          round(col("6m_return"), 6).as("ret_6m"),
+          round(col("12m_return"), 6).as("ret_12m"),
+          round(col("volatility"), 6).as("volatility"),
+          round(col("max_drawdown_1y"), 6).as("max_drawdown_1y"),
+          round(col("sma_50_200_delta"), 6).as("sma_50_200_delta"))
+        .orderBy("ticker", "as_of")
+    },
+    Some("""WITH base AS (
+        SELECT l_suppkey::VARCHAR AS ticker, l_shipdate AS date,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 100 AS close
+        FROM lineitem GROUP BY 1, 2),
+      rets AS (
+        SELECT ticker, date, close,
+               close / lag(close) OVER (PARTITION BY ticker ORDER BY date) - 1 AS ret
+        FROM base),
+      grid AS (
+        SELECT DISTINCT l_suppkey::VARCHAR AS ticker, t.as_of
+        FROM lineitem CROSS JOIN (VALUES (DATE '1997-06-30'), (DATE '1998-06-30')) t(as_of)),
+      sliced AS (
+        SELECT g.ticker, g.as_of, r.date, r.close, r.ret
+        FROM grid g LEFT JOIN rets r ON r.ticker = g.ticker AND r.date <= g.as_of),
+      staged AS (
+        SELECT *,
+          (count(*) OVER (PARTITION BY ticker, as_of)
+           - row_number() OVER (PARTITION BY ticker, as_of ORDER BY date) + 1) AS rn_desc,
+          (date >= (max(date) OVER (PARTITION BY ticker, as_of) - INTERVAL 380 DAY)::DATE) AS in_dd
+        FROM sliced),
+      dded AS (
+        SELECT *,
+          CASE WHEN in_dd THEN
+            (max(CASE WHEN in_dd THEN close END) OVER (
+               PARTITION BY ticker, as_of ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close)
+            / max(CASE WHEN in_dd THEN close END) OVER (
+               PARTITION BY ticker, as_of ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          END AS dd
+        FROM staged),
+      agg AS (
+        SELECT ticker, as_of,
+          arg_max(close, date) AS p_now,
+          arg_max(CASE WHEN date <= (as_of - INTERVAL 6 MONTH)::DATE THEN close END,
+                  CASE WHEN date <= (as_of - INTERVAL 6 MONTH)::DATE THEN date END) AS p6,
+          arg_max(CASE WHEN date <= (as_of - INTERVAL 12 MONTH)::DATE THEN close END,
+                  CASE WHEN date <= (as_of - INTERVAL 12 MONTH)::DATE THEN date END) AS p12,
+          stddev_samp(ret) AS sd,
+          avg(CASE WHEN rn_desc <= 50 THEN close END) AS sma50,
+          avg(CASE WHEN rn_desc <= 200 THEN close END) AS sma200,
+          count(date) AS n,
+          sum(CASE WHEN in_dd THEN 1 ELSE 0 END) AS n_dd,
+          max(dd) AS max_dd
+        FROM dded GROUP BY 1, 2)
+      SELECT ticker, as_of,
+        round(CASE WHEN p6 IS NOT NULL AND p_now IS NOT NULL
+              THEN (p_now - p6) / p6 ELSE 0.0 END, 6) AS ret_6m,
+        round(CASE WHEN p12 IS NOT NULL AND p_now IS NOT NULL
+              THEN (p_now - p12) / p12 ELSE 0.0 END, 6) AS ret_12m,
+        round(COALESCE(sd * sqrt(252.0), 0.0), 6) AS volatility,
+        round(CASE WHEN n < 2 OR n_dd < 2 THEN 0.0
+              ELSE COALESCE(max_dd, 0.0) END, 6) AS max_drawdown_1y,
+        round(CASE WHEN n >= 200 THEN
+              CASE WHEN sma200 <> 0 THEN (sma50 - sma200) / sma200 ELSE 0.0 END
+              END, 6) AS sma_50_200_delta
       FROM agg ORDER BY ticker, as_of"""))
 
   /** W6/W14: split-adjusted dividend CAGR at 3y and 5y horizons — the
