@@ -30,10 +30,14 @@ object FeatureBlocks {
       col("o_orderdate").as("date"))
       .agg(moneySum(col("o_totalprice")).as("b"))
 
-  private def gridOf(orders: DataFrame): DataFrame =
-    orders.select(col("o_custkey").cast(StringType).as("ticker")).distinct()
+  /** (ticker, as_of) grid over the distinct keys of `keyCol` — the two
+    * judged as-of dates live here and in the two oracle SQL strings. */
+  private def gridFrom(src: DataFrame, keyCol: String): DataFrame =
+    src.select(col(keyCol).cast(StringType).as("ticker")).distinct()
       .withColumn("as_of", explode(array(
         to_date(lit("1997-06-30")), to_date(lit("1998-06-30")))))
+
+  private def gridOf(orders: DataFrame): DataFrame = gridFrom(orders, "o_custkey")
 
   private val oracleGrid =
     """grid AS (
@@ -140,10 +144,7 @@ object FeatureBlocks {
         col("l_suppkey").cast(StringType).as("ticker"),
         col("l_shipdate").as("date"))
         .agg((moneySum(col("l_extendedprice")) / 100.0).as("close"))
-      val grid = li.select(col("l_suppkey").cast(StringType).as("ticker")).distinct()
-        .withColumn("as_of", explode(array(
-          to_date(lit("1997-06-30")), to_date(lit("1998-06-30")))))
-      TickerFeatures.priceBlock(grid, prices)
+      TickerFeatures.priceBlock(gridFrom(li, "l_suppkey"), prices)
         .select(col("ticker"), col("as_of"),
           round(col("6m_return"), 6).as("ret_6m"),
           round(col("12m_return"), 6).as("ret_12m"),
