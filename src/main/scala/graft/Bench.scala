@@ -42,24 +42,34 @@ object Bench {
     // variance is visible in the committed artifact itself.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // A round where the query THROWS records no timing at all: its
+    // time-to-failure must not enter the median next to successful rounds
+    // (it usually skews the reported median low for flaky queries). Failed
+    // names are surfaced in "errors"; a query that fails every round gets
+    // the sentinel -1.0 so the artifact stays valid JSON and the miss is
+    // unmistakable.
     val runMaps: Seq[Map[String, Double]] = (1 to nRuns).map { r =>
       // The warm-up (and any previous round) materialized p1; drop it so
       // every measured round builds (and pays for) the sfDir feature table.
       queries.Pipeline.clearMaterialized()
-      named.map { case (name, fn) =>
+      named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch {
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
-            // a crashing query must be VISIBLE in the output, not recorded
-            // as a normal fast timing
             errors += name
             System.err.println(s"[bench] run $r $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
-    val results = named.map { case (name, _) => name -> median(runMaps.map(_(name))) }
+    val results = named.map { case (name, _) =>
+      val ok = runMaps.flatMap(_.get(name))
+      name -> (if (ok.nonEmpty) median(ok) else -1.0)
+    }
     val runTotals = runMaps.map(_.values.sum)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

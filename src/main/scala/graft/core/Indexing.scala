@@ -35,9 +35,18 @@ object Indexing {
   /** Append a dense 0-based `idCol` ordered by (key ASC NULLS FIRST,
     * tieBreak...). The key must be numeric (monotone bucketing needs
     * arithmetic); tie-break columns make the ordering total when keys
-    * repeat. */
+    * repeat.
+    *
+    * `withinOrder`, when non-empty, replaces the within-bucket sort order.
+    * Bucket assignment still follows `key`, so the override must agree with
+    * the bucketing: any total order that refines the (possibly lossy)
+    * double-cast bucket order is safe, because rows that the double cast
+    * cannot distinguish land in the same bucket and the override alone
+    * decides their relative ids. Used by globalNtile's descending path to
+    * sort by the EXACT original key while bucketing by its negated double. */
   def globalRowIds(df: DataFrame, key: String, idCol: String,
-                   nBuckets: Int = 1024, tieBreak: Seq[String] = Nil): DataFrame = {
+                   nBuckets: Int = 1024, tieBreak: Seq[String] = Nil,
+                   withinOrder: Seq[Column] = Nil): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val k = col(key).cast(DoubleType)
     // narrow scan 1: bounds over FINITE keys only. NaN would poison hi
@@ -81,7 +90,9 @@ object Indexing {
           lit(0L)))
       .select("__bucket", "__offset")
     // full scan: local row_number within each bucket + broadcast offset
-    val order = (col(key).asc_nulls_first +: tieBreak.map(col(_).asc))
+    val order =
+      if (withinOrder.nonEmpty) withinOrder
+      else (col(key).asc_nulls_first +: tieBreak.map(col(_).asc))
     val local = row_number().over(
       Window.partitionBy("__bucket").orderBy(order: _*))
     df.withColumn("__bucket", bucketOf(col(key)))
@@ -104,12 +115,17 @@ object Indexing {
                   nBuckets: Int = 1024): DataFrame = {
     require(nTiles >= 1, s"nTiles must be >= 1, got $nTiles")
     val total = df.count()
-    // Descending = ascending over a transformed key. Negation alone is not
-    // enough: Window.orderBy(desc) is desc_nulls_last with NaN greatest
-    // (first), while the bucketed ascending pass puts null first and NaN
-    // last. Swapping null <-> NaN under the negation makes the ascending
-    // reserved buckets land exactly where the desc window would: NaN ->
-    // null -> bucket -1 (first), null -> NaN -> bucket nBuckets (last).
+    // Descending = ascending over a transformed BUCKETING key. Negation
+    // alone is not enough: Window.orderBy(desc) is desc_nulls_last with NaN
+    // greatest (first), while the bucketed ascending pass puts null first
+    // and NaN last. Swapping null <-> NaN under the negation makes the
+    // ascending reserved buckets land exactly where the desc window would:
+    // NaN -> null -> bucket -1 (first), null -> NaN -> bucket nBuckets
+    // (last). The negated DOUBLE decides only the bucket; the within-bucket
+    // sort uses the EXACT original key descending, so integral/decimal keys
+    // beyond 2^53 (where the double cast collides distinct values) still
+    // order exactly — colliding keys share a bucket by construction and the
+    // exact sort separates them there.
     val keyed =
       if (descending) {
         val kk = col(key).cast(DoubleType)
@@ -118,8 +134,13 @@ object Indexing {
             .when(kk.isNull, lit(Double.NaN))
             .otherwise(-kk))
       } else df
-    val orderKey = if (descending) "__negkey" else key
-    val withId = globalRowIds(keyed, orderKey, "__rid", nBuckets, tieBreak)
+    val withId =
+      if (descending)
+        globalRowIds(keyed, "__negkey", "__rid", nBuckets, tieBreak,
+          // reserved buckets isolate null/NaN rows, so plain .desc (which
+          // is desc_nulls_last) never has to order them against finite keys
+          withinOrder = col(key).desc +: tieBreak.map(col(_).asc))
+      else globalRowIds(keyed, key, "__rid", nBuckets, tieBreak)
     val base = total / nTiles
     val rem = total % nTiles
     val tile =

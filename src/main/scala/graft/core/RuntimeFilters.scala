@@ -69,10 +69,16 @@ object RuntimeFilters {
         s"bloomSemiJoin supports integral or string keys on both sides, " +
           s"got $bigKey: ${b.simpleString} vs $smallKey: ${s.simpleString}")
     }
+    // Null build-side keys never match any probe (semi-join semantics), but
+    // left in they would (a) insert xxhash64's seed value on the string path
+    // and (b) inflate the auto-size count — both silent extra-FP sources.
+    // Duplicates still count toward sizing: deduping costs a shuffle and an
+    // oversized filter only lowers the FP rate.
+    val build = small.filter(col(smallKey).isNotNull)
     val items =
-      if (expectedItems > 0) expectedItems else math.max(small.count(), 64L)
+      if (expectedItems > 0) expectedItems else math.max(build.count(), 64L)
     val bf: BloomFilter =
-      small.select(buildKey.as("__k")).stat.bloomFilter("__k", items, fpp)
+      build.select(buildKey.as("__k")).stat.bloomFilter("__k", items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     // null probe → null → dropped by filter, matching semi-join semantics.

@@ -144,7 +144,13 @@ object Sources {
     * `symbolHeaders` (Wikipedia's S&P500/Dow pages use "Symbol", the
     * Nasdaq-100 page "Ticker"), regex-validate the raw symbols, then
     * uppercase + dedupe. Loud failure when no table matches, like the
-    * reference's raise. */
+    * reference's raise.
+    *
+    * FIXTURE-SCOPE ONLY: htmlTables above is a regex extractor — nested
+    * tables and '>' inside quoted attribute values break its `</t...>`
+    * terminators. Saved constituent pages must be pre-flattened fixtures
+    * (the specs' are); pointing this at a live, unsanitized page needs a
+    * real HTML parser first. */
   def universeHtml(spark: SparkSession, path: String,
                    symbolHeaders: Seq[String] = Seq("Symbol", "Ticker")): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

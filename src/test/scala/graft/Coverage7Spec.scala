@@ -142,6 +142,22 @@ class Coverage7Spec extends SparkSpec {
       want.select("tb", "dec").except(got.select("tb", "dec")).isEmpty)
   }
 
+  test("globalNtile descending stays exact for Long keys beyond 2^53") {
+    import org.apache.spark.sql.expressions.Window
+    // Adjacent longs past 2^53 collide under the double cast that builds
+    // the descending bucketing key; exactness requires the within-bucket
+    // sort to use the ORIGINAL key, not the negated double. Before the
+    // round-5 fix these rows tied under __negkey and fell to the tie-break
+    // (ascending), inverting the tile boundary between them.
+    val base = (1L << 53) + 10
+    val df = (0L until 7L).map(i => (base + i, 100L - i)).toDF("k", "tb")
+    val got = graft.core.Indexing.globalNtile(df, 3, "k", "dec",
+      descending = true, tieBreak = Seq("tb"), nBuckets = 4)
+    val want = df.withColumn("dec", ntile(3).over(Window.orderBy($"k".desc, $"tb")))
+    assert(got.select("k", "dec").except(want.select("k", "dec")).isEmpty &&
+      want.select("k", "dec").except(got.select("k", "dec")).isEmpty)
+  }
+
   test("globalRowIds: NaN and infinity keys keep window order, never poison buckets") {
     import org.apache.spark.sql.expressions.Window
     // NaN must not poison the max-bound (Spark max treats NaN > any double),
