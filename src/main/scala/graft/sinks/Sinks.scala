@@ -180,10 +180,24 @@ object Sinks {
     atomicWriteText(json, path)
   }
 
+  /** B4 run statistics as a DISTRIBUTED frame: per-status row counts,
+    * distinct tickers, and the violation-family breakdown (range / jump /
+    * nullification). [[runStats]] is the driver-side reduction of this;
+    * pipelines that persist run telemetry at scale write this frame. All
+    * conditional counts use count(CASE ...) so both this and a SQL twin
+    * produce BIGINT (a SUM of ints would be HUGEINT on some engines). */
+  def statusCounts(validated: DataFrame): DataFrame =
+    validated.groupBy("validation_status").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("ticker")).as("n_tickers"),
+      count(when(col("violations").contains("out-of-bounds"), 1)).as("n_range"),
+      count(when(col("violations").contains("abnormal change"), 1)).as("n_jump"),
+      count(when(col("violations").contains("nullified"), 1)).as("n_nullified"))
+
   /** Stats from a validated feature frame: groupBy(status).count, B4. */
   def runStats(validated: DataFrame, startedAt: String,
                updatedAt: String): RunStats = {
-    val counts = validated.groupBy("validation_status").count()
+    val counts = statusCounts(validated).select("validation_status", "n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ok = counts.getOrElse("ok", 0L)
     val flagged = counts.getOrElse("flagged", 0L)
