@@ -39,13 +39,20 @@ object CorpusPipeline {
     *   minimum id, instead of the default greedy single pass. The greedy
     *   pass can over-keep on star shapes (pairs (1,3),(2,3) keep {1,2};
     *   the exact cluster keeps {1}) — exact costs O(diameter) extra
-    *   rounds, worth it when clusters are chained. */
+    *   rounds, worth it when clusters are chained.
+    * @param pairFinder near-duplicate pair source `(docs, idCol, textCol,
+    *   threshold) => (id_a, id_b, ...)`. Defaults to the production
+    *   [[Dedup.minHashNearDuplicates]] (fast JVM hash family); pass
+    *   [[Dedup.minHashNearDuplicatesMd5]] to make the whole composite
+    *   replayable in SQL (the d11 oracle twin). */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   jaccardThreshold: Double = 0.8,
                   minTokens: Int = 5, maxTokens: Int = 100000,
                   minStopRatio: Double = 0.0,
-                  exactClusters: Boolean = false): (DataFrame, Stats) = {
+                  exactClusters: Boolean = false,
+                  pairFinder: Option[(DataFrame, String, String, Double) => DataFrame] =
+                    None): (DataFrame, Stats) = {
     val normalized = docs.withColumn("__norm", normalizeText(col(textCol)))
     val input = normalized.count()
 
@@ -61,8 +68,10 @@ object CorpusPipeline {
     // 3. near-dup: drop any doc having a near-duplicate with a smaller id
     // (greedy), or every non-minimum member of its connected component
     // (exactClusters)
-    val pairs = Dedup.minHashNearDuplicates(exactKept, idCol, textCol,
-      jaccardThreshold = jaccardThreshold)
+    val finder = pairFinder.getOrElse(
+      (d: DataFrame, i: String, t: String, j: Double) =>
+        Dedup.minHashNearDuplicates(d, i, t, jaccardThreshold = j))
+    val pairs = finder(exactKept, idCol, textCol, jaccardThreshold)
     val losers =
       if (exactClusters)
         Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -77,6 +77,55 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** [[minHashNearDuplicates]] with the md5-derived hash family (the d21
+    * construction): per (seed, shingle), h = first 8 hex digits of
+    * md5("seed|shingle") as a 32-bit value, min-reduced per seed, banded by
+    * seed ranges with the band signature as the join key, candidates
+    * verified with exact shingle Jaccard. ~10× slower than the JVM-native
+    * family (explode × numHashes md5 calls), but every step is
+    * reproducible in plain SQL — this is the variant an independent engine
+    * can replay end-to-end, which is what lets the d11 corpus-cleaning
+    * composite carry a full DuckDB twin. Same (id_a, id_b, jaccard)
+    * contract as the production family. */
+  def minHashNearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int = 3, numHashes: Int = 16,
+                               numBands: Int = 4,
+                               jaccardThreshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = df.select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("shingle"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"))
+      .select(col("id"), col("seed"),
+        conv(substring(md5(concat(col("seed").cast("string"), lit("|"),
+          col("shingle"))), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("id", "seed").agg(min(col("h")).as("mh"))
+    // band key = ordered minhash values of the band's seeds: sort_array on
+    // (seed, mh) structs makes the key deterministic under shuffle order
+    val banded = sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("bkey"))
+    val candidates = banded
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextExprs.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
   /** SimHash near-duplicates: 64-bit sketch, block on 4 × 16-bit sub-keys
     * (any pair within hamming distance <= 3 shares at least one exact 16-bit
     * quarter by pigeonhole), verify with bit_count(xor). */

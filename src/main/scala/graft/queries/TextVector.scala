@@ -214,17 +214,71 @@ object TextVector {
       FROM documents ORDER BY doc_id"""))
 
   /** The full corpus-cleaning composite: normalize -> exact dedup ->
-    * near-dup removal -> quality gate; outputs surviving doc ids
-    * (rows-only: minhash inside). */
+    * near-dup removal -> quality gate; outputs surviving doc ids. ORACLE-
+    * GATED since the near-dup stage runs the md5 hash family
+    * (`Dedup.minHashNearDuplicatesMd5`, the d21 construction), which lets
+    * DuckDB replay the ENTIRE pipeline — normalization regex, min-id exact
+    * dedup, per-seed minhash, band-signature candidate join, exact-Jaccard
+    * verify, greedy smaller-id-wins drop, token-count gate — end to end. */
   val d11 = QueryDef("d11_clean_corpus",
     (s, dir) => {
       val (clean, stats) = graft.operators.CorpusPipeline.cleanCorpus(
-        Tables.documents(s, dir), jaccardThreshold = 0.5, minTokens = 5)
+        Tables.documents(s, dir), jaccardThreshold = 0.5, minTokens = 5,
+        pairFinder = Some((d, i, t, j) =>
+          graft.operators.Dedup.minHashNearDuplicatesMd5(d, i, t,
+            jaccardThreshold = j)))
       clean.select(col("doc_id"), lit(stats.input).as("n_input"),
         lit(stats.afterNearDup).as("n_after_neardup"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents),
+      exact AS (
+        SELECT doc_id, t FROM norm
+        QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1),
+      tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS toks FROM exact),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS u(i)
+        WHERE len(toks) >= 3),
+      shsz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      hv AS (
+        SELECT doc_id, s.seed,
+          CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s),
+      sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hv GROUP BY 1, 2),
+      banded AS (
+        SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+          array_to_string(list(CAST(mh AS VARCHAR) ORDER BY seed), ',') AS bkey
+        FROM sig GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      jac AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2),
+      losers AS (
+        SELECT DISTINCT j.id_b AS doc_id
+        FROM jac j
+        JOIN shsz za ON za.doc_id = j.id_a
+        JOIN shsz zb ON zb.doc_id = j.id_b
+        WHERE CAST(j.inter AS DOUBLE) / (za.sz + zb.sz - j.inter) >= 0.5),
+      neark AS (
+        SELECT e.doc_id, e.t FROM exact e
+        LEFT JOIN losers l ON l.doc_id = e.doc_id WHERE l.doc_id IS NULL),
+      counts AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+               (SELECT COUNT(*) FROM neark) AS n_after_neardup)
+      SELECT q.doc_id, c.n_input, c.n_after_neardup
+      FROM (SELECT doc_id FROM neark
+            WHERE len(regexp_split_to_array(t, '\s+')) BETWEEN 5 AND 100000) q
+      CROSS JOIN counts c
+      ORDER BY q.doc_id"""))
 
   /** Repetition/diversity quality signals (the Gopher-style filters a
     * training corpus runs): type-token ratio, top-bigram concentration,

@@ -181,7 +181,7 @@ class Coverage5Spec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within 5% of exact on the events table") {
-    val df = graft.queries.TextVector3.d30.fn(spark, "/root/testdata/sf0.01")
+    val df = graft.queries.TextVector3.d30Full(spark, "/root/testdata/sf0.01")
       .select("approx_users", "exact_users")
       .as[(Long, Long)].collect()
     assert(df.nonEmpty)
