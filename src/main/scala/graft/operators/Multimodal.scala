@@ -81,13 +81,123 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** Decode dispatch: images go through the real javax.imageio path,
-    * falling back to the stub for formats the JDK can't read; audio and
-    * video stay on the stub (no codecs in this environment). */
-  def decodeMeta(mediaType: String, bytes: Array[Byte]): Row =
-    if (mediaType == "image")
-      decodeImage(bytes).getOrElse(decodeStub(mediaType, bytes))
-    else decodeStub(mediaType, bytes)
+  // little-endian (RIFF) and big-endian (ISO BMFF) readers over a bounded
+  // byte array; None instead of exceptions on truncated headers
+  private def le16(b: Array[Byte], o: Int): Option[Int] =
+    if (o + 2 <= b.length) Some((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)) else None
+  private def le32(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 4 <= b.length) Some(((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)) else None
+  private def be32(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 4 <= b.length) Some(((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)) else None
+  private def be64(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 8 <= b.length)
+      Some((0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(o + i) & 0xffL)))
+    else None
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "ISO-8859-1") else ""
+
+  /** REAL audio metadata from a RIFF/WAVE header — pure byte parsing, no
+    * codec: the fmt chunk carries channels + byte rate, the data chunk's
+    * declared size over the byte rate gives duration. Header-only (never
+    * touches sample data), the same shape as [[decodeImage]]. Returns None
+    * for anything that isn't a well-formed WAV, sending the caller to the
+    * stub. */
+  def decodeWav(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
+    var off = 12
+    var channels = -1
+    var byteRate = -1L
+    var dataSize = -1L
+    // chunk walk: id(4) size(4 LE) payload(size, padded to even)
+    while (off + 8 <= bytes.length && (channels < 0 || dataSize < 0)) {
+      val id = fourcc(bytes, off)
+      val size = le32(bytes, off + 4).getOrElse(-1L)
+      if (size < 0) return None
+      if (id == "fmt ") {
+        channels = le16(bytes, off + 10).getOrElse(-1)
+        byteRate = le32(bytes, off + 16).getOrElse(-1L)
+      } else if (id == "data") dataSize = size
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some(Row("audio", 0, 0, channels, dataSize * 1000L / byteRate, "riff-wav"))
+  }
+
+  /** REAL video metadata from MP4/ISO-BMFF box headers: mvhd gives
+    * timescale + duration, the first tkhd with non-zero geometry gives
+    * width/height (stored 16.16 fixed-point). Pure byte walking over the
+    * declared box tree — no codec, no frame decode. None for non-BMFF
+    * bytes (→ stub). */
+  def decodeMp4(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 4) != "ftyp") return None
+    // walk a box range [lo, hi), returning (type, payloadStart, payloadEnd)
+    def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var off = lo
+        def hasNext: Boolean = off + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size0 = be32(bytes, off.toInt).getOrElse(0L)
+          val typ = fourcc(bytes, off.toInt + 4)
+          // size==1 → 64-bit largesize; size==0 → box extends to range end
+          val (start, size) =
+            if (size0 == 1) (off + 16, be64(bytes, off.toInt + 8).getOrElse(hi - off))
+            else if (size0 == 0) (off + 8, hi - off)
+            else (off + 8, size0)
+          val end = math.min(off + math.max(size, 8L), hi)
+          off = end
+          (typ, start, end)
+        }
+      }
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    boxes(0, bytes.length.toLong).foreach {
+      case ("moov", ms, me) =>
+        boxes(ms, me).foreach {
+          case ("mvhd", s, _) =>
+            val v = if (s.toInt < bytes.length) bytes(s.toInt) & 0xff else 0
+            // v1: 8-byte times; v0: 4-byte — timescale sits after the two
+            // creation/modification times, duration right after it
+            val (tsOff, durOff64) =
+              if (v == 1) (s + 4 + 16, true) else (s + 4 + 8, false)
+            for (ts <- be32(bytes, tsOff.toInt) if ts > 0;
+                 dur <- (if (durOff64) be64(bytes, tsOff.toInt + 4)
+                         else be32(bytes, tsOff.toInt + 4)))
+              durationMs = dur * 1000L / ts
+          case ("trak", ts, te) =>
+            boxes(ts, te).foreach {
+              case ("tkhd", s, e) if w == 0 =>
+                // width/height are the LAST two 16.16 fields of the box
+                for (wf <- be32(bytes, e.toInt - 8); hf <- be32(bytes, e.toInt - 4)
+                     if wf > 0 && hf > 0) { w = (wf >> 16).toInt; h = (hf >> 16).toInt }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (durationMs < 0 && w == 0) None
+    else Some(Row("video", w, h, 0, math.max(durationMs, 0L), "mp4-bmff"))
+  }
+
+  /** Decode dispatch: images through javax.imageio, audio through the
+    * RIFF/WAVE header parser, video through the MP4 box parser — all
+    * header-only, all falling back to the documented stub for containers
+    * they don't claim (and for fuzzed bytes: every parser bounds-checks
+    * and is wrapped NonFatal). */
+  def decodeMeta(mediaType: String, bytes: Array[Byte]): Row = {
+    def safely(p: Array[Byte] => Option[Row]): Option[Row] =
+      try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
+    val real = mediaType match {
+      case "image" => safely(decodeImage)
+      case "audio" => safely(decodeWav)
+      case "video" => safely(decodeMp4)
+      case _ => None
+    }
+    real.getOrElse(decodeStub(mediaType, bytes))
+  }
 
   /** Attach decoded metadata to a binary asset frame — partition-local,
     * no shuffle; the binary column never leaves its partition. */
