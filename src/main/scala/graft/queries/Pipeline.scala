@@ -110,14 +110,15 @@ object Pipeline {
       // testdata customers have ~10 orders, not 260 trading days — gate at 5.
       // The gate is FUSED into the price aggregation (minPriceRows): same
       // predicate as hasEnoughPriceData, one fewer grid⨝prices shuffle.
-      // seriesPriceBlock stays FALSE here: at this data shape (~100-row
-      // histories × 5 as_ofs) the grid form's ~2.5× replication is cheaper
-      // than the series form's extra shuffle passes (measured ~34 vs ~42 s
-      // wall at sf0.1). The series form wins when histories are long
-      // relative to the as_of count — the 100 TB shape (priceBlockSeries
-      // scaladoc); the equivalence spec keeps both forms honest.
+      // The price-block physical form is chosen from the data shape
+      // (choosePriceForm): at this shape (~100-row histories × 5 as_ofs)
+      // the cost model picks the grid form — matching the round-4
+      // measurement (~34 vs ~42 s wall at sf0.1) — and flips to the
+      // replication-free series form once histories pass ~500 rows, the
+      // 100 TB shape. The probe reads the checkpointed series: ~ms.
       val features = TickerFeatures.dynamicFeaturesSharedIndex(grid, in,
-        tickerEtf, etfIndex, minPriceRows = 5)
+        tickerEtf, etfIndex, minPriceRows = 5,
+        seriesPriceBlock = TickerFeatures.choosePriceForm(grid, in.prices))
       val validated = TickerValidation.validate(features)
       TickerFeaturePipeline.normalize(validated)
         .orderBy("ticker", "as_of")

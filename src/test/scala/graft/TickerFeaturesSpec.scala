@@ -287,6 +287,34 @@ class TickerFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("choosePriceForm picks grid for short histories, series for long ones, never series for 1 as_of") {
+    def shape(nTickers: Int, histLen: Int, nAsOfs: Int) = {
+      val prices = (for {
+        t <- 1 to nTickers; k <- 0 until histLen
+      } yield (s"T$t", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2010, 1, 1).plusDays(k.toLong)), 100.0))
+        .toDF("ticker", "date", "close")
+      val grid = (for {
+        t <- 1 to nTickers; a <- 0 until nAsOfs
+      } yield (s"T$t", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(a * 365L))))
+        .toDF("ticker", "as_of")
+      (grid, prices)
+    }
+    // p1's sf0.1 shape: ~100-row histories x 5 as_ofs -> grid form
+    val (g1, p1) = shape(4, 100, 5)
+    assert(!graft.features.TickerFeatures.choosePriceForm(g1, p1))
+    // 100 TB shape: multi-year daily history x yearly as_ofs -> series form
+    val (g2, p2) = shape(2, 1200, 5)
+    assert(graft.features.TickerFeatures.choosePriceForm(g2, p2))
+    // a single as_of never replicates: grid form regardless of length
+    val (g3, p3) = shape(2, 1200, 1)
+    assert(!graft.features.TickerFeatures.choosePriceForm(g3, p3))
+    // empty series: degenerate, grid form
+    val (g4, p4) = shape(1, 1, 1)
+    assert(!graft.features.TickerFeatures.choosePriceForm(g4, p4.limit(0)))
+  }
+
   test("dynamicFeatures emits the exact reference column set (test_ticker_row_builder)") {
     val grid = gridAt("2024-01-01")
     val in = TickerFeatures.Inputs(
