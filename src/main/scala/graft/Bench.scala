@@ -40,7 +40,18 @@ object Bench {
     // every query across SPARK_GRAFT_BENCH_RUNS full rounds (default 3) and
     // report per-query MEDIANS, with each round's total in "runs" so the
     // variance is visible in the committed artifact itself.
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — scale
+    // rehearsals measure the heavy subset on big inputs without paying for
+    // the full registry. Unknown names fail fast (a typo would silently
+    // bench nothing).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown names: $unknown")
+    }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     // A round where the query THROWS records no timing at all: its
     // time-to-failure must not enter the median next to successful rounds

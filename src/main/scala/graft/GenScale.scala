@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: tiles an existing testdata directory N×
+  * into a larger one (default: sf0.1 → ~sf1) so the heavy queries can be
+  * measured one decade up. NOT a statistics-faithful TPC-H generator — a
+  * key-shifted tiling that preserves per-entity series shapes while
+  * multiplying entity counts, which is exactly what the scale questions
+  * here are about (does cost grow linearly in entities?).
+  *
+  * Tiling rules (tile 0 = the original rows, untouched):
+  *   - region/nation: fixed dimensions, copied once (they don't scale).
+  *   - customer/supplier/part/orders/lineitem/events: entity keys get a
+  *     per-tile offset far above the source key range; dates/amounts stay —
+  *     so each tile is an independent population over the same time range
+  *     (history LENGTH per entity is constant, matching how corpus growth
+  *     adds entities, not years).
+  *   - documents: doc_id offset; every token gets a per-tile prefix and
+  *     `source` a per-tile suffix — each tile is an independent corpus with
+  *     the same internal duplicate structure, so dedup workloads scale
+  *     linearly in tiles (vocabulary and blocking keys grow with the corpus,
+  *     as they do in reality; naive text copies would instead create
+  *     10×-size near-dup clusters and quadratic blow-ups that a real 10×
+  *     corpus does not have).
+  *   - embeddings: vec_id offset; the vector is cyclically rotated by the
+  *     tile index (norm-preserving, so within-tile cosine structure is
+  *     identical and cross-tile vectors are distinct points).
+  *
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [tiles]
+  * Defaults: /root/testdata/sf0.1 → target/testdata/sf1, 10 tiles.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/testdata/sf1")
+    val tiles = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Verify.makeSession(cpus)
+
+    val C = 100000000L   // customer/user key offset per tile
+    val S = 10000000L    // supplier
+    val P = 100000000L   // part
+    val O = 1000000000L  // order
+    val E = 10000000000L // event
+    val D = 100000000L   // document / vector
+
+    def tiled(table: String, tile: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until tiles).map(i => if (i == 0) base else tile(base, i))
+        .reduce(_.unionByName(_))
+    }
+
+    def write(df: DataFrame, table: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+      println(s"[genscale] $table: ${spark.read.parquet(s"$out/$table.parquet").count()} rows")
+    }
+
+    // fixed dimensions
+    Seq("region", "nation").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+    write(tiled("customer",
+      (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * C)), "customer")
+    write(tiled("supplier",
+      (d, i) => d.withColumn("s_suppkey", col("s_suppkey") + i * S)), "supplier")
+    write(tiled("part",
+      (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * P)), "part")
+    write(tiled("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + i * O)
+      .withColumn("o_custkey", col("o_custkey") + i * C)), "orders")
+    write(tiled("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + i * O)
+      .withColumn("l_partkey", col("l_partkey") + i * P)
+      .withColumn("l_suppkey", col("l_suppkey") + i * S)), "lineitem")
+    // events.ts is TIMESTAMP(NANOS): read as raw nanos longs (the same
+    // switch Tables.events uses) and write the long back — Tables.events'
+    // `ts div 1000` conversion reads either encoding
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(tiled("events", (d, i) => d
+      .withColumn("event_id", col("event_id") + i * E)
+      .withColumn("user_id", col("user_id") + i * C)), "events")
+    write(tiled("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + i * D)
+      .withColumn("text", array_join(transform(split(col("text"), "\\s+"),
+        w => concat(lit(s"t$i"), w)), " "))
+      .withColumn("source", concat(col("source"), lit(s"_t$i")))
+      .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+    write(tiled("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + i * D)
+      .withColumn("embedding", concat(
+        slice(col("embedding"), i + 1, 10000),
+        slice(col("embedding"), 1, i)))), "embeddings")
+
+    spark.stop()
+  }
+}

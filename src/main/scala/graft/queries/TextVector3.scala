@@ -16,32 +16,58 @@ object TextVector3 {
 
   def defs: Seq[QueryDef] = Seq(d28, d29, d30, s6, s7)
 
-  /** Edit-distance candidate pairs (see d28 scaladoc).
+  /** Edit-distance candidate pairs via PassJoin-style segment matching
+    * (Li, Deng, Feng — public algorithm), replacing the earlier
+    * (lang, length-bucket) blocking whose block sizes grow WITH the corpus:
+    * the sf0.1→sf1 rehearsal measured that design at 49× wall on 10× data
+    * (10× docs per block → ~100× pairs). Segment matching keeps candidate
+    * keys per doc CONSTANT, so cost scales with corpus size, not corpus².
     *
-    * Two scale decisions beyond the blocking itself:
-    *   - the LEFT side repartitions on the block key: a corpus that fits in
-    *     one scan partition would otherwise evaluate EVERY pair on one
-    *     task — the quadratic work must spread even when the input is
-    *     small relative to it;
-    *   - `levenshtein(a, b, threshold)` runs the BANDED O(n·k) DP with
-    *     early exit instead of the full O(n²) table — above-threshold
-    *     pairs (the vast majority) cost a fraction of an exact distance.
-    *     It returns -1 above the cap, so the filter keeps [0, maxDist]. */
-  def editDistancePairs(docs: DataFrame, bucketChars: Int, prefixLen: Int,
+    * Construction (complete for the distance bound — no missed pairs):
+    * prefixes are right-padded to exactly `prefixLen` chars (distances are
+    * DEFINED over the padded prefix — deterministic, oracle-identical,
+    * and a fixed length gives every string the same segmentation grid).
+    * The prefix splits into maxDist+1 segments; if ed(a,b) <= maxDist, at
+    * least one of b's segments appears in a EXACTLY, at a start within
+    * ±maxDist of its canonical position (pigeonhole + position lemma). So:
+    * segment keys from every doc ⨝ windowed-substring keys from every doc
+    * on (lang, segIdx, content) → normalized distinct pairs → banded-DP
+    * verify (`levenshtein(a, b, k)`: O(n·k), -1 above the cap).
+    *
+    * maxDist sets selectivity: k+1 segments over a 40-char prefix must stay
+    * >= 8 chars for the exact-substring signal to prune (k=4 → 5×8); a
+    * large k (say 12) degrades segments to trigrams, which natural text
+    * shares by chance, and candidates go quadratic again. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int,
                         maxDist: Int): DataFrame = {
+    val k = maxDist
+    val nSeg = k + 1
+    val segLen = prefixLen / nSeg // last segment absorbs the remainder
+    def lenOf(j: String): String =
+      s"IF($j = ${nSeg - 1}, ${prefixLen - (nSeg - 1) * segLen}, $segLen)"
     val b = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / bucketChars).cast(LongType).as("bkt"),
-      substring(col("text"), 1, prefixLen).as("p"))
-    val l = b.repartition(col("lang"), col("bkt"))
-      .select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("p").as("a_p"))
-    val r = b.select(col("doc_id").as("b_id"), col("lang"), col("bkt"), col("p").as("b_p"))
-    // no broadcast hint: a small corpus auto-broadcasts (and the explicit
-    // repartition above keeps the pair work spread either way); a corpus
-    // past the threshold falls back to a shuffle join on the block keys,
-    // which is the design — the blocking exists so pair work never needs
-    // corpus-wide co-location
-    l.join(r, Seq("lang", "bkt"))
-      .filter(col("a_id") < col("b_id"))
+      rpad(substring(col("text"), 1, prefixLen), prefixLen, "").as("p"))
+    val segs = b.select(col("doc_id").as("b_id"), col("lang"),
+      explode(expr(s"""transform(sequence(0, ${nSeg - 1}), j ->
+          struct(j AS j, substring(p, j * $segLen + 1, ${lenOf("j")}) AS s))"""))
+        .as("seg"))
+      .select(col("b_id"), col("lang"), col("seg.j").as("j"), col("seg.s").as("s"))
+    val subs = b.select(col("doc_id").as("a_id"), col("lang"),
+      explode(expr(s"""flatten(transform(sequence(0, ${nSeg - 1}), j ->
+          transform(sequence(greatest(0, j * $segLen - $k),
+                             least($prefixLen - ${lenOf("j")}, j * $segLen + $k)),
+            pos -> struct(j AS j, substring(p, pos + 1, ${lenOf("j")}) AS s))))"""))
+        .as("sub"))
+      .select(col("a_id"), col("lang"), col("sub.j").as("j"), col("sub.s").as("s"))
+    val cand = subs.join(segs, Seq("lang", "j", "s"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("lang"),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val pa = b.select(col("doc_id").as("a_id"), col("p").as("a_p"))
+    val pb = b.select(col("doc_id").as("b_id"), col("p").as("b_p"))
+    cand.join(pa, Seq("a_id")).join(pb, Seq("b_id"))
       .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
@@ -61,28 +87,24 @@ object TextVector3 {
           col("clog") / col("n_tokens").cast(DoubleType), 9).as("token_entropy"))
   }
 
-  /** Levenshtein near-duplicate candidates, blocked to stay sub-quadratic:
-    * pairs are only compared within (lang, length-bucket) blocks — the
-    * equi-join keys carry the shuffle, so the quadratic work happens
-    * per-block, never corpus-wide — and the distance runs on a fixed
-    * 40-char prefix (bounds the DP cost per pair; a full-text distance on a
-    * hot block is the scale hazard). Both engines implement textbook
-    * Levenshtein, so the gate is exact. Boundary pairs that straddle a
-    * length bucket are out of scope by construction (same contract as d6's
-    * blocked Jaccard); minhash d5 is the recall-oriented path. */
+  /** Levenshtein near-duplicate pairs over padded 40-char prefixes within a
+    * language, found with PassJoin segment matching (see
+    * [[editDistancePairs]]) — candidate keys per doc are constant, so the
+    * operator scales linearly in corpus size where the old length-bucket
+    * blocking went quadratic (the sf1 rehearsal's one red row). The DuckDB
+    * oracle is the NAIVE all-pairs form, which doubles as the completeness
+    * check: any pair the segment join missed would hash-mismatch. */
   val d28 = QueryDef("d28_edit_distance",
     (s, dir) => editDistancePairs(Tables.documents(s, dir),
-      bucketChars = 50, prefixLen = 40, maxDist = 12)
+      prefixLen = 40, maxDist = 4)
       .orderBy("a_id", "b_id"),
     Some("""WITH b AS (
-        SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS bkt,
-          substr(text, 1, 40) AS p
+        SELECT doc_id, lang, rpad(substr(text, 1, 40), 40, chr(31)) AS p
         FROM documents)
       SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.lang,
         CAST(levenshtein(a.p, c.p) AS INT) AS dist
-      FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt
-        AND a.doc_id < c.doc_id
-      WHERE levenshtein(a.p, c.p) <= 12
+      FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.p, c.p) <= 4
       ORDER BY a_id, b_id"""))
 
   /** Token-distribution Shannon entropy per document: H = log2(n) −

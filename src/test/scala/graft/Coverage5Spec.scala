@@ -96,11 +96,44 @@ class Coverage5Spec extends SparkSpec {
       (4L, "completely different text about other things!!", "en", 46L))
       .toDF("doc_id", "text", "lang", "n_chars")
     val pairs = TextVector3.editDistancePairs(docs,
-      bucketChars = 50, prefixLen = 40, maxDist = 12)
+      prefixLen = 40, maxDist = 4)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))          // 1 edit in the tail prefix
+    assert(pairs.contains((1L, 2L)))          // identical 40-char prefix
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // fr block is alone
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+    // completeness vs the naive quadratic form on a worst-ish fixture:
+    // edits at segment boundaries, at the padded tail, and just past k
+    val tricky = Seq(
+      (10L, "abcdefgh".repeat(5), "en", 40L),                      // base
+      (11L, "Xbcdefgh".repeat(1) + "abcdefgh".repeat(4), "en", 40L), // 1 sub at pos 0
+      (12L, "abcdefgh".repeat(4) + "abcdefgX", "en", 40L),         // 1 sub at pos 39
+      (13L, "abcd" + "abcdefgh".repeat(4) + "efgh", "en", 40L),    // shifted content
+      (14L, "abcdefgh".repeat(5).replace("a", "Z"), "en", 40L))    // 5 subs > k
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextVector3.editDistancePairs(tricky, 40, 4)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val naive = {
+      val rows = tricky.select("doc_id", "text").as[(Long, String)].collect()
+      (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = {
+          val (a, b) = (ta.padTo(40, ''), tb.padTo(40, ''))
+          val dp = Array.tabulate(a.length + 1)(i => i)
+          for (j <- 1 to b.length) {
+            var prev = dp(0); dp(0) = j
+            for (i <- 1 to a.length) {
+              val t = dp(i)
+              dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+                prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+              prev = t
+            }
+          }
+          dp(a.length)
+        } if d <= 4
+      } yield (ia, ib) -> d).toMap
+    }
+    assert(got == naive, s"segment join missed or invented pairs: got=$got naive=$naive")
   }
 
   test("token entropy: zero for repeated token, log2(n) when all distinct") {
