@@ -186,13 +186,19 @@ object Sinks {
     * pipelines that persist run telemetry at scale write this frame. All
     * conditional counts use count(CASE ...) so both this and a SQL twin
     * produce BIGINT (a SUM of ints would be HUGEINT on some engines). */
-  def statusCounts(validated: DataFrame): DataFrame =
+  def statusCounts(validated: DataFrame): DataFrame = {
+    // degrade on minimal/legacy frames (pre-repairLegacyStore stores have
+    // no violations column; some callers aggregate keyless status frames)
+    val cols = validated.columns.toSet
+    val viol = if (cols("violations")) col("violations") else lit("")
+    val tick = if (cols("ticker")) col("ticker") else lit(null)
     validated.groupBy("validation_status").agg(
       count(lit(1)).as("n"),
-      countDistinct(col("ticker")).as("n_tickers"),
-      count(when(col("violations").contains("out-of-bounds"), 1)).as("n_range"),
-      count(when(col("violations").contains("abnormal change"), 1)).as("n_jump"),
-      count(when(col("violations").contains("nullified"), 1)).as("n_nullified"))
+      countDistinct(tick).as("n_tickers"),
+      count(when(viol.contains("out-of-bounds"), 1)).as("n_range"),
+      count(when(viol.contains("abnormal change"), 1)).as("n_jump"),
+      count(when(viol.contains("nullified"), 1)).as("n_nullified"))
+  }
 
   /** Stats from a validated feature frame: groupBy(status).count, B4. */
   def runStats(validated: DataFrame, startedAt: String,
