@@ -106,20 +106,26 @@ object Multimodal {
     * stub. */
   def decodeWav(bytes: Array[Byte]): Option[Row] = {
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
-    var off = 12
+    var off = 12L
     var channels = -1
     var byteRate = -1L
     var dataSize = -1L
-    // chunk walk: id(4) size(4 LE) payload(size, padded to even)
+    // chunk walk: id(4) size(4 LE) payload(size, padded to even). All
+    // arithmetic stays in Long and a declared size past the remaining
+    // bytes aborts: a 32-bit size truncated through Int could make the
+    // advance zero or negative and hang the task on one poisoned asset.
     while (off + 8 <= bytes.length && (channels < 0 || dataSize < 0)) {
-      val id = fourcc(bytes, off)
-      val size = le32(bytes, off + 4).getOrElse(-1L)
+      val id = fourcc(bytes, off.toInt)
+      val size = le32(bytes, (off + 4).toInt).getOrElse(-1L)
       if (size < 0) return None
+      if (id == "data") dataSize = size // declared size only — header-only
+      else if (size > bytes.length - off - 8) return None // truncated chunk
       if (id == "fmt ") {
-        channels = le16(bytes, off + 10).getOrElse(-1)
-        byteRate = le32(bytes, off + 16).getOrElse(-1L)
-      } else if (id == "data") dataSize = size
-      off += 8 + size.toInt + (size.toInt & 1)
+        if (size < 16) return None // spec minimum for PCM fmt
+        channels = le16(bytes, off.toInt + 10).getOrElse(-1)
+        byteRate = le32(bytes, off.toInt + 16).getOrElse(-1L)
+      }
+      off += 8L + size + (size & 1L)
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(Row("audio", 0, 0, channels, dataSize * 1000L / byteRate, "riff-wav"))

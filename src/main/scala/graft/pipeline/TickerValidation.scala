@@ -101,13 +101,19 @@ object TickerValidation {
         val ratio = abs(cur / prev)
         // validate_dynamic_row.py:133 format:
         // f"{col} abnormal change: {prev:.4f} → {cur:.4f} (×{ratio:.2f})"
-        // (byte-equal except exact decimal ties: Java %.2f rounds HALF_UP,
-        // Python f-strings round half-even — e.g. 20.125 → ×20.13 vs ×20.12)
+        // Values are ROUNDED (HALF_UP / half-away — Spark round, DuckDB
+        // round, and Python round-half-away all agree) BEFORE formatting:
+        // %-formatting itself ties half-even in C/Python but HALF_UP in
+        // Java, so an exactly-representable half case like ratio = 161/8 =
+        // 20.125 would otherwise print ×20.13 here and ×20.12 elsewhere.
+        // After rounding, the double is the nearest value to a 2/4-decimal
+        // number and every formatter prints it exactly.
         when(finite(cur) && finite(prev) && abs(prev) >= math.max(floor, tiny) &&
           ratio > limit,
           concat(lit(s"$name abnormal change: "),
-            format_string("%.4f", prev), lit(" → "), format_string("%.4f", cur),
-            lit(" (×"), format_string("%.2f", ratio), lit(")")))
+            format_string("%.4f", round(prev, 4)), lit(" → "),
+            format_string("%.4f", round(cur, 4)),
+            lit(" (×"), format_string("%.2f", round(ratio, 2)), lit(")")))
     }
 
     // --- V4 internal consistency ---

@@ -136,10 +136,12 @@ object DynamicRow {
     TickerValidation.jumpConfig.map { case (name, limit, floor) =>
       val c = sqlName(name)
       val f = math.max(floor, TickerValidation.tiny)
+      // round-before-format mirrors TickerValidation: DuckDB round() is
+      // half-away (= Spark/Java HALF_UP) while printf ties half-even
       s"""CASE WHEN isfinite($c) AND isfinite(${c}_prev)
            AND abs(${c}_prev) >= $f AND abs($c / ${c}_prev) > $limit
          THEN printf('$name abnormal change: %.4f → %.4f (×%.2f)',
-           ${c}_prev, $c, abs($c / ${c}_prev)) END"""
+           round(${c}_prev, 4), round($c, 4), round(abs($c / ${c}_prev), 2)) END"""
     }
 
   private val jumpLagCols: Seq[String] =

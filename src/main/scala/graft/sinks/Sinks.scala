@@ -200,10 +200,13 @@ object Sinks {
       count(when(viol.contains("nullified"), 1)).as("n_nullified"))
   }
 
-  /** Stats from a validated feature frame: groupBy(status).count, B4. */
+  /** Stats from a validated feature frame: groupBy(status).count, B4.
+    * Deliberately NOT routed through [[statusCounts]]: this driver-side
+    * reduction only needs the two plain counts, and the breakdown's
+    * countDistinct + substring scans would be paid on every status write. */
   def runStats(validated: DataFrame, startedAt: String,
                updatedAt: String): RunStats = {
-    val counts = statusCounts(validated).select("validation_status", "n")
+    val counts = validated.groupBy("validation_status").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ok = counts.getOrElse("ok", 0L)
     val flagged = counts.getOrElse("flagged", 0L)
