@@ -16,50 +16,77 @@ object TextVector3 {
 
   def defs: Seq[QueryDef] = Seq(d28, d29, d30, s6, s7)
 
-  /** Edit-distance candidate pairs via PassJoin-style segment matching
-    * (Li, Deng, Feng — public algorithm), replacing the earlier
-    * (lang, length-bucket) blocking whose block sizes grow WITH the corpus:
-    * the sf0.1→sf1 rehearsal measured that design at 49× wall on 10× data
+  /** Edit-distance candidate pairs via PassJoin segment matching (Li,
+    * Deng, Feng, "PassJoin: A Partition-based Method for Similarity
+    * Joins" — public algorithm), replacing the earlier (lang,
+    * length-bucket) blocking whose block sizes grow WITH the corpus: the
+    * sf0.1→sf1 rehearsal measured that design at 49× wall on 10× data
     * (10× docs per block → ~100× pairs). Segment matching keeps candidate
-    * keys per doc CONSTANT, so cost scales with corpus size, not corpus².
+    * keys per doc bounded, so cost scales with corpus size, not corpus².
     *
     * Construction (complete for the distance bound — no missed pairs):
-    * prefixes are right-padded to exactly `prefixLen` chars (distances are
-    * DEFINED over the padded prefix — deterministic, oracle-identical,
-    * and a fixed length gives every string the same segmentation grid).
-    * The prefix splits into maxDist+1 segments; if ed(a,b) <= maxDist, at
-    * least one of b's segments appears in a EXACTLY, at a start within
-    * ±maxDist of its canonical position (pigeonhole + position lemma). So:
-    * segment keys from every doc ⨝ windowed-substring keys from every doc
-    * on (lang, segIdx, content) → normalized distinct pairs → banded-DP
-    * verify (`levenshtein(a, b, k)`: O(n·k), -1 above the cap).
+    * each prefix is partitioned into maxDist+1 segments by ITS OWN length
+    * (first `len % (k+1)` segments take the extra char — the standard
+    * even split); if ed(a,b) <= k, then a contains at least one of b's
+    * segments EXACTLY, at a start within ±k of its canonical position
+    * (pigeonhole + shift lemma). The probe side therefore emits, for
+    * every partner length ℓ within ±k of its own, the windowed substrings
+    * of ℓ's segmentation grid; the join key is (lang, ℓ, segIdx,
+    * content). Candidates → normalized distinct pairs → banded-DP verify
+    * (`levenshtein(a, b, k)`: O(n·k), -1 above the cap).
     *
-    * maxDist sets selectivity: k+1 segments over a 40-char prefix must stay
-    * >= 8 chars for the exact-substring signal to prune (k=4 → 5×8); a
-    * large k (say 12) degrades segments to trigrams, which natural text
-    * shares by chance, and candidates go quadratic again. */
+    * Per-doc key counts are bounded by (2k+1)·(k+1)·(2k+1) — constant in
+    * corpus size. No padding anywhere: an earlier padded-grid variant
+    * gave every short doc an identical all-padding segment, a join key
+    * that degenerates to quadratic once a corpus has many short docs.
+    * The residual weak stratum is docs shorter than k+1 chars (segments
+    * shrink to 0-1 chars) — inherent: nearly all such tiny strings ARE
+    * within k edits of each other, so the OUTPUT itself is quadratic in
+    * that stratum no matter the algorithm.
+    *
+    * maxDist sets selectivity: k+1 segments over a 40-char prefix stay
+    * ~8 chars at k=4 — strong exact-match pruning; a large k (say 12)
+    * degrades segments to trigrams, which natural text shares by chance,
+    * and candidates go quadratic again. */
   def editDistancePairs(docs: DataFrame, prefixLen: Int,
                         maxDist: Int): DataFrame = {
     val k = maxDist
     val nSeg = k + 1
-    val segLen = prefixLen / nSeg // last segment absorbs the remainder
-    def lenOf(j: String): String =
-      s"IF($j = ${nSeg - 1}, ${prefixLen - (nSeg - 1) * segLen}, $segLen)"
+    // segmentation of an l-length string (SQL fragments over a length
+    // expression): segment j has length (l div n) + (j < l mod n ? 1 : 0)
+    // and starts at j*(l div n) + min(j, l mod n)
+    def segLen(l: String, j: String) =
+      s"(($l div $nSeg) + IF($j < $l % $nSeg, 1, 0))"
+    def segStart(l: String, j: String) =
+      s"($j * ($l div $nSeg) + least($j, $l % $nSeg))"
     val b = docs.select(col("doc_id"), col("lang"),
-      rpad(substring(col("text"), 1, prefixLen), prefixLen, "").as("p"))
+        substring(col("text"), 1, prefixLen).as("p"))
+      .withColumn("len", length(col("p")))
     val segs = b.select(col("doc_id").as("b_id"), col("lang"),
-      explode(expr(s"""transform(sequence(0, ${nSeg - 1}), j ->
-          struct(j AS j, substring(p, j * $segLen + 1, ${lenOf("j")}) AS s))"""))
-        .as("seg"))
-      .select(col("b_id"), col("lang"), col("seg.j").as("j"), col("seg.s").as("s"))
+      col("len").as("l"),
+      explode(expr(s"""transform(sequence(0, $k), j ->
+          struct(j AS j, substring(p, ${segStart("len", "j")} + 1,
+            ${segLen("len", "j")}) AS s))""")).as("seg"))
+      .select(col("b_id"), col("lang"), col("l"),
+        col("seg.j").as("j"), col("seg.s").as("s"))
+    // probe: for each partner length l in [len-k, len+k] and segment j of
+    // l's grid, every own-substring of that segment's length starting
+    // within ±k of its canonical position. sequence(lo, hi) DESCENDS when
+    // hi < lo in Spark, so empty windows must return array() explicitly.
     val subs = b.select(col("doc_id").as("a_id"), col("lang"),
-      explode(expr(s"""flatten(transform(sequence(0, ${nSeg - 1}), j ->
-          transform(sequence(greatest(0, j * $segLen - $k),
-                             least($prefixLen - ${lenOf("j")}, j * $segLen + $k)),
-            pos -> struct(j AS j, substring(p, pos + 1, ${lenOf("j")}) AS s))))"""))
-        .as("sub"))
-      .select(col("a_id"), col("lang"), col("sub.j").as("j"), col("sub.s").as("s"))
-    val cand = subs.join(segs, Seq("lang", "j", "s"))
+      explode(expr(s"""flatten(flatten(
+          transform(sequence(greatest(len - $k, 0), len + $k), l ->
+            transform(sequence(0, $k), j ->
+              CASE WHEN least(len - ${segLen("l", "j")}, ${segStart("l", "j")} + $k)
+                     >= greatest(0, ${segStart("l", "j")} - $k)
+              THEN transform(sequence(greatest(0, ${segStart("l", "j")} - $k),
+                     least(len - ${segLen("l", "j")}, ${segStart("l", "j")} + $k)),
+                pos -> struct(l AS l, j AS j,
+                  substring(p, pos + 1, ${segLen("l", "j")}) AS s))
+              ELSE array() END))))""")).as("sub"))
+      .select(col("a_id"), col("lang"), col("sub.l").as("l"),
+        col("sub.j").as("j"), col("sub.s").as("s"))
+    val cand = subs.join(segs, Seq("lang", "l", "j", "s"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("lang"),
         least(col("a_id"), col("b_id")).as("a_id"),
@@ -87,9 +114,9 @@ object TextVector3 {
           col("clog") / col("n_tokens").cast(DoubleType), 9).as("token_entropy"))
   }
 
-  /** Levenshtein near-duplicate pairs over padded 40-char prefixes within a
+  /** Levenshtein near-duplicate pairs over 40-char prefixes within a
     * language, found with PassJoin segment matching (see
-    * [[editDistancePairs]]) — candidate keys per doc are constant, so the
+    * [[editDistancePairs]]) — candidate keys per doc are bounded, so the
     * operator scales linearly in corpus size where the old length-bucket
     * blocking went quadratic (the sf1 rehearsal's one red row). The DuckDB
     * oracle is the NAIVE all-pairs form, which doubles as the completeness
@@ -99,7 +126,7 @@ object TextVector3 {
       prefixLen = 40, maxDist = 4)
       .orderBy("a_id", "b_id"),
     Some("""WITH b AS (
-        SELECT doc_id, lang, rpad(substr(text, 1, 40), 40, chr(31)) AS p
+        SELECT doc_id, lang, substr(text, 1, 40) AS p
         FROM documents)
       SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.lang,
         CAST(levenshtein(a.p, c.p) AS INT) AS dist

@@ -102,13 +102,21 @@ class Coverage5Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // fr block is alone
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
     // completeness vs the naive quadratic form on a worst-ish fixture:
-    // edits at segment boundaries, at the padded tail, and just past k
+    // edits at segment boundaries, shifted content, unequal lengths,
+    // short docs (the stratum the padded-grid variant degenerated on),
+    // tiny docs (1-char segments), and a just-past-k control
     val tricky = Seq(
       (10L, "abcdefgh".repeat(5), "en", 40L),                      // base
       (11L, "Xbcdefgh".repeat(1) + "abcdefgh".repeat(4), "en", 40L), // 1 sub at pos 0
       (12L, "abcdefgh".repeat(4) + "abcdefgX", "en", 40L),         // 1 sub at pos 39
       (13L, "abcd" + "abcdefgh".repeat(4) + "efgh", "en", 40L),    // shifted content
-      (14L, "abcdefgh".repeat(5).replace("a", "Z"), "en", 40L))    // 5 subs > k
+      (14L, "abcdefgh".repeat(5).replace("a", "Z"), "en", 40L),    // 5 subs > k
+      (15L, "abcdefgh".repeat(4), "en", 32L),                      // short vs base
+      (16L, "hello world", "en", 11L),                             // short pair...
+      (17L, "hello worXd", "en", 11L),                             // ...1 sub
+      (18L, "hello worlds", "en", 12L),                            // ...1 insert
+      (19L, "ab", "en", 2L),                                       // tiny pair...
+      (20L, "abcd", "en", 4L))                                     // ...2 inserts
       .toDF("doc_id", "text", "lang", "n_chars")
     val got = TextVector3.editDistancePairs(tricky, 40, 4)
       .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect()
@@ -116,9 +124,8 @@ class Coverage5Spec extends SparkSpec {
     val naive = {
       val rows = tricky.select("doc_id", "text").as[(Long, String)].collect()
       (for {
-        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        (ia, a) <- rows; (ib, b) <- rows if ia < ib
         d = {
-          val (a, b) = (ta.padTo(40, ''), tb.padTo(40, ''))
           val dp = Array.tabulate(a.length + 1)(i => i)
           for (j <- 1 to b.length) {
             var prev = dp(0); dp(0) = j
