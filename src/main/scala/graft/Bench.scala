@@ -60,9 +60,11 @@ object Bench {
     // the sentinel -1.0 so the artifact stays valid JSON and the miss is
     // unmistakable.
     val runMaps: Seq[Map[String, Double]] = (1 to nRuns).map { r =>
-      // The warm-up (and any previous round) materialized p1; drop it so
-      // every measured round builds (and pays for) the sfDir feature table.
+      // The warm-up (and any previous round) materialized p1 and the w4
+      // validated frame; drop both so every measured round builds (and
+      // pays for) the sfDir intermediates.
       queries.Pipeline.clearMaterialized()
+      queries.DynamicRow.clearMaterialized()
       named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -93,14 +95,14 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_runs":$nRuns,"run_totals":$runsJson,""" +
-      s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],""" +
+      s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_runs":$nRuns,"run_totals":$runsJson,""" +
-      s""""errors":$errJson,"materialized":["p1_ticker_pipeline"],"detail":"$detailPath",""" +
+      s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],"detail":"$detailPath",""" +
       s""""queries":${jmap(slow)},"sf":"$sfDir"}""")
     spark.stop()
   }

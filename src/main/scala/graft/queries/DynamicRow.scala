@@ -51,6 +51,21 @@ object DynamicRow {
 
   private val asOfDates = Seq("1997-06-30", "1998-06-30")
 
+  /** Materialized validated frame shared by w4 (per-row) and w5 (stats) —
+    * same pattern as Pipeline.p1Materialized: the result is tiny (one row
+    * per grid cell), so checkpointing it once per (session, dataset)
+    * stops the second consumer re-running the whole feature+validation
+    * build. Bench clears it per round so every measured round pays the
+    * build exactly once. */
+  private val rowStore =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearMaterialized(): Unit = rowStore.clear()
+
+  private def validatedRowMaterialized(s: SparkSession, dir: String): DataFrame =
+    rowStore.computeIfAbsent((s, dir),
+      { case (sess, d) => validatedRow(sess, d).coalesce(8).localCheckpoint() })
+
   /** The real pipeline drive: synthesize Inputs from lineitem, run
     * dynamicFeatures (fused-statements path) + validate. */
   private[graft] def validatedRow(s: SparkSession, dir: String): DataFrame = {
@@ -406,7 +421,7 @@ object DynamicRow {
 
   val w4 = QueryDef("w4_dynamic_row",
     (s, dir) => {
-      val v = validatedRow(s, dir)
+      val v = validatedRowMaterialized(s, dir)
       // round(6) ONLY on features whose doubles can differ across engines
       // (stddev/avg accumulation order, percentile interpolation, libm pow).
       // Exact-arithmetic features (picks, +,-,*,/ on identical inputs) are
@@ -439,7 +454,7 @@ object DynamicRow {
     * behind `Sinks.runStats` (status counts + violation-family breakdown),
     * judged over the same validated frame as w4. */
   val w5 = QueryDef("w5_validation_stats",
-    (s, dir) => graft.sinks.Sinks.statusCounts(validatedRow(s, dir))
+    (s, dir) => graft.sinks.Sinks.statusCounts(validatedRowMaterialized(s, dir))
       .orderBy("validation_status"),
     Some(s"""WITH $oracleCtes,
       rows AS (SELECT $outProjection FROM out)
