@@ -28,8 +28,15 @@ import org.apache.spark.sql.functions._
   *     tile index (norm-preserving, so within-tile cosine structure is
   *     identical and cross-tile vectors are distinct points).
   *
-  * Usage: runMain graft.GenScale [srcDir] [outDir] [tiles]
-  * Defaults: /root/testdata/sf0.1 → target/testdata/sf1, 10 tiles.
+  * A second mode, `deep`, grows the OTHER axis: same entities, histories
+  * N× longer (each tile shifts the fact-table dates by i×7 years and
+  * offsets only the uniqueness keys — order/event ids). Wide growth is
+  * how corpora scale; deep growth is how per-entity time series scale,
+  * and it is the shape that flips `TickerFeatures.choosePriceForm` to
+  * the replication-free series form.
+  *
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [tiles] [wide|deep]
+  * Defaults: /root/testdata/sf0.1 → target/testdata/sf1, 10 tiles, wide.
   */
 object GenScale {
 
@@ -37,6 +44,7 @@ object GenScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/testdata/sf1")
     val tiles = args.lift(2).map(_.toInt).getOrElse(10)
+    val deep = args.lift(3).contains("deep")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Verify.makeSession(cpus)
 
@@ -62,38 +70,57 @@ object GenScale {
     Seq("region", "nation").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
-    write(tiled("customer",
-      (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * C)), "customer")
-    write(tiled("supplier",
-      (d, i) => d.withColumn("s_suppkey", col("s_suppkey") + i * S)), "supplier")
-    write(tiled("part",
-      (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * P)), "part")
-    write(tiled("orders", (d, i) => d
-      .withColumn("o_orderkey", col("o_orderkey") + i * O)
-      .withColumn("o_custkey", col("o_custkey") + i * C)), "orders")
-    write(tiled("lineitem", (d, i) => d
-      .withColumn("l_orderkey", col("l_orderkey") + i * O)
-      .withColumn("l_partkey", col("l_partkey") + i * P)
-      .withColumn("l_suppkey", col("l_suppkey") + i * S)), "lineitem")
-    // events.ts is TIMESTAMP(NANOS): read as raw nanos longs (the same
-    // switch Tables.events uses) and write the long back — Tables.events'
-    // `ts div 1000` conversion reads either encoding
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(tiled("events", (d, i) => d
-      .withColumn("event_id", col("event_id") + i * E)
-      .withColumn("user_id", col("user_id") + i * C)), "events")
-    write(tiled("documents", (d, i) => d
-      .withColumn("doc_id", col("doc_id") + i * D)
-      .withColumn("text", array_join(transform(split(col("text"), "\\s+"),
-        w => concat(lit(s"t$i"), w)), " "))
-      .withColumn("source", concat(col("source"), lit(s"_t$i")))
-      .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
-    write(tiled("embeddings", (d, i) => d
-      .withColumn("vec_id", col("vec_id") + i * D)
-      .withColumn("embedding", concat(
-        slice(col("embedding"), i + 1, 10000),
-        slice(col("embedding"), 1, i)))), "embeddings")
-
+    if (deep) {
+      // same entities; each tile pushes the fact dates i*7 years out
+      Seq("customer", "supplier", "part", "documents", "embeddings").foreach { t =>
+        write(spark.read.parquet(s"$src/$t.parquet"), t)
+      }
+      write(tiled("orders", (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + i * O)
+        .withColumn("o_orderdate",
+          add_months(col("o_orderdate"), i * 7 * 12))), "orders")
+      write(tiled("lineitem", (d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + i * O)
+        .withColumn("l_shipdate",
+          add_months(col("l_shipdate"), i * 7 * 12))), "lineitem")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(tiled("events", (d, i) => d
+        .withColumn("event_id", col("event_id") + i * E)
+        .withColumn("ts", col("ts") + expr(s"${i * 7} * 31557600000000000"))),
+        "events")
+    } else {
+      write(tiled("customer",
+        (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * C)), "customer")
+      write(tiled("supplier",
+        (d, i) => d.withColumn("s_suppkey", col("s_suppkey") + i * S)), "supplier")
+      write(tiled("part",
+        (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * P)), "part")
+      write(tiled("orders", (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + i * O)
+        .withColumn("o_custkey", col("o_custkey") + i * C)), "orders")
+      write(tiled("lineitem", (d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + i * O)
+        .withColumn("l_partkey", col("l_partkey") + i * P)
+        .withColumn("l_suppkey", col("l_suppkey") + i * S)), "lineitem")
+      // events.ts is TIMESTAMP(NANOS): read as raw nanos longs (the same
+      // switch Tables.events uses) and write the long back — Tables.events'
+      // `ts div 1000` conversion reads either encoding
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(tiled("events", (d, i) => d
+        .withColumn("event_id", col("event_id") + i * E)
+        .withColumn("user_id", col("user_id") + i * C)), "events")
+      write(tiled("documents", (d, i) => d
+        .withColumn("doc_id", col("doc_id") + i * D)
+        .withColumn("text", array_join(transform(split(col("text"), "\\s+"),
+          w => concat(lit(s"t$i"), w)), " "))
+        .withColumn("source", concat(col("source"), lit(s"_t$i")))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+      write(tiled("embeddings", (d, i) => d
+        .withColumn("vec_id", col("vec_id") + i * D)
+        .withColumn("embedding", concat(
+          slice(col("embedding"), i + 1, 10000),
+          slice(col("embedding"), 1, i)))), "embeddings")
+    }
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ import QueryDef.dec
 object TextVector {
 
   def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, e1, e2, e3, e4, m2, s1, s2)
+    d12, d13, d14, d15, e1, e2, e3, e4, e7, m2, s1, s2)
 
   /** Exact dedup: content-hash groupBy (md5), keeper = min id. */
   val d1 = QueryDef("d1_exact_dedup",
@@ -468,6 +468,37 @@ object TextVector {
         .orderBy("query_id", "rank")
     },
     None)
+
+  /** The IVF index's accuracy claim as a judged surface (the d30/d34
+    * verdict pattern): e3's exact result set stays rows-only (kmeans
+    * centroids aren't SQL-reproducible), but its recall against the
+    * brute-force exact top-k — computed IN THE SAME PLAN with identical
+    * parameters — becomes a boolean the oracle asserts: DuckDB recomputes
+    * the query-sample size and expects recall_ok = TRUE. The ≥0.8 bound
+    * comes from the nProbe=6 sweep (recall@5 = 0.85/0.86 measured at
+    * sf0.001/sf0.01, SimilaritySpec envelope). */
+  val e7 = QueryDef("e7_ivf_recall_check",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 30)
+      val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 10)
+      val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+      val ivf = Similarity.ivfTopK(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        cells, centroids, k = 5, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("__n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"),
+          (col("__n_hit").cast(DoubleType) / col("__n_exact").cast(DoubleType)
+            >= 0.8).as("recall_ok"))
+    },
+    Some("""SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 30"""))
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
     * exact cosine verify (rows-only: murmur-seeded hyperplanes). The test
