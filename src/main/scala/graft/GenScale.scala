@@ -84,9 +84,13 @@ object GenScale {
         .withColumn("l_shipdate",
           add_months(col("l_shipdate"), i * 7 * 12))), "lineitem")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events keep user_id (deep = per-user history growth); event_id keeps
+      // rows unique, so the stride only needs to spread load, not stay
+      // disjoint. 61 days in nanos × tile fits a Long for any sane tile
+      // count (7y × >41 tiles would overflow TIMESTAMP(NANOS) range).
       write(tiled("events", (d, i) => d
         .withColumn("event_id", col("event_id") + i * E)
-        .withColumn("ts", col("ts") + expr(s"${i * 7} * 31557600000000000"))),
+        .withColumn("ts", col("ts") + expr(s"${i}L * ${61L * 86400L} * 1000000000"))),
         "events")
     } else {
       write(tiled("customer",

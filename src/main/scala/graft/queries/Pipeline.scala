@@ -111,11 +111,12 @@ object Pipeline {
       // The gate is FUSED into the price aggregation (minPriceRows): same
       // predicate as hasEnoughPriceData, one fewer grid⨝prices shuffle.
       // The price-block physical form is chosen from the data shape
-      // (choosePriceForm): at this shape (~100-row histories × 5 as_ofs)
-      // the cost model picks the grid form — matching the round-4
-      // measurement (~34 vs ~42 s wall at sf0.1) — and flips to the
-      // replication-free series form once histories pass ~500 rows, the
-      // 100 TB shape. The probe reads the checkpointed series: ~ms.
+      // (choosePriceForm): at this shape (~10-row histories × 5 as_ofs)
+      // the cost model picks the grid form — matching both the round-4
+      // wall measurement and the round-5 ProbeDeep calibration (grid and
+      // series tie at 3.5 s here; series wins 2-4× only once histories ×
+      // as_ofs outgrow its flat enrichment cost — the 100 TB shape). The
+      // probe reads the checkpointed series: ~ms.
       val features = TickerFeatures.dynamicFeaturesSharedIndex(grid, in,
         tickerEtf, etfIndex, minPriceRows = 5,
         seriesPriceBlock = TickerFeatures.choosePriceForm(grid, in.prices))
