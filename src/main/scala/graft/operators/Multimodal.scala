@@ -95,6 +95,10 @@ object Multimodal {
     if (o + 8 <= b.length)
       Some((0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(o + i) & 0xffL)))
     else None
+  private def le64(b: Array[Byte], o: Int): Option[Long] =
+    if (o + 8 <= b.length)
+      Some((7 to 0 by -1).foldLeft(0L)((acc, i) => (acc << 8) | (b(o + i) & 0xffL)))
+    else None
   private def fourcc(b: Array[Byte], o: Int): String =
     if (o + 4 <= b.length) new String(b, o, 4, "ISO-8859-1") else ""
 
@@ -129,6 +133,50 @@ object Multimodal {
     }
     if (channels <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(Row("audio", 0, 0, channels, dataSize * 1000L / byteRate, "riff-wav"))
+  }
+
+  /** REAL audio metadata from an Ogg container (Vorbis or Opus) — pure
+    * byte parsing, header-only. Channels + sample rate come from the
+    * identification header in the first page's packet; duration comes from
+    * the LAST page's granule position (a bounded backward scan for a
+    * plausible "OggS" capture — the Ogg way: granules are absolute sample
+    * counts, so no page in between needs reading). Opus granules are
+    * always 48 kHz by spec (pre-skip ignored: ms-scale metadata). None for
+    * non-Ogg bytes (→ [[decodeWav]]'s caller falls to the stub). */
+  def decodeOgg(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 0) != "OggS") return None
+    val nsegs = if (bytes.length > 26) bytes(26) & 0xff else return None
+    val payload = 27 + nsegs
+    // identification header: Vorbis = 0x01 "vorbis", Opus = "OpusHead"
+    val (channels, rate, granuleRate, codec) =
+      if (bytes.length >= payload + 16 && (bytes(payload) & 0xff) == 1 &&
+          new String(bytes, payload + 1, 6, "ISO-8859-1") == "vorbis") {
+        val ch = bytes(payload + 11) & 0xff
+        val r = le32(bytes, payload + 12).getOrElse(0L)
+        (ch, r, r, "vorbis") // Vorbis granules count samples at the stream rate
+      } else if (bytes.length >= payload + 16 &&
+          new String(bytes, payload, 8, "ISO-8859-1") == "OpusHead") {
+        val ch = bytes(payload + 9) & 0xff
+        val r = le32(bytes, payload + 12).getOrElse(0L)
+        (ch, r, 48000L, "opus") // Opus granules are 48 kHz regardless of input rate
+      } else return None
+    if (channels <= 0 || rate <= 0) return None
+    // last-page granule: scan backward (bounded to the final 64 KiB) for a
+    // capture pattern that also LOOKS like a page header — version byte 0,
+    // header-type flags ≤ 7 — to reject "OggS" appearing inside codec data
+    var durationMs = -1L
+    var i = bytes.length - 28
+    val floor = math.max(0, bytes.length - 65536)
+    while (i >= floor && durationMs < 0) {
+      if (bytes(i) == 'O' && fourcc(bytes, i) == "OggS" &&
+          (bytes(i + 4) & 0xff) == 0 && (bytes(i + 5) & 0xff) <= 7) {
+        val g = le64(bytes, i + 6).getOrElse(-1L)
+        if (g >= 0) durationMs = g * 1000L / granuleRate
+      }
+      i -= 1
+    }
+    if (durationMs < 0) None
+    else Some(Row("audio", 0, 0, channels, durationMs, "ogg-" + codec))
   }
 
   /** REAL video metadata from MP4/ISO-BMFF box headers: mvhd gives
@@ -188,18 +236,53 @@ object Multimodal {
     else Some(Row("video", w, h, 0, math.max(durationMs, 0L), "mp4-bmff"))
   }
 
+  /** REAL video metadata from an AVI container — the same RIFF chunk walk
+    * as [[decodeWav]], two levels deep: the LIST(hdrl) chunk's avih payload
+    * carries dwMicroSecPerFrame (@0), dwTotalFrames (@16) and
+    * dwWidth/dwHeight (@32/@36). duration = frames × µs-per-frame.
+    * Header-only (never touches movi data); None for non-AVI bytes. */
+  def decodeAvi(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    // walk [lo, hi) top-level chunks; same Long arithmetic + truncation
+    // guards as the WAV walk (a corrupt 32-bit size must abort, not loop)
+    def findChunk(lo: Long, hi: Long, want: String,
+                  listType: String): Option[(Long, Long)] = {
+      var off = lo
+      while (off + 8 <= hi) {
+        val id = fourcc(bytes, off.toInt)
+        val size = le32(bytes, (off + 4).toInt).getOrElse(-1L)
+        if (size < 0 || size > hi - off - 8) return None
+        if (id == want && listType.isEmpty) return Some((off + 8, off + 8 + size))
+        if (id == "LIST" && fourcc(bytes, (off + 8).toInt) == listType)
+          return Some((off + 12, off + 8 + size))
+        off += 8L + size + (size & 1L)
+      }
+      None
+    }
+    for {
+      (hLo, hHi) <- findChunk(12L, bytes.length.toLong, "", "hdrl")
+      (aLo, aHi) <- findChunk(hLo, hHi, "avih", "")
+      if aHi - aLo >= 40
+      usPerFrame <- le32(bytes, aLo.toInt)
+      frames <- le32(bytes, aLo.toInt + 16)
+      w <- le32(bytes, aLo.toInt + 32)
+      h <- le32(bytes, aLo.toInt + 36)
+      if usPerFrame > 0 && w > 0 && h > 0
+    } yield Row("video", w.toInt, h.toInt, 0, frames * usPerFrame / 1000L, "riff-avi")
+  }
+
   /** Decode dispatch: images through javax.imageio, audio through the
-    * RIFF/WAVE header parser, video through the MP4 box parser — all
-    * header-only, all falling back to the documented stub for containers
-    * they don't claim (and for fuzzed bytes: every parser bounds-checks
-    * and is wrapped NonFatal). */
+    * RIFF/WAVE then Ogg (Vorbis/Opus) header parsers, video through the
+    * MP4 box then AVI chunk parsers — all header-only, all falling back to
+    * the documented stub for containers they don't claim (and for fuzzed
+    * bytes: every parser bounds-checks and is wrapped NonFatal). */
   def decodeMeta(mediaType: String, bytes: Array[Byte]): Row = {
     def safely(p: Array[Byte] => Option[Row]): Option[Row] =
       try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
     val real = mediaType match {
       case "image" => safely(decodeImage)
-      case "audio" => safely(decodeWav)
-      case "video" => safely(decodeMp4)
+      case "audio" => safely(decodeWav).orElse(safely(decodeOgg))
+      case "video" => safely(decodeMp4).orElse(safely(decodeAvi))
       case _ => None
     }
     real.getOrElse(decodeStub(mediaType, bytes))
