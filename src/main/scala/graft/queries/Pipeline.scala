@@ -45,22 +45,42 @@ object Pipeline {
       .select(col("o_custkey").cast(StringType).as("ticker"),
         col("o_orderdate").cast(DateType).as("date"),
         lit(2.0).as("split_ratio"))
-    val yearly = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+    // two-level aggregation: collapse lineitem to per-order partials FIRST
+    // (map-side combine rides TPC-H's orderkey clustering, so the shuffle
+    // carries ~1.5M partial rows instead of 6M raw ones), join the compact
+    // per-order frame, then combine partials per (ticker, year). avg and
+    // stddev_samp decompose into (Σx, Σx², n) moments; every output lands
+    // behind normalize's round-to-2-decimals, where the reordering's
+    // last-ulp differences vanish (P1Probe2: 2.8 s -> 1.9 s for this stage).
+    val liAgg = li.groupBy(col("l_orderkey").as("__ok")).agg(
+      sum(col("l_extendedprice")).as("__sp"),
+      sum(col("l_extendedprice") * col("l_discount")).as("__spd"),
+      sum(col("l_extendedprice") * col("l_tax")).as("__spt"),
+      sum(col("l_quantity")).as("__sq"),
+      sum(col("l_quantity") * col("l_quantity")).as("__sq2"),
+      count(lit(1)).as("__n"),
+      sum(col("l_extendedprice") / col("l_quantity")).as("__spq"),
+      sum(col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0))).as("__spq1"),
+      sum(col("l_discount")).as("__sd"))
+    val yearly = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(liAgg, col("__ok") === col("o_orderkey"))
       .groupBy(col("o_custkey").cast(StringType).as("ticker"),
         to_date(concat(year(col("o_orderdate")), lit("-12-31"))).as("date"))
       .agg(
-        sum(col("l_extendedprice")).as("incomeBeforeTax"),
-        sum(col("l_extendedprice") * col("l_discount")).as("interestExpense"),
-        sum(col("l_extendedprice") * col("l_tax")).as("depreciationAndAmortization"),
-        avg(col("l_quantity")).as("eps"),
-        (avg(col("l_quantity")) / 10).as("freeCashFlowPerShare"),
-        (stddev_samp(col("l_quantity")) / 100).as("dividendYield"),
-        avg(col("l_extendedprice") / col("l_quantity")).as("priceEarningsRatio"),
-        avg(col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
-          .as("priceToFreeCashFlowsRatio"),
-        (avg(col("l_discount")) * 10).as("payoutRatio"))
-      // the orders⨝lineitem aggregate feeds income/balance/ratios — without
-      // a checkpoint each block re-executes the 6M-row join
+        sum(col("__sp")).as("incomeBeforeTax"),
+        sum(col("__spd")).as("interestExpense"),
+        sum(col("__spt")).as("depreciationAndAmortization"),
+        (sum(col("__sq")) / sum(col("__n"))).as("eps"),
+        (sum(col("__sq")) / sum(col("__n")) / 10).as("freeCashFlowPerShare"),
+        // sample stddev from moments: sqrt((Σx² − (Σx)²/n) / (n−1)); no
+        // cancellation hazard at these magnitudes (x ∈ [1,50], n ~ 40/group)
+        (sqrt((sum(col("__sq2")) - sum(col("__sq")) * sum(col("__sq")) / sum(col("__n"))) /
+          (sum(col("__n")) - 1)) / 100).as("dividendYield"),
+        (sum(col("__spq")) / sum(col("__n"))).as("priceEarningsRatio"),
+        (sum(col("__spq1")) / sum(col("__n"))).as("priceToFreeCashFlowsRatio"),
+        (sum(col("__sd")) / sum(col("__n")) * 10).as("payoutRatio"))
+      // the aggregate feeds income/balance/ratios — without a checkpoint
+      // each block re-executes the join
       .localCheckpoint()
     val income = yearly.select("ticker", "date", "incomeBeforeTax",
       "interestExpense", "depreciationAndAmortization", "eps")
