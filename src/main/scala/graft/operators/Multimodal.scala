@@ -271,18 +271,124 @@ object Multimodal {
     } yield Row("video", w.toInt, h.toInt, 0, frames * usPerFrame / 1000L, "riff-avi")
   }
 
+  /** REAL metadata from a Matroska/WebM (EBML) header — pure bounded byte
+    * walking, no codec. EBML is a tree of (VINT id, VINT size, payload)
+    * elements; this descends only the known container path —
+    * Segment → Info (TimestampScale ns/tick, Duration ticks) and
+    * Segment → Tracks → TrackEntry → Video (PixelWidth/PixelHeight) /
+    * Audio (Channels) — and ignores everything else. Serves both webm
+    * video and webm/mka audio: `mediaType` picks the emitted row shape.
+    * Unknown-size elements (all size bits set — common for streamed
+    * Segments) walk to the end of the parent range. None for non-EBML
+    * bytes (→ stub). */
+  def decodeMkv(mediaType: String, bytes: Array[Byte]): Option[Row] = {
+    // VINT at off: leading-zero count of the first byte gives the width;
+    // ids KEEP the marker bit, sizes STRIP it. None on truncation/width 0.
+    def vint(off: Long, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= bytes.length) return None
+      val b0 = bytes(off.toInt) & 0xff
+      if (b0 == 0) return None
+      val w = 8 - (31 - Integer.numberOfLeadingZeros(b0))
+      if (off + w > bytes.length) return None
+      val first = if (keepMarker) b0 else b0 & ((1 << (8 - w)) - 1)
+      var v = first.toLong
+      (1 until w).foreach(i => v = (v << 8) | (bytes(off.toInt + i) & 0xffL))
+      Some((v, w))
+    }
+    // big-endian float payload: EBML floats are 4 or 8 bytes
+    def ebmlFloat(lo: Long, hi: Long): Option[Double] =
+      if (hi - lo == 4) be32(bytes, lo.toInt).map(v => java.lang.Float.intBitsToFloat(v.toInt).toDouble)
+      else if (hi - lo == 8) be64(bytes, lo.toInt).map(java.lang.Double.longBitsToDouble)
+      else None
+    def ebmlUint(lo: Long, hi: Long): Option[Long] =
+      if (hi - lo >= 1 && hi - lo <= 8)
+        Some((lo until hi).foldLeft(0L)((acc, i) => (acc << 8) | (bytes(i.toInt) & 0xffL)))
+      else None
+    // children of [lo, hi) as (id, payloadLo, payloadHi); a lying size
+    // clamps to the parent, a zero-advance aborts (corrupt VINT)
+    def children(lo: Long, hi: Long): Iterator[(Long, Long, Long)] =
+      new Iterator[(Long, Long, Long)] {
+        private var off = lo
+        private var dead = false
+        def hasNext: Boolean = !dead && off + 2 <= hi
+        def next(): (Long, Long, Long) = {
+          val r = for {
+            (id, iw) <- vint(off, keepMarker = true)
+            (sz, sw) <- vint(off + iw, keepMarker = false)
+          } yield {
+            val unknown = sz == (1L << (7 * sw)) - 1 // all value bits set
+            val pLo = off + iw + sw
+            val pHi = if (unknown) hi else math.min(pLo + sz, hi)
+            (id, pLo, pHi)
+          }
+          r match {
+            case Some(t @ (_, _, pHi)) =>
+              if (pHi <= off) { dead = true; (0L, hi, hi) } else { off = pHi; t }
+            case None => dead = true; (0L, hi, hi)
+          }
+        }
+      }
+    if (bytes.length < 8 || be32(bytes, 0) != Some(0x1A45DFA3L)) return None
+    var tsScale = 1000000L // EBML default: 1 ms per tick
+    var durTicks = -1.0
+    var w = 0; var h = 0; var channels = 0
+    children(0, bytes.length.toLong).foreach {
+      case (0x18538067L, sLo, sHi) => // Segment
+        children(sLo, sHi).foreach {
+          case (0x1549A966L, iLo, iHi) => // Info
+            children(iLo, iHi).foreach {
+              case (0x2AD7B1L, lo, hi) => ebmlUint(lo, hi).filter(_ > 0).foreach(tsScale = _)
+              case (0x4489L, lo, hi) => ebmlFloat(lo, hi).filter(_ >= 0).foreach(durTicks = _)
+              case _ => ()
+            }
+          case (0x1654AE6BL, tLo, tHi) => // Tracks
+            children(tLo, tHi).foreach {
+              case (0xAEL, eLo, eHi) => // TrackEntry
+                children(eLo, eHi).foreach {
+                  case (0xE0L, vLo, vHi) => // Video
+                    children(vLo, vHi).foreach {
+                      case (0xB0L, lo, hi) => ebmlUint(lo, hi).foreach(v => if (w == 0) w = v.toInt)
+                      case (0xBAL, lo, hi) => ebmlUint(lo, hi).foreach(v => if (h == 0) h = v.toInt)
+                      case _ => ()
+                    }
+                  case (0xE1L, aLo, aHi) => // Audio
+                    children(aLo, aHi).foreach {
+                      case (0x9FL, lo, hi) => ebmlUint(lo, hi).foreach(v => if (channels == 0) channels = v.toInt)
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    val durationMs = if (durTicks < 0) -1L else (durTicks * tsScale / 1e6).toLong
+    if (mediaType == "audio") {
+      if (channels <= 0 && durationMs < 0) None
+      else Some(Row("audio", 0, 0, channels, math.max(durationMs, 0L), "mkv-ebml"))
+    } else {
+      if (w == 0 && durationMs < 0) None
+      else Some(Row("video", w, h, channels, math.max(durationMs, 0L), "mkv-ebml"))
+    }
+  }
+
   /** Decode dispatch: images through javax.imageio, audio through the
-    * RIFF/WAVE then Ogg (Vorbis/Opus) header parsers, video through the
-    * MP4 box then AVI chunk parsers — all header-only, all falling back to
-    * the documented stub for containers they don't claim (and for fuzzed
-    * bytes: every parser bounds-checks and is wrapped NonFatal). */
+    * RIFF/WAVE, Ogg (Vorbis/Opus), then Matroska header parsers, video
+    * through the MP4 box, AVI chunk, then Matroska parsers — all
+    * header-only, all falling back to the documented stub for containers
+    * they don't claim (and for fuzzed bytes: every parser bounds-checks
+    * and is wrapped NonFatal). */
   def decodeMeta(mediaType: String, bytes: Array[Byte]): Row = {
     def safely(p: Array[Byte] => Option[Row]): Option[Row] =
       try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
     val real = mediaType match {
       case "image" => safely(decodeImage)
       case "audio" => safely(decodeWav).orElse(safely(decodeOgg))
+        .orElse(safely(decodeMkv(mediaType, _)))
       case "video" => safely(decodeMp4).orElse(safely(decodeAvi))
+        .orElse(safely(decodeMkv(mediaType, _)))
       case _ => None
     }
     real.getOrElse(decodeStub(mediaType, bytes))
