@@ -67,6 +67,83 @@ object AsOf {
     unpacked.filter(col("__side") === 1).drop("__side", "__asof_row")
   }
 
+  /** SKEW-RESISTANT left as-of-backward join: identical semantics to
+    * [[joinBackward]], but the per-key serial cost is bounded by a TIME
+    * BUCKET instead of the key's full history. [[joinBackward]]'s window
+    * partitions on the `by` keys, so one hot key (one user producing 30%
+    * of a 100 TB event stream) becomes ONE sort task that AQE cannot
+    * split — windows, unlike sort-merge joins, have no skew mitigation.
+    * Here both sides get `__b = bucketOf(timeCol)` (any monotone
+    * non-decreasing integral bucketing — hour/day ordinals) and the work
+    * splits into:
+    *
+    *   1. in-bucket pass: [[joinBackward]] partitioned by (keys..., __b) —
+    *      the hot key's rows spread across its buckets, each window
+    *      partition bounded by one bucket's rows;
+    *   2. carry-in: per (key, bucket) the latest build row (one max_by
+    *      aggregate — partial aggregation absorbs the skew), then an
+    *      as-of on the BUCKET ORDINAL (probe bucket p matches build
+    *      buckets ≤ p−1) over these aggregate rows — a window over
+    *      #buckets-per-key rows, independent of row counts;
+    *   3. a probe row takes its in-bucket match if one exists (any
+    *      same-bucket row at-or-before dominates every earlier-bucket row
+    *      by bucket monotonicity), else its bucket's carry-in.
+    *
+    * Match atomicity (a matched right row with NULL values stays NULL) is
+    * preserved: the in-bucket pass carries a non-null marker inside the
+    * matched struct, and the carry-in is a whole-row struct.
+    *
+    * Trade-off vs [[joinBackward]]: two extra shuffles (carry aggregate +
+    * joining it back). Worth it when keys are skewed or single-key
+    * histories outgrow one task; the plain form wins on uniform small
+    * keys. Width picks the parallelism: hot-key rows per bucket is the
+    * new straggler bound.
+    *
+    * @param bucketOf monotone non-decreasing map from `timeCol` to an
+    *   integral bucket ordinal, applied identically to both sides (e.g.
+    *   `c => floor(unix_micros(c) / lit(3600000000L)).cast("long")`)
+    */
+  def joinBackwardBucketed(left: DataFrame, right: DataFrame, by: Seq[String],
+                           timeCol: String, valueCols: Seq[String],
+                           bucketOf: Column => Column,
+                           tieBreak: Seq[Column] = Nil): DataFrame = {
+    val reserved = Seq("__b", "__m", "__carry_row", "__bt")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns ${reserved.mkString(",")} are reserved")
+    require(!left.columns.exists(valueCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    val lb = left.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
+    val rb = right.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
+
+    // carry-in: latest build row per (key, bucket) — ties at equal time
+    // resolve like joinBackward's window (last in tieBreak order = max of
+    // the ordering struct); then as-of on the bucket ordinal so probe
+    // bucket p sees the latest build bucket ≤ p−1
+    val ord = struct((col(timeCol) +: tieBreak): _*)
+    val carryAgg = rb.groupBy((by.map(col) :+ col("__b")): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("__carry_row"))
+      .withColumn("__bt", col("__b")).drop("__b")
+    val probeBuckets = lb.select((by.map(col) :+ col("__b")): _*).distinct()
+      .withColumn("__bt", col("__b") - 1)
+    val carry = joinBackward(probeBuckets, carryAgg, by, "__bt",
+      Seq("__carry_row")).drop("__bt")
+
+    // in-bucket pass: the proven union+window machinery, with the bucket
+    // folded into the partition key; __m marks "a row matched" so a
+    // matched-but-NULL value is not backfilled from the carry
+    val inBucket = joinBackward(
+      lb.join(carry, by :+ "__b", "left"),
+      rb.withColumn("__m", lit(0)),
+      by :+ "__b", timeCol, valueCols :+ "__m", tieBreak)
+
+    val resolved = valueCols.foldLeft(inBucket) { (df, v) =>
+      df.withColumn(v,
+        when(col("__m").isNotNull, col(v)).otherwise(col("__carry_row").getField(v)))
+    }
+    resolved.drop("__b", "__m", "__carry_row")
+  }
+
   /** Left as-of-FORWARD join: attaches `valueCols` from the EARLIEST right
     * row with `right(timeCol) >= left(timeCol)` within the same `by` keys
     * ("at or after", inclusive — a right row at the exact left timestamp

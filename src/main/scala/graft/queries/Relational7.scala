@@ -20,7 +20,7 @@ object Relational7 {
 
   def defs: Seq[QueryDef] =
     Seq(q58, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, d34, d39)
+      q99, q100, d34, d39)
 
   /** Ordered conversion funnel (view → click-after-view →
     * purchase-after-click): each step is a per-user aggregate joined to
@@ -511,4 +511,32 @@ object Relational7 {
         ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_exact,
         TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** The SKEW-RESISTANT bucketed as-of join (core.AsOf.joinBackwardBucketed)
+    * on q6/q74's exact shape — the THIRD Spark construction of the same
+    * semantics, gated by the same DuckDB ASOF oracle. Daily buckets over
+    * the event timestamps: a hot user's history splits across day buckets
+    * instead of forming one window sort task (windows have no AQE skew
+    * mitigation, so at 100 TB this form is the difference between a
+    * bounded task and a straggler). Equivalence across bucket widths is
+    * property-spec'd in CoreOpsSpec; skew timings in BENCH_deep.json. */
+  val q100 = QueryDef("q100_asof_bucketed",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.core.AsOf.joinBackwardBucketed(purchases, clicks,
+        Seq("user_id"), "ts", Seq("click_id", "click_value"),
+        c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+        .select("event_id", "user_id", "click_id", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
 }

@@ -41,6 +41,37 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  test("joinBackwardBucketed row-identical to joinBackward across widths, skew, nulls") {
+    // deterministic pseudo-random data with a HOT key (~40% of rows),
+    // duplicate timestamps (disambiguated by a seq tie-break), NULL values
+    // in one column, and a few NULL timestamps
+    def gen(n: Int, seed: Int, keys: Int) = {
+      def h(i: Int, salt: Int) =
+        math.abs(scala.util.hashing.MurmurHash3.productHash((i, seed, salt)))
+      (0 until n).map { i =>
+        val k = if (h(i, 1) % 10 < 4) "HOT" else s"K${h(i, 2) % keys}"
+        val ts = if (h(i, 3) % 41 == 0) None else Some((h(i, 4) % 500).toLong)
+        (k, ts, i.toLong, if (h(i, 5) % 5 == 0) None else Some(h(i, 6) % 100.0))
+      }.toDF("k", "ts", "seq", "v")
+    }
+    val left = gen(400, 7, 5)
+    val right = gen(300, 13, 5).withColumnRenamed("v", "rv")
+      .withColumnRenamed("seq", "rseq")
+    val plain = AsOf.joinBackward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
+    // width 1 (every ts its own bucket), 50, and one-giant-bucket (the
+    // degenerate case must reduce to the plain form exactly)
+    for (w <- Seq(1L, 50L, 100000L)) {
+      val bucketed = AsOf.joinBackwardBucketed(left, right, Seq("k"), "ts",
+        Seq("rv", "rseq"), c => floor(c / lit(w.toDouble)).cast("long"),
+        tieBreak = Seq(col("rseq")))
+      assert(bucketed.columns.sorted.sameElements(plain.columns.sorted))
+      val b = bucketed.select(plain.columns.map(col): _*)
+      assert(b.exceptAll(plain).isEmpty && plain.exceptAll(b).isEmpty,
+        s"width $w diverges from joinBackward")
+    }
+  }
+
   test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
     val divs = Seq(("T", d("2023-01-01"), 1.0), ("T", d("2023-06-01"), 1.2),
       ("T", d("2024-01-01"), 1.5)).toDF("ticker", "date", "dividend")
