@@ -144,6 +144,42 @@ object AsOf {
     resolved.drop("__b", "__m", "__carry_row")
   }
 
+  /** [[joinBackward]] vs [[joinBackwardBucketed]] chosen from the BUILD
+    * side's shape (the choosePriceForm pattern: measure, decide, document).
+    * The straggler bound of the plain form is the hottest key's row count;
+    * if that fits `targetRows` (one comfortable task), plain wins — two
+    * fewer shuffles. Otherwise bucket, with the width picked so the
+    * hottest key's EXPECTED rows per (key, bucket) ≈ `targetRows`:
+    * `width = span × targetRows / maxKeyRows`, clamped to ≥ 1 time unit.
+    * Probe cost: one aggregation over the build side (per-key counts →
+    * max; global min/max time). Supports TimestampType (micros) and
+    * DateType (days) time columns. */
+  def joinBackwardAuto(left: DataFrame, right: DataFrame, by: Seq[String],
+                       timeCol: String, valueCols: Seq[String],
+                       targetRows: Long = 1L << 21,
+                       tieBreak: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val toUnits: Column => Column = right.schema(timeCol).dataType match {
+      case DateType => c => unix_date(c).cast("long")
+      case TimestampType => c => unix_micros(c)
+      case t => sys.error(s"joinBackwardAuto: unsupported time type $t")
+    }
+    val shape = right.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(toUnits(col(timeCol))).as("__lo"),
+        max(toUnits(col(timeCol))).as("__hi"))
+      .agg(max(col("__n")), min(col("__lo")), max(col("__hi"))).head
+    if (shape.isNullAt(0) || shape.getLong(0) <= targetRows)
+      joinBackward(left, right, by, timeCol, valueCols, tieBreak)
+    else {
+      val span = math.max(shape.getLong(2) - shape.getLong(1), 1L)
+      // double intermediate: span(micros) × targetRows overflows a Long
+      val width = math.max((span.toDouble * targetRows / shape.getLong(0)).toLong, 1L)
+      joinBackwardBucketed(left, right, by, timeCol, valueCols,
+        c => floor(toUnits(c).cast("double") / width.toDouble).cast("long"),
+        tieBreak)
+    }
+  }
+
   /** Left as-of-FORWARD join: attaches `valueCols` from the EARLIEST right
     * row with `right(timeCol) >= left(timeCol)` within the same `by` keys
     * ("at or after", inclusive — a right row at the exact left timestamp
