@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan lint (dev tool, run per round): plans EVERY registered query and
+  * flags physical join shapes that do not survive 100 TB —
+  * CartesianProductExec (a true all-pairs shuffle join) and
+  * BroadcastNestedLoopJoinExec (per-row scan of a broadcast side). Each
+  * occurrence must be on the allowlist below with a scale justification;
+  * anything else exits nonzero. AQE is disabled for the lint session so
+  * the static plan is inspected (AQE can only IMPROVE these shapes at
+  * runtime, never introduce them).
+  *
+  * Usage: runMain graft.PlanLint [sfDir]
+  */
+object PlanLint {
+
+  /** query -> (allowed BNLJ count, justification). CartesianProductExec has
+    * NO allowlist — a plain cartesian is never acceptable. A BNLJ is
+    * acceptable ONLY when the broadcast side is bounded by construction
+    * (a 1-row aggregate, a literal grid, a query sample, a centroid set)
+    * — then "nested loop over the broadcast side" is a per-row loop over
+    * a constant-size array, the intended shape. */
+  val allowedBnlj: Map[String, (Int, String)] = Map(
+    "e2_knn_brute" -> (1, "corpus x broadcast(query sample) - the documented exact-ANN baseline"),
+    "e3_knn_ivf" -> (2, "assignCells + ivfTopK each cross corpus/queries with broadcast(centroids), k<=10"),
+    "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
+    "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
+    "q28_grid_asof_spend" -> (1, "customer keys x literal as-of date list - the B1 grid pattern"),
+    "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),
+    "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),
+    "m1_macro_pipeline" -> (1, "country series x literal year grid"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // static plans
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def offenders(p: SparkPlan): (Int, Int) = {
+      val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
+      val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
+      (cart, bnlj)
+    }
+
+    var bad = List.empty[String]
+    var planned = 0
+    SparkEntry.allDefs.sortBy(_.name).foreach { d =>
+      try {
+        val (cart, bnlj) = offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
+        planned += 1
+        if (cart > 0)
+          bad ::= s"${d.name}: $cart CartesianProductExec (never allowed)"
+        val allowed = allowedBnlj.get(d.name).map(_._1).getOrElse(0)
+        if (bnlj > allowed)
+          bad ::= s"${d.name}: $bnlj BroadcastNestedLoopJoinExec (allowed $allowed)"
+      } catch {
+        // a query that cannot even plan is a verify problem, not a lint one
+        case e: Throwable => println(s"[planlint] SKIP ${d.name}: ${e.getMessage}")
+      }
+    }
+    println(s"""PLANLINT {"planned":$planned,"offenders":${bad.size},""" +
+      s""""detail":[${bad.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
