@@ -131,9 +131,13 @@ object AsOf {
 
     // in-bucket pass: the proven union+window machinery, with the bucket
     // folded into the partition key; __m marks "a row matched" so a
-    // matched-but-NULL value is not backfilled from the carry
+    // matched-but-NULL value is not backfilled from the carry. The carry
+    // attaches with NULL-SAFE equality: plain joinBackward groups null
+    // keys/timestamps into one window partition, so a null bucket (null
+    // timestamp) or null key must reach its carry row too — `=` would
+    // silently drop it.
     val inBucket = joinBackward(
-      lb.join(carry, by :+ "__b", "left"),
+      attachCarry(lb, carry, by),
       rb.withColumn("__m", lit(0)),
       by :+ "__b", timeCol, valueCols :+ "__m", tieBreak)
 
@@ -178,6 +182,60 @@ object AsOf {
         c => floor(toUnits(c).cast("double") / width.toDouble).cast("long"),
         tieBreak)
     }
+  }
+
+  /** Left-join the per-(key, bucket) carry row back to the probe side with
+    * NULL-SAFE key equality (`<=>`): null keys and null buckets (null
+    * timestamps) form real window partitions in the plain forms and must
+    * reach their carry too — plain `=` equality would drop them. */
+  private def attachCarry(lb: DataFrame, carry: DataFrame,
+                          by: Seq[String]): DataFrame = {
+    val l = lb.alias("__l")
+    val c = carry.alias("__c")
+    val cond = (by :+ "__b")
+      .map(k => col(s"__l.$k") <=> col(s"__c.$k")).reduce(_ && _)
+    l.join(c, cond, "left").select(col("__l.*"), col("__c.__carry_row"))
+  }
+
+  /** SKEW-RESISTANT as-of-FORWARD join — [[joinBackwardBucketed]] mirrored:
+    * in-bucket pass is [[joinForward]] on (keys..., bucket); the carry is
+    * the EARLIEST build row per (key, bucket) (min = first in tieBreak
+    * order) looked up via an as-of FORWARD on the bucket ordinal (probe
+    * bucket p matches build buckets ≥ p+1). An in-bucket match dominates
+    * every later-bucket row by bucket monotonicity. Same reserved columns,
+    * same match-marker atomicity, same width trade-offs. */
+  def joinForwardBucketed(left: DataFrame, right: DataFrame, by: Seq[String],
+                          timeCol: String, valueCols: Seq[String],
+                          bucketOf: Column => Column,
+                          tieBreak: Seq[Column] = Nil): DataFrame = {
+    val reserved = Seq("__b", "__m", "__carry_row", "__bt")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns ${reserved.mkString(",")} are reserved")
+    require(!left.columns.exists(valueCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    val lb = left.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
+    val rb = right.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
+
+    val ord = struct((col(timeCol) +: tieBreak): _*)
+    val carryAgg = rb.groupBy((by.map(col) :+ col("__b")): _*)
+      .agg(min_by(struct(valueCols.map(col): _*), ord).as("__carry_row"))
+      .withColumn("__bt", col("__b")).drop("__b")
+    val probeBuckets = lb.select((by.map(col) :+ col("__b")): _*).distinct()
+      .withColumn("__bt", col("__b") + 1)
+    val carry = joinForward(probeBuckets, carryAgg, by, "__bt",
+      Seq("__carry_row")).drop("__bt")
+
+    val inBucket = joinForward(
+      attachCarry(lb, carry, by),
+      rb.withColumn("__m", lit(0)),
+      by :+ "__b", timeCol, valueCols :+ "__m", tieBreak)
+
+    val resolved = valueCols.foldLeft(inBucket) { (df, v) =>
+      df.withColumn(v,
+        when(col("__m").isNotNull, col(v)).otherwise(col("__carry_row").getField(v)))
+    }
+    resolved.drop("__b", "__m", "__carry_row")
   }
 
   /** Left as-of-FORWARD join: attaches `valueCols` from the EARLIEST right

@@ -20,7 +20,7 @@ object Relational7 {
 
   def defs: Seq[QueryDef] =
     Seq(q58, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, d34, d39)
+      q99, q100, q101, d34, d39)
 
   /** Ordered conversion funnel (view → click-after-view →
     * purchase-after-click): each step is a per-user aggregate joined to
@@ -538,5 +538,36 @@ object Relational7 {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** The bucketed FORWARD as-of (core.AsOf.joinForwardBucketed) on q56's
+    * exact shape — the skew-resistant mirror, gated by the same DuckDB
+    * forward-ASOF oracle. Tie-dedup on views mirrors q56 (DuckDB's ASOF
+    * picks arbitrarily among equal-ts matches, so ties must not exist by
+    * the time either engine runs its as-of). */
+  val q101 = QueryDef("q101_asof_forward_bucketed",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val wv = Window.partitionBy("user_id", "ts").orderBy("event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("__rn", row_number().over(wv)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.core.AsOf.joinForwardBucketed(purchases, views, Seq("user_id"),
+        "ts", Seq("view_id", "view_value"),
+        c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+        .select("event_id", "user_id", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        event_id, value FROM events WHERE event_type = 'view'
+        QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+          ORDER BY event_id) = 1)
+      SELECT p.event_id, p.user_id, v.event_id AS view_id,
+        v.value AS view_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
       ORDER BY p.event_id"""))
 }

@@ -72,6 +72,31 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("joinForwardBucketed row-identical to joinForward across widths, skew, nulls") {
+    def gen(n: Int, seed: Int, keys: Int) = {
+      def h(i: Int, salt: Int) =
+        math.abs(scala.util.hashing.MurmurHash3.productHash((i, seed, salt)))
+      (0 until n).map { i =>
+        val k = if (h(i, 1) % 10 < 4) "HOT" else s"K${h(i, 2) % keys}"
+        val ts = if (h(i, 3) % 41 == 0) None else Some((h(i, 4) % 500).toLong)
+        (k, ts, i.toLong, if (h(i, 5) % 5 == 0) None else Some(h(i, 6) % 100.0))
+      }.toDF("k", "ts", "seq", "v")
+    }
+    val left = gen(400, 23, 5)
+    val right = gen(300, 31, 5).withColumnRenamed("v", "rv")
+      .withColumnRenamed("seq", "rseq")
+    val plain = AsOf.joinForward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
+    for (w <- Seq(1L, 50L, 100000L)) {
+      val bucketed = AsOf.joinForwardBucketed(left, right, Seq("k"), "ts",
+        Seq("rv", "rseq"), c => floor(c / lit(w.toDouble)).cast("long"),
+        tieBreak = Seq(col("rseq")))
+        .select(plain.columns.map(col): _*)
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty,
+        s"width $w diverges from joinForward")
+    }
+  }
+
   test("joinBackwardAuto: plain below the hot-key threshold, bucketed above, identical rows either way") {
     val left = (0 until 200).map(i =>
       (if (i % 2 == 0) "HOT" else s"K${i % 7}",
