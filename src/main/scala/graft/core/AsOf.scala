@@ -161,26 +161,46 @@ object AsOf {
   def joinBackwardAuto(left: DataFrame, right: DataFrame, by: Seq[String],
                        timeCol: String, valueCols: Seq[String],
                        targetRows: Long = 1L << 21,
-                       tieBreak: Seq[Column] = Nil): DataFrame = {
+                       tieBreak: Seq[Column] = Nil): DataFrame =
+    joinAuto(forward = false, left, right, by, timeCol, valueCols,
+      targetRows, tieBreak)
+
+  /** [[joinForward]] vs [[joinForwardBucketed]] — the forward mirror of
+    * [[joinBackwardAuto]]; same build-side shape probe, same width rule. */
+  def joinForwardAuto(left: DataFrame, right: DataFrame, by: Seq[String],
+                      timeCol: String, valueCols: Seq[String],
+                      targetRows: Long = 1L << 21,
+                      tieBreak: Seq[Column] = Nil): DataFrame =
+    joinAuto(forward = true, left, right, by, timeCol, valueCols,
+      targetRows, tieBreak)
+
+  private def joinAuto(forward: Boolean, left: DataFrame, right: DataFrame,
+                       by: Seq[String], timeCol: String,
+                       valueCols: Seq[String], targetRows: Long,
+                       tieBreak: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
     val toUnits: Column => Column = right.schema(timeCol).dataType match {
       case DateType => c => unix_date(c).cast("long")
       case TimestampType => c => unix_micros(c)
-      case t => sys.error(s"joinBackwardAuto: unsupported time type $t")
+      case t => sys.error(s"joinAuto: unsupported time type $t")
     }
     val shape = right.groupBy(by.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(toUnits(col(timeCol))).as("__lo"),
         max(toUnits(col(timeCol))).as("__hi"))
       .agg(max(col("__n")), min(col("__lo")), max(col("__hi"))).head
-    if (shape.isNullAt(0) || shape.getLong(0) <= targetRows)
-      joinBackward(left, right, by, timeCol, valueCols, tieBreak)
-    else {
+    if (shape.isNullAt(0) || shape.getLong(0) <= targetRows) {
+      if (forward) joinForward(left, right, by, timeCol, valueCols, tieBreak)
+      else joinBackward(left, right, by, timeCol, valueCols, tieBreak)
+    } else {
       val span = math.max(shape.getLong(2) - shape.getLong(1), 1L)
       // double intermediate: span(micros) × targetRows overflows a Long
       val width = math.max((span.toDouble * targetRows / shape.getLong(0)).toLong, 1L)
-      joinBackwardBucketed(left, right, by, timeCol, valueCols,
-        c => floor(toUnits(c).cast("double") / width.toDouble).cast("long"),
-        tieBreak)
+      val bucketOf: Column => Column =
+        c => floor(toUnits(c).cast("double") / width.toDouble).cast("long")
+      if (forward)
+        joinForwardBucketed(left, right, by, timeCol, valueCols, bucketOf, tieBreak)
+      else
+        joinBackwardBucketed(left, right, by, timeCol, valueCols, bucketOf, tieBreak)
     }
   }
 

@@ -131,6 +131,28 @@ class CoreOpsSpec extends SparkSpec {
       Seq("rv", "rseq")).count() == 200)
   }
 
+  test("joinForwardAuto: plain and bucketed paths both equal joinForward") {
+    val left = (0 until 200).map(i =>
+      (if (i % 2 == 0) "HOT" else s"K${i % 7}",
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:${10 + i % 50}"),
+        i.toLong)).toDF("k", "ts", "seq")
+    val right = (0 until 300).map(i =>
+      (if (i % 3 != 2) "HOT" else s"K${i % 7}",
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:${10 + (i * 7) % 50}"),
+        i.toLong, i * 1.5)).toDF("k", "ts", "rseq", "rv")
+    val plain = AsOf.joinForward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
+    for (target <- Seq(1000L, 20L)) {
+      val auto = AsOf.joinForwardAuto(left, right, Seq("k"), "ts",
+        Seq("rv", "rseq"), targetRows = target, tieBreak = Seq(col("rseq")))
+        .select(plain.columns.map(col): _*)
+      assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+        s"targetRows=$target diverges")
+    }
+    assert(AsOf.joinForwardAuto(left, right.limit(0), Seq("k"), "ts",
+      Seq("rv", "rseq")).count() == 200)
+  }
+
   test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
     val divs = Seq(("T", d("2023-01-01"), 1.0), ("T", d("2023-06-01"), 1.2),
       ("T", d("2024-01-01"), 1.5)).toDF("ticker", "date", "dividend")
