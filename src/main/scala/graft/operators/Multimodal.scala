@@ -179,6 +179,75 @@ object Multimodal {
     else Some(Row("audio", 0, 0, channels, durationMs, "ogg-" + codec))
   }
 
+  /** REAL audio metadata from a FLAC STREAMINFO block — pure byte parsing,
+    * header-only. The first metadata block is STREAMINFO by spec (type 0,
+    * 34 bytes); its packed tail holds sample rate (20 bits), channels−1
+    * (3 bits), bits-per-sample−1 (5 bits) and total samples (36 bits) in
+    * one big-endian 64-bit word. Total samples 0 means "unknown" per spec →
+    * duration 0 rather than a rejection. None for non-FLAC bytes (→ stub). */
+  def decodeFlac(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 0) != "fLaC") return None
+    var off = 4L
+    // block walk: header byte (bit7 last-flag, bits0-6 type) + 24-bit BE
+    // length. Long arithmetic; a declared length past the buffer aborts.
+    while (off + 4 <= bytes.length) {
+      val hdr = bytes(off.toInt) & 0xff
+      val len = be32(bytes, off.toInt).map(_ & 0xffffffL).getOrElse(return None)
+      if ((hdr & 0x7f) == 0) { // STREAMINFO
+        if (len < 34 || off + 4 + 34 > bytes.length) return None
+        // payload offset 10: the packed rate/channels/bps/samples word
+        val packed = be64(bytes, off.toInt + 4 + 10).getOrElse(return None)
+        val rate = (packed >>> 44) & 0xfffffL
+        val channels = ((packed >>> 41) & 0x7L).toInt + 1
+        val totalSamples = packed & 0xfffffffffL
+        if (rate == 0) return None
+        return Some(Row("audio", 0, 0, channels,
+          totalSamples * 1000L / rate, "flac-streaminfo"))
+      }
+      if ((hdr & 0x80) != 0) return None // last block and no STREAMINFO seen
+      off += 4L + len
+    }
+    None
+  }
+
+  /** REAL audio metadata from an AIFF/AIFC COMM chunk — the big-endian IFF
+    * mirror of [[decodeWav]]'s chunk walk. COMM carries channel count,
+    * sample-frame count and the sample rate as an 80-bit IEEE extended
+    * float (sign+15-bit exponent, 64-bit explicit-leading-one mantissa):
+    * value = mantissa × 2^(exp−16383−63). Duration = frames / rate. */
+  def decodeAiff(bytes: Array[Byte]): Option[Row] = {
+    if (fourcc(bytes, 0) != "FORM") return None
+    val form = fourcc(bytes, 8)
+    if (form != "AIFF" && form != "AIFC") return None
+    var off = 12L
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(bytes, off.toInt)
+      val size = be32(bytes, (off + 4).toInt).getOrElse(return None)
+      if (id == "COMM") {
+        // AIFC's COMM adds a compression id after these 18 bytes — the
+        // fixed prefix parsed here is identical in both forms
+        if (size < 18 || off + 8 + 18 > bytes.length) return None
+        val p = (off + 8).toInt
+        val channels = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        val frames = be32(bytes, p + 2).getOrElse(return None)
+        val expWord = ((bytes(p + 8) & 0xff) << 8) | (bytes(p + 9) & 0xff)
+        val mantissa = be64(bytes, p + 10).getOrElse(return None)
+        if ((expWord & 0x8000) != 0) return None // negative sample rate
+        val rate = java.lang.Math.scalb(
+          // the mantissa's top bit is the explicit integer-part 1; treat
+          // the 64-bit word as unsigned via the two-halves sum
+          (mantissa >>> 1).toDouble * 2.0 + (mantissa & 1L),
+          expWord - 16383 - 63)
+        if (channels <= 0 || !(rate > 0) || rate.isInfinite) return None
+        return Some(Row("audio", 0, 0, channels,
+          (frames.toDouble * 1000.0 / rate).toLong, "aiff-comm"))
+      }
+      if (size > bytes.length - off - 8) return None // truncated chunk
+      off += 8L + size + (size & 1L) // IFF pads payloads to even
+    }
+    None
+  }
+
   /** REAL video metadata from MP4/ISO-BMFF box headers: mvhd gives
     * timescale + duration, the first tkhd with non-zero geometry gives
     * width/height (stored 16.16 fixed-point). Pure byte walking over the
@@ -375,17 +444,18 @@ object Multimodal {
   }
 
   /** Decode dispatch: images through javax.imageio, audio through the
-    * RIFF/WAVE, Ogg (Vorbis/Opus), then Matroska header parsers, video
-    * through the MP4 box, AVI chunk, then Matroska parsers — all
-    * header-only, all falling back to the documented stub for containers
-    * they don't claim (and for fuzzed bytes: every parser bounds-checks
-    * and is wrapped NonFatal). */
+    * RIFF/WAVE, FLAC, AIFF, Ogg (Vorbis/Opus), then Matroska header
+    * parsers, video through the MP4 box, AVI chunk, then Matroska parsers
+    * — all header-only, all falling back to the documented stub for
+    * containers they don't claim (and for fuzzed bytes: every parser
+    * bounds-checks and is wrapped NonFatal). */
   def decodeMeta(mediaType: String, bytes: Array[Byte]): Row = {
     def safely(p: Array[Byte] => Option[Row]): Option[Row] =
       try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
     val real = mediaType match {
       case "image" => safely(decodeImage)
-      case "audio" => safely(decodeWav).orElse(safely(decodeOgg))
+      case "audio" => safely(decodeWav).orElse(safely(decodeFlac))
+        .orElse(safely(decodeAiff)).orElse(safely(decodeOgg))
         .orElse(safely(decodeMkv(mediaType, _)))
       case "video" => safely(decodeMp4).orElse(safely(decodeAvi))
         .orElse(safely(decodeMkv(mediaType, _)))
