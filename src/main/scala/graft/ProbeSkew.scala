@@ -67,6 +67,16 @@ object ProbeSkew {
         Seq("click_id", "click_value"),
         c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
     }
+    // forward mirror: same probe/build sides, "earliest click at or after"
+    time("fwd_window") {
+      AsOf.joinForward(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_value"))
+    }
+    time("fwd_bucketed_day") {
+      AsOf.joinForwardBucketed(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_value"),
+        c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+    }
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.SchemaOps.qcol
 
 /** As-of (backward) join — the reference's `join_asof(strategy="backward")`
   * (`/root/reference/src/dataprep/features/engineering/utils.py:60`).
@@ -48,18 +49,18 @@ object AsOf {
     // side: right=0 sorts before left=1 at equal time => right visible to left.
     val taggedLeft = left.withColumn("__side", lit(1))
     val taggedRight = right.select(
-      (by.map(col) :+ col(timeCol) :+ lit(0).as("__side")) ++ valueCols.map(col): _*)
+      (by.map(qcol) :+ qcol(timeCol) :+ lit(0).as("__side")) ++ valueCols.map(qcol): _*)
 
     val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
 
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy((col(timeCol).asc +: col("__side").asc +: tieBreak): _*)
+    val w = Window.partitionBy(by.map(qcol): _*)
+      .orderBy((qcol(timeCol).asc +: col("__side").asc +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     // Carry ONE struct of all value columns so the whole matched right row
     // wins atomically: per-column last(ignoreNulls) would mix columns from
     // different right rows when the matched row holds a NULL.
     val packed = unioned.withColumn("__asof_row",
-      when(col("__side") === 0, struct(valueCols.map(col): _*)))
+      when(col("__side") === 0, struct(valueCols.map(qcol): _*)))
       .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
     val unpacked = valueCols.foldLeft(packed) { (df, v) =>
       df.withColumn(v, col("__asof_row").getField(v))
@@ -106,47 +107,9 @@ object AsOf {
   def joinBackwardBucketed(left: DataFrame, right: DataFrame, by: Seq[String],
                            timeCol: String, valueCols: Seq[String],
                            bucketOf: Column => Column,
-                           tieBreak: Seq[Column] = Nil): DataFrame = {
-    val reserved = Seq("__b", "__m", "__carry_row", "__bt")
-    require(!(left.columns ++ right.columns).exists(reserved.contains),
-      s"columns ${reserved.mkString(",")} are reserved")
-    require(!left.columns.exists(valueCols.contains),
-      s"value columns ${valueCols.mkString(",")} collide with left columns")
-
-    val lb = left.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
-    val rb = right.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
-
-    // carry-in: latest build row per (key, bucket) — ties at equal time
-    // resolve like joinBackward's window (last in tieBreak order = max of
-    // the ordering struct); then as-of on the bucket ordinal so probe
-    // bucket p sees the latest build bucket ≤ p−1
-    val ord = struct((col(timeCol) +: tieBreak): _*)
-    val carryAgg = rb.groupBy((by.map(col) :+ col("__b")): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), ord).as("__carry_row"))
-      .withColumn("__bt", col("__b")).drop("__b")
-    val probeBuckets = lb.select((by.map(col) :+ col("__b")): _*).distinct()
-      .withColumn("__bt", col("__b") - 1)
-    val carry = joinBackward(probeBuckets, carryAgg, by, "__bt",
-      Seq("__carry_row")).drop("__bt")
-
-    // in-bucket pass: the proven union+window machinery, with the bucket
-    // folded into the partition key; __m marks "a row matched" so a
-    // matched-but-NULL value is not backfilled from the carry. The carry
-    // attaches with NULL-SAFE equality: plain joinBackward groups null
-    // keys/timestamps into one window partition, so a null bucket (null
-    // timestamp) or null key must reach its carry row too — `=` would
-    // silently drop it.
-    val inBucket = joinBackward(
-      attachCarry(lb, carry, by),
-      rb.withColumn("__m", lit(0)),
-      by :+ "__b", timeCol, valueCols :+ "__m", tieBreak)
-
-    val resolved = valueCols.foldLeft(inBucket) { (df, v) =>
-      df.withColumn(v,
-        when(col("__m").isNotNull, col(v)).otherwise(col("__carry_row").getField(v)))
-    }
-    resolved.drop("__b", "__m", "__carry_row")
-  }
+                           tieBreak: Seq[Column] = Nil): DataFrame =
+    joinBucketed(forward = false, left, right, by, timeCol, valueCols,
+      bucketOf, tieBreak)
 
   /** [[joinBackward]] vs [[joinBackwardBucketed]] chosen from the BUILD
     * side's shape (the choosePriceForm pattern: measure, decide, document).
@@ -184,11 +147,14 @@ object AsOf {
       case TimestampType => c => unix_micros(c)
       case t => sys.error(s"joinAuto: unsupported time type $t")
     }
-    val shape = right.groupBy(by.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(toUnits(col(timeCol))).as("__lo"),
-        max(toUnits(col(timeCol))).as("__hi"))
+    val shape = right.groupBy(by.map(qcol): _*)
+      .agg(count(lit(1)).as("__n"), min(toUnits(qcol(timeCol))).as("__lo"),
+        max(toUnits(qcol(timeCol))).as("__hi"))
       .agg(max(col("__n")), min(col("__lo")), max(col("__hi"))).head
-    if (shape.isNullAt(0) || shape.getLong(0) <= targetRows) {
+    // isNullAt(1): every build timestamp is NULL — min/max return null even
+    // though the row count can exceed targetRows. Bucketing can't split a
+    // null-time key (all rows land in the null bucket), so fall back plain.
+    if (shape.isNullAt(0) || shape.isNullAt(1) || shape.getLong(0) <= targetRows) {
       if (forward) joinForward(left, right, by, timeCol, valueCols, tieBreak)
       else joinBackward(left, right, by, timeCol, valueCols, tieBreak)
     } else {
@@ -212,8 +178,11 @@ object AsOf {
                           by: Seq[String]): DataFrame = {
     val l = lb.alias("__l")
     val c = carry.alias("__c")
+    // backtick-quote key names so a literal dot in a column name stays a
+    // name, not a nested-field path (backticks themselves double-escape)
+    def q(k: String) = k.replace("`", "``")
     val cond = (by :+ "__b")
-      .map(k => col(s"__l.$k") <=> col(s"__c.$k")).reduce(_ && _)
+      .map(k => col(s"__l.`${q(k)}`") <=> col(s"__c.`${q(k)}`")).reduce(_ && _)
     l.join(c, cond, "left").select(col("__l.*"), col("__c.__carry_row"))
   }
 
@@ -227,33 +196,65 @@ object AsOf {
   def joinForwardBucketed(left: DataFrame, right: DataFrame, by: Seq[String],
                           timeCol: String, valueCols: Seq[String],
                           bucketOf: Column => Column,
-                          tieBreak: Seq[Column] = Nil): DataFrame = {
+                          tieBreak: Seq[Column] = Nil): DataFrame =
+    joinBucketed(forward = true, left, right, by, timeCol, valueCols,
+      bucketOf, tieBreak)
+
+  /** Shared body of the two bucketed forms. The direction varies in exactly
+    * four places: the carry keeps the LATEST (backward, max_by / last in
+    * tieBreak order) vs EARLIEST (forward, min_by / first) build row per
+    * (key, bucket); the carry lookup targets bucket p−1 (backward) vs p+1
+    * (forward); and both the carry as-of and the in-bucket pass use the
+    * matching plain form. Everything else — reserved-column guards,
+    * bucketing, null-safe carry attach, match-marker atomicity — is
+    * direction-independent, so fixes stay single-sited. */
+  private def joinBucketed(forward: Boolean, left: DataFrame, right: DataFrame,
+                           by: Seq[String], timeCol: String,
+                           valueCols: Seq[String], bucketOf: Column => Column,
+                           tieBreak: Seq[Column]): DataFrame = {
     val reserved = Seq("__b", "__m", "__carry_row", "__bt")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"columns ${reserved.mkString(",")} are reserved")
     require(!left.columns.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
+    def plainJoin(l: DataFrame, r: DataFrame, keys: Seq[String], tc: String,
+                  vals: Seq[String], tb: Seq[Column]): DataFrame =
+      if (forward) joinForward(l, r, keys, tc, vals, tb)
+      else joinBackward(l, r, keys, tc, vals, tb)
 
-    val lb = left.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
-    val rb = right.withColumn("__b", bucketOf(col(timeCol)).cast("long"))
+    val lb = left.withColumn("__b", bucketOf(qcol(timeCol)).cast("long"))
+    val rb = right.withColumn("__b", bucketOf(qcol(timeCol)).cast("long"))
 
-    val ord = struct((col(timeCol) +: tieBreak): _*)
-    val carryAgg = rb.groupBy((by.map(col) :+ col("__b")): _*)
-      .agg(min_by(struct(valueCols.map(col): _*), ord).as("__carry_row"))
+    // carry-in: the boundary build row per (key, bucket) — equal-time ties
+    // resolve like the plain window (backward keeps the last in tieBreak
+    // order, forward the first); then as-of on the bucket ordinal so probe
+    // bucket p sees the nearest build bucket strictly before/after it
+    val ord = struct((qcol(timeCol) +: tieBreak): _*)
+    val carryRow = struct(valueCols.map(qcol): _*)
+    val carryAgg = rb.groupBy((by.map(qcol) :+ col("__b")): _*)
+      .agg((if (forward) min_by(carryRow, ord) else max_by(carryRow, ord))
+        .as("__carry_row"))
       .withColumn("__bt", col("__b")).drop("__b")
-    val probeBuckets = lb.select((by.map(col) :+ col("__b")): _*).distinct()
-      .withColumn("__bt", col("__b") + 1)
-    val carry = joinForward(probeBuckets, carryAgg, by, "__bt",
-      Seq("__carry_row")).drop("__bt")
+    val probeBuckets = lb.select((by.map(qcol) :+ col("__b")): _*).distinct()
+      .withColumn("__bt", col("__b") + (if (forward) 1 else -1))
+    val carry = plainJoin(probeBuckets, carryAgg, by, "__bt",
+      Seq("__carry_row"), Nil).drop("__bt")
 
-    val inBucket = joinForward(
+    // in-bucket pass: the proven union+window machinery, with the bucket
+    // folded into the partition key; __m marks "a row matched" so a
+    // matched-but-NULL value is not backfilled from the carry. The carry
+    // attaches with NULL-SAFE equality: the plain forms group null
+    // keys/timestamps into one window partition, so a null bucket (null
+    // timestamp) or null key must reach its carry row too — `=` would
+    // silently drop it.
+    val inBucket = plainJoin(
       attachCarry(lb, carry, by),
       rb.withColumn("__m", lit(0)),
       by :+ "__b", timeCol, valueCols :+ "__m", tieBreak)
 
     val resolved = valueCols.foldLeft(inBucket) { (df, v) =>
       df.withColumn(v,
-        when(col("__m").isNotNull, col(v)).otherwise(col("__carry_row").getField(v)))
+        when(col("__m").isNotNull, qcol(v)).otherwise(col("__carry_row").getField(v)))
     }
     resolved.drop("__b", "__m", "__carry_row")
   }
@@ -275,15 +276,15 @@ object AsOf {
     // is inside the left row's [current, following] frame.
     val taggedLeft = left.withColumn("__side", lit(0))
     val taggedRight = right.select(
-      (by.map(col) :+ col(timeCol) :+ lit(1).as("__side")) ++ valueCols.map(col): _*)
+      (by.map(qcol) :+ qcol(timeCol) :+ lit(1).as("__side")) ++ valueCols.map(qcol): _*)
 
     val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
 
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy((col(timeCol).asc +: col("__side").asc +: tieBreak): _*)
+    val w = Window.partitionBy(by.map(qcol): _*)
+      .orderBy((qcol(timeCol).asc +: col("__side").asc +: tieBreak): _*)
       .rowsBetween(0, Window.unboundedFollowing)
     val packed = unioned.withColumn("__asof_row",
-      when(col("__side") === 1, struct(valueCols.map(col): _*)))
+      when(col("__side") === 1, struct(valueCols.map(qcol): _*)))
       .withColumn("__asof_row", first(col("__asof_row"), ignoreNulls = true).over(w))
     val unpacked = valueCols.foldLeft(packed) { (df, v) =>
       df.withColumn(v, col("__asof_row").getField(v))

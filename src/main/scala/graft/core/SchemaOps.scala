@@ -42,6 +42,13 @@ object SchemaOps {
     * Scale note: this is pure plan surgery (casts + unionByName) — no extra
     * shuffle is introduced; the union is a narrow operator.
     */
+  /** Column reference by LITERAL name: backtick-quoted so a dot inside a
+    * column name stays a name instead of being parsed as a nested-field
+    * path (plain `col("user.id")` fails to resolve a column literally
+    * named "user.id"; backticks double-escape). */
+  def qcol(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
   def unionHarmonized(dfs: Seq[DataFrame], numericTarget: DataType = DoubleType,
                       sortColumns: Boolean = true): DataFrame = {
     require(dfs.nonEmpty, "unionHarmonized of empty sequence")
@@ -57,7 +64,7 @@ object SchemaOps {
     val aligned = dfs.map { df =>
       val present = df.columns.toSet
       val cols = colOrder.map { c =>
-        if (present.contains(c)) col(c).cast(resolved(c)).as(c)
+        if (present.contains(c)) qcol(c).cast(resolved(c)).as(c)
         else lit(null).cast(resolved(c)).as(c)
       }
       df.select(cols: _*)
@@ -70,7 +77,7 @@ object SchemaOps {
   def fillMissingColumns(df: DataFrame, want: Seq[(String, DataType)]): DataFrame = {
     val present = df.columns.toSet
     df.select(want.map { case (c, t) =>
-      if (present.contains(c)) col(c).cast(t).as(c) else lit(null).cast(t).as(c)
+      if (present.contains(c)) qcol(c).cast(t).as(c) else lit(null).cast(t).as(c)
     }: _*)
   }
 

@@ -238,7 +238,11 @@ object Multimodal {
           // the 64-bit word as unsigned via the two-halves sum
           (mantissa >>> 1).toDouble * 2.0 + (mantissa & 1L),
           expWord - 16383 - 63)
-        if (channels <= 0 || !(rate > 0) || rate.isInfinite) return None
+        // plausibility bound, not just >0: a fuzzed subnormal rate (~1e-320)
+        // passes a positivity check but overflows frames/rate to Infinity,
+        // writing Long.MaxValue as the duration. Real sample rates live in
+        // [1, 1e7) (8 kHz telephony to 192 kHz studio; DSD peaks ~5.6 MHz).
+        if (channels <= 0 || !(rate >= 1.0 && rate < 1e7)) return None
         return Some(Row("audio", 0, 0, channels,
           (frames.toDouble * 1000.0 / rate).toLong, "aiff-comm"))
       }

@@ -41,21 +41,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  // deterministic pseudo-random data with a HOT key (~40% of rows), NULL
+  // keys (~1/13 — the null-safe carry-attach path), duplicate timestamps
+  // (disambiguated by a seq tie-break), NULL values in one column, and a
+  // few NULL timestamps (the null-bucket path)
+  private def genAsOf(n: Int, seed: Int, keys: Int) = {
+    def h(i: Int, salt: Int) =
+      math.abs(scala.util.hashing.MurmurHash3.productHash((i, seed, salt)))
+    (0 until n).map { i =>
+      val k = if (h(i, 7) % 13 == 0) None
+        else if (h(i, 1) % 10 < 4) Some("HOT") else Some(s"K${h(i, 2) % keys}")
+      val ts = if (h(i, 3) % 41 == 0) None else Some((h(i, 4) % 500).toLong)
+      (k, ts, i.toLong, if (h(i, 5) % 5 == 0) None else Some(h(i, 6) % 100.0))
+    }.toDF("k", "ts", "seq", "v")
+  }
+
   test("joinBackwardBucketed row-identical to joinBackward across widths, skew, nulls") {
-    // deterministic pseudo-random data with a HOT key (~40% of rows),
-    // duplicate timestamps (disambiguated by a seq tie-break), NULL values
-    // in one column, and a few NULL timestamps
-    def gen(n: Int, seed: Int, keys: Int) = {
-      def h(i: Int, salt: Int) =
-        math.abs(scala.util.hashing.MurmurHash3.productHash((i, seed, salt)))
-      (0 until n).map { i =>
-        val k = if (h(i, 1) % 10 < 4) "HOT" else s"K${h(i, 2) % keys}"
-        val ts = if (h(i, 3) % 41 == 0) None else Some((h(i, 4) % 500).toLong)
-        (k, ts, i.toLong, if (h(i, 5) % 5 == 0) None else Some(h(i, 6) % 100.0))
-      }.toDF("k", "ts", "seq", "v")
-    }
-    val left = gen(400, 7, 5)
-    val right = gen(300, 13, 5).withColumnRenamed("v", "rv")
+    val left = genAsOf(400, 7, 5)
+    val right = genAsOf(300, 13, 5).withColumnRenamed("v", "rv")
       .withColumnRenamed("seq", "rseq")
     val plain = AsOf.joinBackward(left, right, Seq("k"), "ts",
       Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
@@ -73,17 +76,8 @@ class CoreOpsSpec extends SparkSpec {
   }
 
   test("joinForwardBucketed row-identical to joinForward across widths, skew, nulls") {
-    def gen(n: Int, seed: Int, keys: Int) = {
-      def h(i: Int, salt: Int) =
-        math.abs(scala.util.hashing.MurmurHash3.productHash((i, seed, salt)))
-      (0 until n).map { i =>
-        val k = if (h(i, 1) % 10 < 4) "HOT" else s"K${h(i, 2) % keys}"
-        val ts = if (h(i, 3) % 41 == 0) None else Some((h(i, 4) % 500).toLong)
-        (k, ts, i.toLong, if (h(i, 5) % 5 == 0) None else Some(h(i, 6) % 100.0))
-      }.toDF("k", "ts", "seq", "v")
-    }
-    val left = gen(400, 23, 5)
-    val right = gen(300, 31, 5).withColumnRenamed("v", "rv")
+    val left = genAsOf(400, 23, 5)
+    val right = genAsOf(300, 31, 5).withColumnRenamed("v", "rv")
       .withColumnRenamed("seq", "rseq")
     val plain = AsOf.joinForward(left, right, Seq("k"), "ts",
       Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
@@ -151,6 +145,26 @@ class CoreOpsSpec extends SparkSpec {
     }
     assert(AsOf.joinForwardAuto(left, right.limit(0), Seq("k"), "ts",
       Seq("rv", "rseq")).count() == 200)
+    // all-NULL build timestamps over the hot-key threshold: min/max time
+    // come back null, so the auto probe must fall back plain, not NPE
+    val nullTs = right.withColumn("ts", lit(null).cast("timestamp"))
+    assert(AsOf.joinForwardAuto(left, nullTs, Seq("k"), "ts",
+      Seq("rv", "rseq"), targetRows = 20L).count() == 200)
+    assert(AsOf.joinBackwardAuto(left, nullTs, Seq("k"), "ts",
+      Seq("rv", "rseq"), targetRows = 20L).count() == 200)
+  }
+
+  test("bucketed forms accept key names containing dots") {
+    val left = genAsOf(100, 7, 3).withColumnRenamed("k", "user.id")
+    val right = genAsOf(80, 13, 3).withColumnRenamed("k", "user.id")
+      .withColumnRenamed("v", "rv").withColumnRenamed("seq", "rseq")
+    val plain = AsOf.joinBackward(left, right, Seq("user.id"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
+    val bucketed = AsOf.joinBackwardBucketed(left, right, Seq("user.id"), "ts",
+      Seq("rv", "rseq"), c => floor(c / lit(50.0)).cast("long"),
+      tieBreak = Seq(col("rseq")))
+      .select(plain.columns.map(c => col(s"`$c`")): _*)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
   test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
