@@ -54,28 +54,36 @@ object ProbeSkew {
       println(f"""PROBE_SKEW {"mode":"$mode","form":"$tag","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
     }
 
-    time("window") {
-      AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts",
-        Seq("click_id", "click_value"))
-    }
-    time("exec") {
-      graft.plans.AsOfJoinApi.joinBackward(purchases, clicks,
-        Seq("user_id"), "ts", Seq("click_id", "click_value"))
-    }
-    time("bucketed_day") {
-      AsOf.joinBackwardBucketed(purchases, clicks, Seq("user_id"), "ts",
-        Seq("click_id", "click_value"),
-        c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+    // arg 4 selects form families — one JVM per family: five heavy probes
+    // in one process leave the last ones fighting the accumulated shuffle
+    // blocks + checkpoint for heap (GC-bound timings, not operator cost)
+    val forms = args.lift(3).getOrElse("back")
+    if (forms == "back" || forms == "all") {
+      time("window") {
+        AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"))
+      }
+      time("exec") {
+        graft.plans.AsOfJoinApi.joinBackward(purchases, clicks,
+          Seq("user_id"), "ts", Seq("click_id", "click_value"))
+      }
+      time("bucketed_day") {
+        AsOf.joinBackwardBucketed(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"),
+          c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+      }
     }
     // forward mirror: same probe/build sides, "earliest click at or after"
-    time("fwd_window") {
-      AsOf.joinForward(purchases, clicks, Seq("user_id"), "ts",
-        Seq("click_id", "click_value"))
-    }
-    time("fwd_bucketed_day") {
-      AsOf.joinForwardBucketed(purchases, clicks, Seq("user_id"), "ts",
-        Seq("click_id", "click_value"),
-        c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+    if (forms == "fwd" || forms == "all") {
+      time("fwd_window") {
+        AsOf.joinForward(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"))
+      }
+      time("fwd_bucketed_day") {
+        AsOf.joinForwardBucketed(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"),
+          c => floor(unix_micros(c).cast(DoubleType) / lit(86400e6)).cast("long"))
+      }
     }
     spark.stop()
   }

@@ -264,7 +264,24 @@ object AsOf {
     * ("at or after", inclusive — a right row at the exact left timestamp
     * matches). Among several right rows sharing that earliest timestamp the
     * FIRST in `tieBreak` order wins. Same single-shuffle union+window
-    * construction as [[joinBackward]], with the frame looking forward. */
+    * construction as [[joinBackward]], with time order REVERSED so the
+    * frame stays `[unboundedPreceding, current]`:
+    *
+    * Spark evaluates an unbounded-PRECEDING frame incrementally (O(n) per
+    * partition, one running aggregate) but an unbounded-FOLLOWING frame by
+    * re-aggregating the remaining rows for EVERY row — O(n²) per
+    * partition. A naive `[current, unboundedFollowing] + first()` forward
+    * frame hung the 100M-row deep-history rehearsal (6.7k rows/key made
+    * it ~45M frame-rows per key); sorting `timeCol` DESC and carrying
+    * `last(ignoreNulls)` is the same semantics in the O(n) shape. The
+    * mirror is exact: desc NULLS LAST reverses asc NULLS FIRST, right
+    * rows sort before left at equal time (equal-time rights visible), and
+    * `tieBreak.desc` makes the running `last` resolve equal-time rights
+    * to the FIRST in tieBreak order.
+    *
+    * @param tieBreak bare columns (no explicit .asc/.desc) — the forward
+    *   form manages sort direction internally by reversing them
+    */
   def joinForward(left: DataFrame, right: DataFrame, by: Seq[String],
                   timeCol: String, valueCols: Seq[String],
                   tieBreak: Seq[Column] = Nil): DataFrame = {
@@ -272,23 +289,23 @@ object AsOf {
     require(!leftCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
 
-    // left=0 sorts before right=1 at equal time, so an equal-time right row
-    // is inside the left row's [current, following] frame.
-    val taggedLeft = left.withColumn("__side", lit(0))
+    // right=0 sorts before left=1 at equal time in the REVERSED order, so
+    // an equal-time right row is inside the left row's preceding frame.
+    val taggedLeft = left.withColumn("__side", lit(1))
     val taggedRight = right.select(
-      (by.map(qcol) :+ qcol(timeCol) :+ lit(1).as("__side")) ++ valueCols.map(qcol): _*)
+      (by.map(qcol) :+ qcol(timeCol) :+ lit(0).as("__side")) ++ valueCols.map(qcol): _*)
 
     val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
 
     val w = Window.partitionBy(by.map(qcol): _*)
-      .orderBy((qcol(timeCol).asc +: col("__side").asc +: tieBreak): _*)
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy((qcol(timeCol).desc +: col("__side").asc +: tieBreak.map(_.desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val packed = unioned.withColumn("__asof_row",
-      when(col("__side") === 1, struct(valueCols.map(qcol): _*)))
-      .withColumn("__asof_row", first(col("__asof_row"), ignoreNulls = true).over(w))
+      when(col("__side") === 0, struct(valueCols.map(qcol): _*)))
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
     val unpacked = valueCols.foldLeft(packed) { (df, v) =>
       df.withColumn(v, col("__asof_row").getField(v))
     }
-    unpacked.filter(col("__side") === 0).drop("__side", "__asof_row")
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof_row")
   }
 }
