@@ -37,21 +37,26 @@ object Relational3 {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY ret_flag, line_status"""))
 
-  /** lead + first_value/last_value with an explicit forward frame per
-    * customer order history: next-order gap in days, first and final order
-    * dates. Frames declared identically on both engines. */
+  /** lead + first_value/last_value with an explicit frame per customer
+    * order history: next-order gap in days, first and final order dates.
+    * Frames declared identically on both engines. final_date uses the
+    * FULL-partition frame, not [current, unboundedFollowing]: the values
+    * are identical (last over either frame = the partition's final row),
+    * but Spark evaluates the full frame once per partition (O(n)) while
+    * any frame STARTING at the current row is re-aggregated per row
+    * (O(n^2) per key — the joinForward deep-history hazard, AsOf.scala). */
   val q52 = QueryDef("q52_lead_frames",
     (s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_date"), col("o_orderkey"))
-      val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("o_date"))
         .withColumn("next_gap_days",
           datediff(lead(col("o_date"), 1).over(w), col("o_date")))
         .withColumn("first_date", first(col("o_date")).over(w))
-        .withColumn("final_date", last(col("o_date")).over(wFwd))
+        .withColumn("final_date", last(col("o_date")).over(wFull))
         .orderBy("o_custkey", "o_date", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
@@ -60,7 +65,7 @@ object Relational3 {
       first_value(CAST(o_orderdate AS DATE)) OVER w AS first_date,
       last_value(CAST(o_orderdate AS DATE)) OVER
         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_date
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_date, o_orderkey"""))
 
