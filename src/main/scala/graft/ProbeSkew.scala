@@ -14,9 +14,12 @@ import graft.core.{AsOf, Tables}
   * the hot key concentrates in one task in the first two forms; the
   * bucketed form bounds the straggler by rows-per-(key,bucket).
   *
-  * Usage: runMain graft.ProbeSkew [sfDir] [hotPct] [amp] — hotPct 0 =
-  * uniform; amp unions that many ts/id-shifted copies of events first
-  * (in-memory row-count amplifier, no extra disk tiling needed)
+  * Usage: runMain graft.ProbeSkew [sfDir] [hotPct] [amp] [forms] —
+  * hotPct 0 = uniform; amp unions that many ts/id-shifted copies of
+  * events first (in-memory row-count amplifier, no extra disk tiling
+  * needed); forms selects the probed family: "back" (default: window /
+  * exec / bucketed_day), "fwd" (fwd_window / fwd_bucketed_day), "all".
+  * Run one family per JVM — anything else is rejected loudly.
   */
 object ProbeSkew {
 
@@ -58,6 +61,8 @@ object ProbeSkew {
     // in one process leave the last ones fighting the accumulated shuffle
     // blocks + checkpoint for heap (GC-bound timings, not operator cost)
     val forms = args.lift(3).getOrElse("back")
+    require(Set("back", "fwd", "all")(forms),
+      s"forms must be back|fwd|all, got '$forms' — a typo would otherwise probe NOTHING and exit 0")
     if (forms == "back" || forms == "all") {
       time("window") {
         AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts",

@@ -42,6 +42,7 @@ object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame, by: Seq[String],
                    timeCol: String, valueCols: Seq[String],
                    tieBreak: Seq[Column] = Nil): DataFrame = {
+    requirePlainReserved(left, right)
     val leftCols = left.columns
     require(!leftCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
@@ -170,6 +171,27 @@ object AsOf {
     }
   }
 
+  /** The plain forms' working columns: inputs carrying them would be
+    * silently overwritten by withColumn and dropped on exit, so reject
+    * them loudly — the same contract the bucketed forms enforce for
+    * __b/__m/__carry_row/__bt. */
+  private def requirePlainReserved(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = Seq("__side", "__asof_row")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"columns ${reserved.mkString(",")} are reserved")
+  }
+
+  /** Reverse a sort specification: a bare column becomes .desc; a column
+    * already carrying an explicit SortOrder flips BOTH its direction and
+    * its null placement (asc nulls-first -> desc nulls-last etc.), so the
+    * reversed-order joinForward plan preserves exactly the tie ordering
+    * the caller declared. Naive `_.desc` on a SortOrder-wrapped column
+    * nests SortOrder inside SortOrder and fails analysis. */
+  /** Delegates to the sql-package bridge: Spark 4 columns are node trees
+    * and the SortOrder node companion is `private[sql]`. */
+  private def reverseSort(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.reverseSort(c)
+
   /** Left-join the per-(key, bucket) carry row back to the probe side with
     * NULL-SAFE key equality (`<=>`): null keys and null buckets (null
     * timestamps) form real window partitions in the plain forms and must
@@ -178,11 +200,13 @@ object AsOf {
                           by: Seq[String]): DataFrame = {
     val l = lb.alias("__l")
     val c = carry.alias("__c")
-    // backtick-quote key names so a literal dot in a column name stays a
-    // name, not a nested-field path (backticks themselves double-escape)
-    def q(k: String) = k.replace("`", "``")
+    // SchemaOps.quoteName keeps a literal dot in a key name a name, not a
+    // nested-field path — one escape rule shared with qcol
     val cond = (by :+ "__b")
-      .map(k => col(s"__l.`${q(k)}`") <=> col(s"__c.`${q(k)}`")).reduce(_ && _)
+      .map { k =>
+        val q = SchemaOps.quoteName(k)
+        col(s"__l.$q") <=> col(s"__c.$q")
+      }.reduce(_ && _)
     l.join(c, cond, "left").select(col("__l.*"), col("__c.__carry_row"))
   }
 
@@ -207,7 +231,11 @@ object AsOf {
     * (forward); and both the carry as-of and the in-bucket pass use the
     * matching plain form. Everything else — reserved-column guards,
     * bucketing, null-safe carry attach, match-marker atomicity — is
-    * direction-independent, so fixes stay single-sited. */
+    * direction-independent, so fixes stay single-sited. tieBreak columns
+    * must be BARE here (unlike the plain forms, which honor explicit
+    * orderings): the carry aggregate orders by struct(timeCol,
+    * tieBreak...), and a SortOrder inside struct() fails analysis
+    * loudly. */
   private def joinBucketed(forward: Boolean, left: DataFrame, right: DataFrame,
                            by: Seq[String], timeCol: String,
                            valueCols: Seq[String], bucketOf: Column => Column,
@@ -279,12 +307,14 @@ object AsOf {
     * `tieBreak.desc` makes the running `last` resolve equal-time rights
     * to the FIRST in tieBreak order.
     *
-    * @param tieBreak bare columns (no explicit .asc/.desc) — the forward
-    *   form manages sort direction internally by reversing them
+    * `tieBreak` columns may carry explicit .asc/.desc/nulls orderings —
+    * [[reverseSort]] flips direction AND null placement, so the reversed
+    * plan preserves exactly the ordering the caller declared.
     */
   def joinForward(left: DataFrame, right: DataFrame, by: Seq[String],
                   timeCol: String, valueCols: Seq[String],
                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    requirePlainReserved(left, right)
     val leftCols = left.columns
     require(!leftCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
@@ -298,7 +328,7 @@ object AsOf {
     val unioned = SchemaOps.unionHarmonized(Seq(taggedLeft, taggedRight), sortColumns = false)
 
     val w = Window.partitionBy(by.map(qcol): _*)
-      .orderBy((qcol(timeCol).desc +: col("__side").asc +: tieBreak.map(_.desc)): _*)
+      .orderBy((qcol(timeCol).desc +: col("__side").asc +: tieBreak.map(reverseSort)): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val packed = unioned.withColumn("__asof_row",
       when(col("__side") === 0, struct(valueCols.map(qcol): _*)))

@@ -34,6 +34,19 @@ object SchemaOps {
     case _ => StringType
   }
 
+  /** Backtick-quote a column name for use inside a resolution path: the
+    * single escape rule shared by [[qcol]] and the as-of family's
+    * alias-qualified carry join (one site to fix if the rule ever needs
+    * another metacharacter). */
+  def quoteName(name: String): String =
+    s"`${name.replace("`", "``")}`"
+
+  /** Column reference by LITERAL name: backtick-quoted so a dot inside a
+    * column name stays a name instead of being parsed as a nested-field
+    * path (plain `col("user.id")` fails to resolve a column literally
+    * named "user.id"; backticks double-escape). */
+  def qcol(name: String): Column = col(quoteName(name))
+
   /** Union an arbitrary number of schema-drifting frames into one frame whose
     * schema is the column superset with lattice-harmonized dtypes. Missing
     * columns become nulls. Column order: sorted superset (reference's
@@ -42,13 +55,6 @@ object SchemaOps {
     * Scale note: this is pure plan surgery (casts + unionByName) — no extra
     * shuffle is introduced; the union is a narrow operator.
     */
-  /** Column reference by LITERAL name: backtick-quoted so a dot inside a
-    * column name stays a name instead of being parsed as a nested-field
-    * path (plain `col("user.id")` fails to resolve a column literally
-    * named "user.id"; backticks double-escape). */
-  def qcol(name: String): Column =
-    col(s"`${name.replace("`", "``")}`")
-
   def unionHarmonized(dfs: Seq[DataFrame], numericTarget: DataType = DoubleType,
                       sortColumns: Boolean = true): DataFrame = {
     require(dfs.nonEmpty, "unionHarmonized of empty sequence")

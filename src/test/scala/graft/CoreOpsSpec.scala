@@ -154,17 +154,59 @@ class CoreOpsSpec extends SparkSpec {
       Seq("rv", "rseq"), targetRows = 20L).count() == 200)
   }
 
-  test("bucketed forms accept key names containing dots") {
-    val left = genAsOf(100, 7, 3).withColumnRenamed("k", "user.id")
-    val right = genAsOf(80, 13, 3).withColumnRenamed("k", "user.id")
-      .withColumnRenamed("v", "rv").withColumnRenamed("seq", "rseq")
-    val plain = AsOf.joinBackward(left, right, Seq("user.id"), "ts",
-      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))
-    val bucketed = AsOf.joinBackwardBucketed(left, right, Seq("user.id"), "ts",
-      Seq("rv", "rseq"), c => floor(c / lit(50.0)).cast("long"),
-      tieBreak = Seq(col("rseq")))
-      .select(plain.columns.map(c => col(s"`$c`")): _*)
-    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  test("as-of family accepts dotted key/time/value column names, both directions") {
+    def dotted(df: org.apache.spark.sql.DataFrame) = df
+      .withColumnRenamed("k", "user.id").withColumnRenamed("ts", "t.s")
+    val left = dotted(genAsOf(100, 7, 3))
+    val right = dotted(genAsOf(80, 13, 3))
+      .withColumnRenamed("v", "r.v").withColumnRenamed("seq", "rseq")
+    val vals = Seq("r.v", "rseq")
+    val qc = (c: String) => col(s"`$c`")
+    val back = AsOf.joinBackward(left, right, Seq("user.id"), "t.s",
+      vals, tieBreak = Seq(col("rseq")))
+    val backB = AsOf.joinBackwardBucketed(left, right, Seq("user.id"), "t.s",
+      vals, c => floor(c / lit(50.0)).cast("long"), tieBreak = Seq(col("rseq")))
+      .select(back.columns.map(qc): _*)
+    assert(backB.exceptAll(back).isEmpty && back.exceptAll(backB).isEmpty)
+    val fwd = AsOf.joinForward(left, right, Seq("user.id"), "t.s",
+      vals, tieBreak = Seq(col("rseq")))
+    val fwdB = AsOf.joinForwardBucketed(left, right, Seq("user.id"), "t.s",
+      vals, c => floor(c / lit(50.0)).cast("long"), tieBreak = Seq(col("rseq")))
+      .select(fwd.columns.map(qc): _*)
+    assert(fwdB.exceptAll(fwd).isEmpty && fwd.exceptAll(fwdB).isEmpty)
+  }
+
+  test("joinForward honors explicit tieBreak sort directions like joinBackward") {
+    // equal-ts right rows: backward keeps the LAST in tieBreak order,
+    // forward the FIRST — with .desc those flip to seq ascending picks
+    val left = Seq(("A", 10L, 0L)).toDF("k", "ts", "seq")
+    val right = Seq(("A", 10L, 1L, 1.0), ("A", 10L, 2L, 2.0), ("A", 10L, 3L, 3.0))
+      .toDF("k", "ts", "rseq", "rv")
+    def pick(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("rv").head.getDouble(0)
+    assert(pick(AsOf.joinForward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq")))) == 1.0) // first asc
+    assert(pick(AsOf.joinForward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq").desc))) == 3.0) // first desc
+    assert(pick(AsOf.joinBackward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq").desc))) == 1.0) // last desc
+    // explicit .asc equals the bare column in BOTH directions (regression:
+    // naive _.desc on a SortOrder-wrapped column nests and fails analysis)
+    assert(pick(AsOf.joinForward(left, right, Seq("k"), "ts",
+      Seq("rv", "rseq"), tieBreak = Seq(col("rseq").asc))) == 1.0)
+  }
+
+  test("plain as-of forms reject reserved __side/__asof_row inputs loudly") {
+    val df = Seq(("A", 1L, 1.0)).toDF("k", "ts", "v")
+    val poisoned = df.withColumn("__side", lit(9))
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(poisoned, df.withColumnRenamed("v", "rv"),
+        Seq("k"), "ts", Seq("rv"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.joinForward(df, df.withColumnRenamed("v", "rv")
+        .withColumn("__asof_row", lit(0)), Seq("k"), "ts", Seq("rv"))
+    }
   }
 
   test("adjustForSplits matches the reference golden: [1.0,1.2,1.5] + 2:1 -> [1.0,1.2,0.75]") {
