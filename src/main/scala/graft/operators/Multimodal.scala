@@ -447,6 +447,50 @@ object Multimodal {
     }
   }
 
+  /** REAL duration from an MPEG transport stream — PCR arithmetic, no
+    * codec: TS is fixed 188-byte packets (sync 0x47); packets whose
+    * adaptation field carries the PCR flag embed a 33-bit 90 kHz program
+    * clock. Duration = (last PCR − first PCR) / 90 ms, both PCRs from the
+    * SAME PID (different programs run different clocks), the last found
+    * by a bounded 64 KiB backward scan over 188-aligned offsets — the
+    * Ogg granule trick. One 33-bit wrap (~26.5 h) is unwrapped; still-
+    * negative deltas reject. Geometry/channels stay 0 (codec territory).
+    * Accepts both audio and video assets (TS carries either). */
+  def decodeMpegTs(mediaType: String, bytes: Array[Byte]): Option[Row] = {
+    val n = bytes.length
+    def sync(off: Int): Boolean = off + 188 <= n && bytes(off) == 0x47
+    // demand three aligned sync bytes: a lone 0x47 is common in noise
+    if (!(sync(0) && sync(188) && (n < 3 * 188 || sync(376)))) return None
+    // PCR of the packet at `off`, with its PID, if the adaptation field
+    // carries one. All reads bounds-checked against the 188-byte packet.
+    def pcrAt(off: Int): Option[(Int, Long)] = {
+      val pid = ((bytes(off + 1) & 0x1f) << 8) | (bytes(off + 2) & 0xff)
+      val afc = (bytes(off + 3) >> 4) & 0x3
+      if (afc != 2 && afc != 3) return None
+      val afLen = bytes(off + 4) & 0xff
+      if (afLen < 7 || off + 5 + afLen > off + 188) return None
+      if ((bytes(off + 5) & 0x10) == 0) return None // no PCR flag
+      val base = ((bytes(off + 6) & 0xffL) << 25) | ((bytes(off + 7) & 0xffL) << 17) |
+        ((bytes(off + 8) & 0xffL) << 9) | ((bytes(off + 9) & 0xffL) << 1) |
+        ((bytes(off + 10) & 0xff) >> 7)
+      Some((pid, base)) // 90 kHz base; the 9-bit 27 MHz extension is sub-ms
+    }
+    val fwdEnd = math.min(n - 188, 65536)
+    val first = (0 to fwdEnd by 188).iterator.flatMap(pcrAt).nextOption()
+    first.flatMap { case (pid, firstPcr) =>
+      val lastOff = ((n - 188) / 188) * 188
+      val floor = math.max(0, lastOff - 65536)
+      val last = (lastOff to floor by -188).iterator
+        .flatMap(o => pcrAt(o).filter(_._1 == pid)).nextOption()
+      last.flatMap { case (_, lastPcr) =>
+        val delta0 = lastPcr - firstPcr
+        val delta = if (delta0 < 0) delta0 + (1L << 33) else delta0 // one wrap
+        if (delta < 0) None
+        else Some(Row(mediaType, 0, 0, 0, delta / 90L, "mpegts-pcr"))
+      }
+    }
+  }
+
   /** Decode dispatch: images through javax.imageio, audio through the
     * RIFF/WAVE, FLAC, AIFF, Ogg (Vorbis/Opus), then Matroska header
     * parsers, video through the MP4 box, AVI chunk, then Matroska parsers
@@ -461,8 +505,10 @@ object Multimodal {
       case "audio" => safely(decodeWav).orElse(safely(decodeFlac))
         .orElse(safely(decodeAiff)).orElse(safely(decodeOgg))
         .orElse(safely(decodeMkv(mediaType, _)))
+        .orElse(safely(decodeMpegTs(mediaType, _)))
       case "video" => safely(decodeMp4).orElse(safely(decodeAvi))
         .orElse(safely(decodeMkv(mediaType, _)))
+        .orElse(safely(decodeMpegTs(mediaType, _)))
       case _ => None
     }
     real.getOrElse(decodeStub(mediaType, bytes))
