@@ -39,6 +39,17 @@ object Dedup {
     * The band join shuffles (bandKey) with one row per (doc, band) — linear
     * in corpus size; only same-bucket pairs are verified. Pairs are emitted
     * once with idA < idB.
+    *
+    * SCALE BOUNDARY — the banding bounds CHANCE collisions, not true-dup
+    * clusters: the pair contract itself is quadratic in near-dup cluster
+    * size (a 1M-doc boilerplate cluster is 5e11 pairs no matter how
+    * selective the bands are, because those pairs genuinely exceed the
+    * threshold). At corpus scale, (1) run EXACT dedup first so identical
+    * boilerplate collapses to one representative before banding — the
+    * order [[CorpusPipeline.cleanCorpus]] hard-codes — and (2) consume
+    * CLUSTERS ([[connectedComponents]], d23's contract: linear output,
+    * pointer-jumping) rather than raw pairs when downstream only needs
+    * keeper selection.
     */
   /** LSH tuning: the s-curve midpoint is (1/bands)^(1/rowsPerBand); the
     * default 4 bands x 8 rows centers near j~=0.84, i.e. selective — few
