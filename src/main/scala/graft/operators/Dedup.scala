@@ -59,27 +59,65 @@ object Dedup {
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 3, numHashes: Int = 32,
                             numBands: Int = 4, jaccardThreshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    // JVM-native expressions (TextExprs) do the per-row shingle/minhash
-    // work in one tight loop — the interpreted transform/concat_ws column
-    // form costs ~10x more (higher-order functions don't codegen).
-    val sh = df.select(col(idCol).as("id"),
-        TextFns.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("toks"),
-        TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // Bands carry ONLY (band, id): the wide shingle arrays never enter the
-    // self-join shuffle. Candidate pairs are deduped across bands BEFORE
-    // the (expensive) exact-jaccard verify, so each pair verifies once.
-    val banded = sh
-      .withColumn("sig", TextExprs.shingleMinHash(col("toks"), shingleK, numHashes))
-      .select(col("id"),
-        explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    val (sh, banded) = jvmBands(df, idCol, textCol, shingleK, numHashes, numBands)
     val candidates = banded
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
+    verifyJaccard(candidates, sh, jaccardThreshold)
+  }
+
+  /** STAR-reduced LSH near-duplicates — the 100 TB form of the pair miner
+    * above for cluster consumption: each band bucket emits edges only to
+    * its HUB (the bucket's min id), so a B-doc bucket costs B−1 edges and
+    * B−1 verifies instead of B(B−1)/2 — linear where the pair contract is
+    * quadratic in true-dup cluster size. Connectivity is preserved for
+    * every member whose similarity TO THE HUB clears the threshold; the
+    * documented recall trade is a member that is near-dup to another
+    * member but not to the hub (mitigated by multiple bands: each of its
+    * bands offers a different hub). Consume with [[connectedComponents]]
+    * exactly like the pair form. */
+  def minHashNearDuplicatesStar(df: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int = 3, numHashes: Int = 32,
+                                numBands: Int = 4,
+                                jaccardThreshold: Double = 0.8): DataFrame = {
+    val (sh, banded) = jvmBands(df, idCol, textCol, shingleK, numHashes, numBands)
+    val hubs = banded.groupBy(col("band")).agg(min(col("id")).as("id_a"))
+    val candidates = banded.join(hubs, Seq("band"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, jaccardThreshold)
+  }
+
+  /** Shingle sets + (id, band-key) rows for the fast JVM hash family.
+    * JVM-native expressions (TextExprs) do the per-row shingle/minhash
+    * work in one tight loop — the interpreted transform/concat_ws column
+    * form costs ~10x more (higher-order functions don't codegen). Bands
+    * carry ONLY (band, id): the wide shingle arrays never enter a
+    * band-join shuffle. */
+  private def jvmBands(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numHashes: Int,
+                       numBands: Int): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / numBands
+    val sh = df.select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = sh
+      .withColumn("sig", TextExprs.shingleMinHash(col("toks"), shingleK, numHashes))
+      .select(col("id"),
+        explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+    (sh, banded)
+  }
+
+  /** Exact-Jaccard verify over deduped candidate pairs: each pair joins
+    * its two shingle sets once; candidates are deduped across bands
+    * BEFORE this (expensive) step so each pair verifies once. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            jaccardThreshold: Double): DataFrame = {
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
@@ -102,6 +140,40 @@ object Dedup {
                                shingleK: Int = 3, numHashes: Int = 16,
                                numBands: Int = 4,
                                jaccardThreshold: Double = 0.8): DataFrame = {
+    val (sh, banded) = md5Bands(df, idCol, textCol, shingleK, numHashes, numBands)
+    val candidates = banded
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, jaccardThreshold)
+  }
+
+  /** [[minHashNearDuplicatesStar]] with the md5 hash family — every step
+    * reproducible in plain SQL, which is what lets the star contract be
+    * ORACLE-GATED (d40): per (band, signature) bucket, edges only to the
+    * bucket's min-id hub — B−1 edges instead of B(B−1)/2 for a B-doc
+    * true-dup bucket, the linear shape for cluster consumption. */
+  def minHashNearDuplicatesMd5Star(df: DataFrame, idCol: String,
+                                   textCol: String, shingleK: Int = 3,
+                                   numHashes: Int = 16, numBands: Int = 4,
+                                   jaccardThreshold: Double = 0.8): DataFrame = {
+    val (sh, banded) = md5Bands(df, idCol, textCol, shingleK, numHashes, numBands)
+    val hubs = banded.groupBy(col("band"), col("bkey")).agg(min(col("id")).as("id_a"))
+    val candidates = banded.join(hubs, Seq("band", "bkey"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, jaccardThreshold)
+  }
+
+  /** Shingle sets + (id, band, band-signature) rows for the md5 family.
+    * Band key = ordered minhash values of the band's seeds: sort_array on
+    * (seed, mh) structs makes the key deterministic under shuffle order. */
+  private def md5Bands(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numHashes: Int,
+                       numBands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
     val sh = df.select(col(idCol).as("id"),
         TextFns.tokens(col(textCol)).as("toks"))
@@ -115,26 +187,13 @@ object Dedup {
         conv(substring(md5(concat(col("seed").cast("string"), lit("|"),
           col("shingle"))), 1, 8), 16, 10).cast("long").as("h"))
       .groupBy("id", "seed").agg(min(col("h")).as("mh"))
-    // band key = ordered minhash values of the band's seeds: sort_array on
-    // (seed, mh) structs makes the key deterministic under shuffle order
     val banded = sig
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("mh")))),
         x => x.getField("mh").cast("string")), ",").as("bkey"))
-    val candidates = banded
-      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
-        Seq("band", "bkey"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
-    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextExprs.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+    (sh, banded)
   }
 
   /** SimHash near-duplicates: 64-bit sketch, block on 4 × 16-bit sub-keys

@@ -20,7 +20,7 @@ object Relational7 {
 
   def defs: Seq[QueryDef] =
     Seq(q58, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, d34, d39)
+      q99, q100, q101, d34, d39, d40)
 
   /** Ordered conversion funnel (view → click-after-view →
     * purchase-after-click): each step is a per-user aggregate joined to
@@ -570,4 +570,46 @@ object Relational7 {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
       ORDER BY p.event_id"""))
+
+  /** STAR-reduced LSH near-dup edges (operators/Dedup.scala
+    * minHashNearDuplicatesMd5Star), ORACLE-GATED end to end: per
+    * (band, signature) bucket, edges run only to the bucket's min-id hub
+    * — B−1 edges instead of B(B−1)/2 for a B-doc true-dup bucket, the
+    * linear contract for cluster consumption at corpus scale (the pair
+    * contract is quadratic in near-dup cluster size BY DEFINITION; see
+    * the scale-boundary note on minHashNearDuplicates). DuckDB replays
+    * shingling, the md5 minhash matrix, ordered band signatures, hub
+    * election, and the exact-Jaccard verify. Jaccard ships unrounded:
+    * both engines divide the same two integers. */
+  val d40 = QueryDef("d40_lsh_star",
+    (s, dir) => graft.operators.Dedup.minHashNearDuplicatesMd5Star(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 16, numBands = 4, jaccardThreshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      hv AS (SELECT doc_id, s.seed,
+        CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s),
+      mh AS (SELECT doc_id, seed, MIN(h) AS mh FROM hv GROUP BY 1, 2),
+      banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+        FROM mh GROUP BY 1, 2),
+      hubs AS (SELECT band, bkey, MIN(doc_id) AS id_a FROM banded GROUP BY 1, 2),
+      edges AS (SELECT DISTINCT h.id_a, b.doc_id AS id_b
+        FROM banded b JOIN hubs h USING (band, bkey) WHERE b.doc_id <> h.id_a),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      jac AS (SELECT e.id_a, e.id_b,
+        CAST((SELECT COUNT(*) FROM sh a JOIN sh b
+           ON a.doc_id = e.id_a AND b.doc_id = e.id_b AND a.shingle = b.shingle) AS DOUBLE)
+          / (sa.n + sb.n - (SELECT COUNT(*) FROM sh a JOIN sh b
+           ON a.doc_id = e.id_a AND b.doc_id = e.id_b AND a.shingle = b.shingle)) AS jaccard
+        FROM edges e
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN sizes sb ON sb.doc_id = e.id_b)
+      SELECT id_a, id_b, jaccard FROM jac
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 }

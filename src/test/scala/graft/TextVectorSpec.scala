@@ -338,4 +338,34 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0) == "en")
     assert(out(1) == "de")
   }
+
+  test("star LSH: linear edges, same components as the quadratic pair miner") {
+    // one 40-doc near-dup cluster (template + tiny unique tails, high
+    // pairwise jaccard) + 20 unrelated docs
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cluster = (0 until 40).map(i => (i.toLong, s"$template extra$i"))
+    val distinct = (0 until 20).map(i =>
+      (100L + i, (1 to 30).map(j => s"only${i}_$j").mkString(" ")))
+    val docs = (cluster ++ distinct).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      jaccardThreshold = 0.7).collect()
+    val star = Dedup.minHashNearDuplicatesStar(docs, "doc_id", "text",
+      jaccardThreshold = 0.7).collect()
+    // pair contract is quadratic in the cluster (40*39/2 = 780 pairs);
+    // star is linear (39 edges per shared bucket, deduped across bands)
+    assert(pairs.length >= 700, s"expected a quadratic pair set, got ${pairs.length}")
+    assert(star.length <= 2 * 39, s"expected linear star edges, got ${star.length}")
+    // same connectivity: every cluster doc reaches the hub; no edge
+    // touches an unrelated doc in either contract
+    val starIds = star.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 40).forall(i => starIds.contains(i.toLong)))
+    assert(starIds.forall(_ < 100L))
+    assert(pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet == starIds)
+    // hubs are bucket minima: every star edge points away from the min id
+    assert(star.forall(r => r.getLong(0) < r.getLong(1)))
+    // md5-family star agrees with the JVM-family star on connectivity
+    val md5Star = Dedup.minHashNearDuplicatesMd5Star(docs, "doc_id", "text",
+      jaccardThreshold = 0.7).collect()
+    assert(md5Star.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet == starIds)
+  }
 }
