@@ -60,12 +60,7 @@ object Dedup {
                             shingleK: Int = 3, numHashes: Int = 32,
                             numBands: Int = 4, jaccardThreshold: Double = 0.8): DataFrame = {
     val (sh, banded) = jvmBands(df, idCol, textCol, shingleK, numHashes, numBands)
-    val candidates = banded
-      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, jaccardThreshold)
+    verifyJaccard(pairCandidates(banded, Seq("band")), sh, jaccardThreshold)
   }
 
   /** STAR-reduced LSH near-duplicates — the 100 TB form of the pair miner
@@ -83,12 +78,7 @@ object Dedup {
                                 numBands: Int = 4,
                                 jaccardThreshold: Double = 0.8): DataFrame = {
     val (sh, banded) = jvmBands(df, idCol, textCol, shingleK, numHashes, numBands)
-    val hubs = banded.groupBy(col("band")).agg(min(col("id")).as("id_a"))
-    val candidates = banded.join(hubs, Seq("band"))
-      .filter(col("id") =!= col("id_a"))
-      .select(col("id_a"), col("id").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, jaccardThreshold)
+    verifyJaccard(starCandidates(banded, Seq("band")), sh, jaccardThreshold)
   }
 
   /** Shingle sets + (id, band-key) rows for the fast JVM hash family.
@@ -111,6 +101,27 @@ object Dedup {
       .select(col("id"),
         explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
     (sh, banded)
+  }
+
+  /** All same-bucket pairs, emitted once with id_a < id_b and deduped
+    * across buckets — the quadratic-in-bucket-size contract. `keys` is
+    * the bucket identity (JVM family: band key; md5 family: band index +
+    * signature string). */
+  private def pairCandidates(banded: DataFrame, keys: Seq[String]): DataFrame =
+    banded
+      .join(banded.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+
+  /** Hub edges only: each bucket elects its min id and members link to
+    * it — B−1 edges per B-doc bucket, deduped across buckets. */
+  private def starCandidates(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val hubs = banded.groupBy(keys.map(col): _*).agg(min(col("id")).as("id_a"))
+    banded.join(hubs, keys)
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
   }
 
   /** Exact-Jaccard verify over deduped candidate pairs: each pair joins
@@ -141,13 +152,7 @@ object Dedup {
                                numBands: Int = 4,
                                jaccardThreshold: Double = 0.8): DataFrame = {
     val (sh, banded) = md5Bands(df, idCol, textCol, shingleK, numHashes, numBands)
-    val candidates = banded
-      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
-        Seq("band", "bkey"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, jaccardThreshold)
+    verifyJaccard(pairCandidates(banded, Seq("band", "bkey")), sh, jaccardThreshold)
   }
 
   /** [[minHashNearDuplicatesStar]] with the md5 hash family — every step
@@ -160,12 +165,7 @@ object Dedup {
                                    numHashes: Int = 16, numBands: Int = 4,
                                    jaccardThreshold: Double = 0.8): DataFrame = {
     val (sh, banded) = md5Bands(df, idCol, textCol, shingleK, numHashes, numBands)
-    val hubs = banded.groupBy(col("band"), col("bkey")).agg(min(col("id")).as("id_a"))
-    val candidates = banded.join(hubs, Seq("band", "bkey"))
-      .filter(col("id") =!= col("id_a"))
-      .select(col("id_a"), col("id").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, jaccardThreshold)
+    verifyJaccard(starCandidates(banded, Seq("band", "bkey")), sh, jaccardThreshold)
   }
 
   /** Shingle sets + (id, band, band-signature) rows for the md5 family.

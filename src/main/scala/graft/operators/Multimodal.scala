@@ -452,18 +452,26 @@ object Multimodal {
     * adaptation field carries the PCR flag embed a 33-bit 90 kHz program
     * clock. Duration = (last PCR − first PCR) / 90 ms, both PCRs from the
     * SAME PID (different programs run different clocks), the last found
-    * by a bounded 64 KiB backward scan over 188-aligned offsets — the
-    * Ogg granule trick. One 33-bit wrap (~26.5 h) is unwrapped; still-
-    * negative deltas reject. Geometry/channels stay 0 (codec territory).
-    * Accepts both audio and video assets (TS carries either). */
+    * by a bounded backward scan over 188-aligned offsets — the Ogg
+    * granule trick. BOTH scans are capped at 1 MiB (covers the spec's
+    * 100 ms max PCR spacing up to ~84 Mbps). A negative delta unwraps
+    * as one 33-bit wrap ONLY with the wrap signature (first PCR in the
+    * top quarter of the range, last in the bottom quarter) — a splice /
+    * PCR discontinuity does not masquerade as a 26.5 h recording. Both
+    * PCRs from one packet (no second PCR found) reject to the stub.
+    * Geometry/channels stay 0 (codec territory). Accepts both audio and
+    * video assets (TS carries either). */
   def decodeMpegTs(mediaType: String, bytes: Array[Byte]): Option[Row] = {
     val n = bytes.length
     def sync(off: Int): Boolean = off + 188 <= n && bytes(off) == 0x47
     // demand three aligned sync bytes: a lone 0x47 is common in noise
     if (!(sync(0) && sync(188) && (n < 3 * 188 || sync(376)))) return None
     // PCR of the packet at `off`, with its PID, if the adaptation field
-    // carries one. All reads bounds-checked against the 188-byte packet.
+    // carries one. Re-checks the sync byte: the backward scan may land in
+    // trailing junk after a valid TS prefix, and random bytes pass the
+    // flag checks often enough to fabricate a "last PCR".
     def pcrAt(off: Int): Option[(Int, Long)] = {
+      if (bytes(off) != 0x47) return None
       val pid = ((bytes(off + 1) & 0x1f) << 8) | (bytes(off + 2) & 0xff)
       val afc = (bytes(off + 3) >> 4) & 0x3
       if (afc != 2 && afc != 3) return None
@@ -475,18 +483,26 @@ object Multimodal {
         ((bytes(off + 10) & 0xff) >> 7)
       Some((pid, base)) // 90 kHz base; the 9-bit 27 MHz extension is sub-ms
     }
-    val fwdEnd = math.min(n - 188, 65536)
-    val first = (0 to fwdEnd by 188).iterator.flatMap(pcrAt).nextOption()
-    first.flatMap { case (pid, firstPcr) =>
+    val cap = 1 << 20
+    val fwdEnd = math.min(n - 188, cap)
+    val firstHit = (0 to fwdEnd by 188).iterator
+      .flatMap(o => pcrAt(o).map(o -> _)).nextOption()
+    firstHit.flatMap { case (firstOff, (pid, firstPcr)) =>
       val lastOff = ((n - 188) / 188) * 188
-      val floor = math.max(0, lastOff - 65536)
-      val last = (lastOff to floor by -188).iterator
-        .flatMap(o => pcrAt(o).filter(_._1 == pid)).nextOption()
-      last.flatMap { case (_, lastPcr) =>
-        val delta0 = lastPcr - firstPcr
-        val delta = if (delta0 < 0) delta0 + (1L << 33) else delta0 // one wrap
-        if (delta < 0) None
-        else Some(Row(mediaType, 0, 0, 0, delta / 90L, "mpegts-pcr"))
+      val floor = math.max(0, lastOff - cap)
+      val lastHit = (lastOff to floor by -188).iterator
+        .flatMap(o => pcrAt(o).filter(_._1 == pid).map(o -> _)).nextOption()
+      lastHit.flatMap { case (lastFoundOff, (_, lastPcr)) =>
+        if (lastFoundOff == firstOff) None // one PCR total: duration unknown
+        else {
+          val delta0 = lastPcr - firstPcr
+          val wrapMax = 1L << 33
+          if (delta0 >= 0)
+            Some(Row(mediaType, 0, 0, 0, delta0 / 90L, "mpegts-pcr"))
+          else if (firstPcr > wrapMax * 3 / 4 && lastPcr < wrapMax / 4)
+            Some(Row(mediaType, 0, 0, 0, (delta0 + wrapMax) / 90L, "mpegts-pcr"))
+          else None // negative without the wrap signature = discontinuity
+        }
       }
     }
   }

@@ -602,12 +602,16 @@ object Relational7 {
       edges AS (SELECT DISTINCT h.id_a, b.doc_id AS id_b
         FROM banded b JOIN hubs h USING (band, bkey) WHERE b.doc_id <> h.id_a),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      jac AS (SELECT e.id_a, e.id_b,
-        CAST((SELECT COUNT(*) FROM sh a JOIN sh b
-           ON a.doc_id = e.id_a AND b.doc_id = e.id_b AND a.shingle = b.shingle) AS DOUBLE)
-          / (sa.n + sb.n - (SELECT COUNT(*) FROM sh a JOIN sh b
-           ON a.doc_id = e.id_a AND b.doc_id = e.id_b AND a.shingle = b.shingle)) AS jaccard
+      inter AS (SELECT e.id_a, e.id_b, COUNT(*) AS i
         FROM edges e
+        JOIN sh a ON a.doc_id = e.id_a
+        JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      jac AS (SELECT e.id_a, e.id_b,
+        CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+        FROM edges e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
         JOIN sizes sa ON sa.doc_id = e.id_a
         JOIN sizes sb ON sb.doc_id = e.id_b)
       SELECT id_a, id_b, jaccard FROM jac
