@@ -23,15 +23,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy long mapping and convert with exact integer division (a double
-    * divide would lose sub-µs precision at 1.7e18 ns). */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as raw nanos
+    * via the legacy long mapping and converted with exact integer division
+    * (a double divide would lose sub-µs precision at 1.7e18 ns) — and
+    * plain TIMESTAMP(MICROS), which lands as NTZ under Spark 4's parquet
+    * inference. Dispatch on the OBSERVED type so either generation reads
+    * to the same TimestampType column (sessions run in UTC, so the
+    * NTZ→TZ cast is instant-preserving). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

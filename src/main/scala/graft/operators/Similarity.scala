@@ -59,14 +59,22 @@ object Similarity {
   /** Assign each corpus vector to its nearest centroid (by cosine).
     * `centroids`: (centroid_id, vector). Broadcast-sized by construction. */
   def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
-                  vecCol: String): DataFrame = {
+                  vecCol: String): DataFrame =
+    assignCellsSim(corpus, centroids, idCol, vecCol).drop("centroid_sim")
+
+  /** [[assignCells]] keeping the winning cosine as `centroid_sim` —
+    * SemDeDup's keeper policy ranks members by it, and cell-quality
+    * diagnostics (how tight is this Voronoi cell?) read it directly.
+    * Same plan: one broadcast of the centroid table, one narrow pass. */
+  def assignCellsSim(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("centroid_vec"))
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(c))
       .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
     val w = Window.partitionBy("id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("centroid_id"))
+      .select(col("id"), col("v"), col("centroid_id"), col("sim").as("centroid_sim"))
   }
 
   /** IVF top-k: probe the `nProbe` closest cells per query, exact cosine

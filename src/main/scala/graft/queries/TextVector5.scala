@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.operators.{Dedup, Mixture}
+
+/** Eighth coverage batch — the two training-corpus curation moves the
+  * pipeline layer still lacked: SemDeDup (cluster-blocked semantic
+  * deduplication over embeddings, Abbas et al. 2023) and temperature-scaled
+  * mixture resampling (the α-sampling of mC4/XLM-R, completing the fixed-
+  * rate d13 / equal-quota d37 family). Both judged end-to-end: the DuckDB
+  * twins replay anchor assignment, pairwise-cosine keeper choice, and the
+  * α = 0.5 weight arithmetic exactly (sqrt is IEEE-correctly-rounded, so
+  * both engines produce identical bits where libm pow would not).
+  */
+object TextVector5 {
+
+  def defs: Seq[QueryDef] = Seq(d41, d42)
+
+  /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
+    * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
+    * engines produce the same bits (the e2-proven construction). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** SemDeDup over the embeddings table with injected deterministic anchors
+    * (every 50th vec_id — the judged stand-in for kmeansCentroids, the
+    * d11/d21 injection pattern): nearest-anchor assignment, within-cluster
+    * pairwise cosine, paper keeper (lowest centroid-sim survives). The 0.25
+    * threshold is calibrated to THIS fixture — near-random unit vectors
+    * whose max pairwise cosine is ~0.5, so a production-style 0.95 would
+    * judge an empty relation; at 0.25 roughly half the corpus drops and
+    * every branch (assignment ties, keeper direction, survivor) is
+    * exercised. Judged per doc: cluster, anchor cosine, fate. */
+  val d41 = QueryDef("d41_semdedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Dedup.semDeDup(emb, "vec_id", "embedding", anchors, cosineThreshold = 0.25)
+        .select(col("id").as("vec_id"), col("centroid_id").as("anchor_id"),
+          round(col("centroid_sim"), 6).as("cos_anchor_r"), col("dropped"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH a AS (
+        SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id % 50 = 0),
+      sims AS (
+        SELECT e.vec_id, a.aid, ${cosSql("e.embedding", "a.av")} AS sim
+        FROM embeddings e CROSS JOIN a),
+      asg AS (
+        SELECT vec_id, aid, sim FROM (
+          SELECT vec_id, aid, sim,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY round(sim, 9) DESC, aid) AS rn
+          FROM sims) t
+        WHERE rn = 1),
+      losers AS (
+        SELECT DISTINCT
+          CASE WHEN (round(x.sim, 9), x.vec_id) < (round(y.sim, 9), y.vec_id)
+            THEN y.vec_id ELSE x.vec_id END AS id
+        FROM asg x
+        JOIN asg y ON x.aid = y.aid AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        WHERE ${cosSql("ex.embedding", "ey.embedding")} >= 0.25)
+      SELECT g.vec_id, g.aid AS anchor_id, round(g.sim, 6) AS cos_anchor_r,
+        (l.id IS NOT NULL) AS dropped
+      FROM asg g LEFT JOIN losers l ON l.id = g.vec_id
+      ORDER BY g.vec_id"""))
+
+  /** Temperature-scaled mixture resampling over the language axis (α = 0.5,
+    * target half the corpus): drives the REAL
+    * [[Mixture.temperatureResample]] for the kept side and
+    * [[Mixture.temperatureRates]] for the judged rate column. Judged per
+    * language: input size, derived basis-point rate, kept doc/char mass —
+    * so the oracle re-derives the α-weights (sorted-fold denominator, sqrt
+    * weights, one floor) AND replays the md5-bucket membership. */
+  val d42 = QueryDef("d42_temperature_mix",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val kept = Mixture.temperatureResample(docs, "lang", "doc_id",
+        alpha = 0.5, targetFraction = 0.5)
+      val keptAgg = kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val rates = Mixture.temperatureRates(
+          counts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+          alpha = 0.5, targetFraction = 0.5)
+        .toDF("lang", "rate_bp")
+      counts.join(broadcast(rates), Seq("lang"))
+        .join(keptAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy("lang")
+    },
+    Some("""WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      den AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS d,
+                     CAST(sum(n) AS BIGINT) AS total
+              FROM per),
+      rates AS (SELECT p.lang, p.n AS n_docs,
+          CAST(floor(least(1.0,
+            ((CAST(total AS DOUBLE) * 0.5) * sqrt(CAST(p.n AS DOUBLE)))
+              / d / CAST(p.n AS DOUBLE)) * 10000.0) AS BIGINT) AS rate_bp
+        FROM per p CROSS JOIN den),
+      sel AS (SELECT lang, n_chars,
+          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 AS bucket
+        FROM documents),
+      keptagg AS (SELECT s.lang, count(*) AS n_kept,
+          CAST(sum(s.n_chars) AS BIGINT) AS chars_kept
+        FROM sel s JOIN rates r ON r.lang = s.lang
+        WHERE s.bucket < r.rate_bp GROUP BY s.lang)
+      SELECT r.lang, r.n_docs, r.rate_bp,
+        COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.chars_kept, 0) AS chars_kept
+      FROM rates r LEFT JOIN keptagg k ON k.lang = r.lang
+      ORDER BY r.lang"""))
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Mixture}
+
+/** SemDeDup and temperature-mixture resampling — the eighth coverage
+  * batch's operator-level pins (d41/d42 carry the cross-engine oracles). */
+class TextVector5Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated anchor directions in 4-d, members built by exact
+    * arithmetic so cluster assignment and pairwise cosines are knowable. */
+  private def fixture = Seq(
+    // cluster around e1: ids 1,2 are an exact-duplicate direction (cos 1),
+    // id 3 is orthogonal-ish within the cluster
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    // cluster around e3: ids 11,12 duplicates of each other
+    (11L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+    (12L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+    (13L, Seq(0.0f, 0.1f, 0.9f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def anchors = Seq(
+    (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (200L, Seq(0.0, 0.0, 1.0, 0.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  test("semDeDup assigns members to the nearest anchor") {
+    val out = Dedup.semDeDup(fixture, "vec_id", "embedding", anchors, 0.999)
+      .select("id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 100L))
+    assert(Seq(11L, 12L, 13L).forall(out(_) == 200L))
+  }
+
+  test("semDeDup keeper: within a duplicate pair the lower centroid-sim " +
+    "member survives; id breaks exact ties") {
+    val out = Dedup.semDeDup(fixture, "vec_id", "embedding", anchors, 0.999)
+      .select("id", "dropped").as[(Long, Boolean)].collect().toMap
+    // ids 1,2: identical direction, both cos=1 to the anchor → tie on sim,
+    // id 1 < id 2 so 1 survives, 2 drops
+    assert(!out(1L) && out(2L))
+    // ids 11,12: identical vectors, equidistant → 11 survives, 12 drops
+    assert(!out(11L) && out(12L))
+    // the non-duplicate members survive
+    assert(!out(3L) && !out(13L))
+    assert(out.size == 6, "one verdict row per input doc")
+  }
+
+  test("semDeDup at a loose threshold drops the higher-sim member of " +
+    "every qualifying pair (paper keeper, not min-id)") {
+    // threshold 0.9 pulls 3 into the {1,2} dup group: cos(1,3)=0.9939.
+    // sims to anchor: 1→1.0, 2→1.0, 3→0.9939 — 3 has the LOWEST sim, so
+    // with the paper keeper 3 survives while 1 and 2 both lose to it.
+    val out = Dedup.semDeDup(fixture, "vec_id", "embedding", anchors, 0.9)
+      .select("id", "dropped").as[(Long, Boolean)].collect().toMap
+    assert(!out(3L), "lowest centroid-sim member survives")
+    assert(out(2L), "higher-sim member drops")
+    assert(out(1L), "even the min id drops when a lower-sim partner exists")
+  }
+
+  test("semDeDup is deterministic across runs") {
+    val a = Dedup.semDeDup(fixture, "vec_id", "embedding", anchors, 0.9)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.semDeDup(fixture, "vec_id", "embedding", anchors, 0.9)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("temperatureRates: alpha=1 keeps every group at the target fraction") {
+    val rates = Mixture.temperatureRates(
+      Seq(("en", 800L), ("de", 150L), ("zh", 50L)), alpha = 1.0,
+      targetFraction = 0.5).toMap
+    // n^1 weights reproduce each group's own share → rate = target for all
+    assert(rates.values.forall(_ == 5000L))
+  }
+
+  test("temperatureRates: alpha=0 is the equal-quota limit (d37)") {
+    val rates = Mixture.temperatureRates(
+      Seq(("en", 800L), ("de", 100L), ("zh", 100L)), alpha = 0.0,
+      targetFraction = 0.3).toMap
+    // equal quotas: 300 docs total target → 100 per group; small groups
+    // keep everything (capped at 10000), the big one keeps 100/800
+    assert(rates("de") == 10000L && rates("zh") == 10000L)
+    assert(rates("en") == 1250L)
+  }
+
+  test("temperatureRates: alpha=0.5 flattens the head without erasing it") {
+    val rates = Mixture.temperatureRates(
+      Seq(("en", 6400L), ("de", 1600L), ("zh", 100L)), alpha = 0.5,
+      targetFraction = 0.5).toMap
+    // sqrt weights: 80:40:10 → en keeps less than its raw share, zh more
+    assert(rates("en") < 5000L, s"head must downsample, got ${rates("en")}")
+    assert(rates("zh") == 10000L, s"tail saturates, got ${rates("zh")}")
+    assert(rates("en") < rates("de") && rates("de") < rates("zh"))
+  }
+
+  test("temperatureRates folds the denominator in sorted-key order " +
+    "regardless of input order") {
+    val a = Mixture.temperatureRates(
+      Seq(("a", 31L), ("b", 57L), ("c", 911L)), 0.5, 0.4)
+    val b = Mixture.temperatureRates(
+      Seq(("c", 911L), ("a", 31L), ("b", 57L)), 0.5, 0.4)
+    assert(a == b)
+  }
+
+  test("temperatureResample keeps exactly the md5-bucket subset its rate " +
+    "table implies, deterministically") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "de" else "en", i % 7)).toDF("doc_id", "lang", "x")
+    val kept = Mixture.temperatureResample(docs, "lang", "doc_id", 0.5, 0.5)
+    val again = Mixture.temperatureResample(docs, "lang", "doc_id", 0.5, 0.5)
+    assert(kept.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // independent reconstruction: same rates + same bucket rule
+    val rates = Mixture.temperatureRates(
+      Seq(("de", 100L), ("en", 300L)), 0.5, 0.5).toMap
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val expected = docs
+      .withColumn("b", bucket)
+      .filter(when(col("lang") === "de", col("b") < rates("de"))
+        .otherwise(col("b") < rates("en")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    // and the target budget is honored approximately (hash granularity)
+    assert(math.abs(kept.count() - 200L) < 40L)
+  }
+}
