@@ -137,16 +137,24 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
-  /** [[minHashNearDuplicates]] with the md5-derived hash family (the d21
-    * construction): per (seed, shingle), h = first 8 hex digits of
-    * md5("seed|shingle") as a 32-bit value, min-reduced per seed, banded by
-    * seed ranges with the band signature as the join key, candidates
-    * verified with exact shingle Jaccard. ~10× slower than the JVM-native
-    * family (explode × numHashes md5 calls), but every step is
-    * reproducible in plain SQL — this is the variant an independent engine
-    * can replay end-to-end, which is what lets the d11 corpus-cleaning
-    * composite carry a full DuckDB twin. Same (id_a, id_b, jaccard)
-    * contract as the production family. */
+  /** [[minHashNearDuplicates]] with the md5-seeded AFFINE hash family (the
+    * d21 construction): ONE base hash per distinct shingle, x = first 8
+    * hex digits of md5(shingle) as a 32-bit value, rehashed per seed with
+    * Carter-Wegman affine maps h_i = (a_i·x + b_i) mod p — the textbook
+    * minhash family (MMDS §3.3; p = 4294967311, the smallest prime above
+    * 2³²). Constants derive deterministically from md5("a|i")/md5("b|i")
+    * with a_i < 2³¹ so a·x + b < 2⁶³ — no overflow on any engine's
+    * BIGINT. Min-reduced per seed, banded by seed ranges with the band
+    * signature as the join key, candidates verified with exact shingle
+    * Jaccard. Slower than the JVM-native family (explode × numHashes
+    * rows), but every step is reproducible in plain SQL — this is the
+    * variant an independent engine can replay end-to-end, which is what
+    * lets the d11 corpus-cleaning composite and the d40 star miner carry
+    * full DuckDB twins. (An earlier form paid numHashes md5 calls per
+    * shingle; the affine rehash computes the same-quality family with one
+    * md5 + numHashes multiply-mods — at corpus scale the difference is
+    * 16× the hashing bill.) Same (id_a, id_b, jaccard) contract as the
+    * production family. */
   def minHashNearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
                                shingleK: Int = 3, numHashes: Int = 16,
                                numBands: Int = 4,
@@ -168,7 +176,50 @@ object Dedup {
     verifyJaccard(starCandidates(banded, Seq("band", "bkey")), sh, jaccardThreshold)
   }
 
-  /** Shingle sets + (id, band, band-signature) rows for the md5 family.
+  /** Modulus of the affine rehash family: the smallest prime above 2³²
+    * (the classic datasketches choice). */
+  val AffineP: Long = 4294967311L
+
+  /** Deterministic Carter-Wegman constants for seeds 0..n-1: a_i from
+    * md5("a|i") reduced into [1, 2³¹-1] (nonzero, and small enough that
+    * a·x never overflows a signed 64-bit product for x < 2³²), b_i from
+    * md5("b|i") as a raw 32-bit value. Pure arithmetic on md5 prefixes —
+    * an independent engine derives the identical table, and the oracle
+    * SQL inlines these very values via [[affineSeedsSqlValues]]. */
+  def affineConsts(n: Int): Seq[(Long, Long)] = {
+    def u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, byte) => (acc << 8) | (byte & 0xffL))
+    }
+    (0 until n).map(i => (1L + u32(s"a|$i") % ((1L << 31) - 1), u32(s"b|$i")))
+  }
+
+  /** The constants above as a SQL VALUES body — `(seed, a, b), …` —
+    * generated from the same derivation so oracle and engine cannot
+    * drift. */
+  def affineSeedsSqlValues(n: Int): String =
+    affineConsts(n).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** Per-seed affine rehash of the 32-bit base hash `x`:
+    * (a_seed·x + b_seed) mod p, constants inlined as array literals so the
+    * whole expression stays inside whole-stage codegen. */
+  private[graft] def affineHash(seed: Column, x: Column, numHashes: Int): Column = {
+    val cs = affineConsts(numHashes)
+    val aArr = array(cs.map(c => lit(c._1)): _*)
+    val bArr = array(cs.map(c => lit(c._2)): _*)
+    val i = seed.cast("int") + 1
+    (element_at(aArr, i) * x + element_at(bArr, i)) % AffineP
+  }
+
+  /** 32-bit base hash of a shingle: first 8 hex digits of md5. */
+  private[graft] def baseHash32(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** Shingle sets + (id, band, band-signature) rows for the md5-seeded
+    * affine family: one md5 per distinct shingle, numHashes affine
+    * rehashes per occurrence (cheap multiply-mods), min-reduce per seed.
     * Band key = ordered minhash values of the band's seeds: sort_array on
     * (seed, mh) structs makes the key deterministic under shuffle order. */
   private def md5Bands(df: DataFrame, idCol: String, textCol: String,
@@ -181,11 +232,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sig = sh
       .select(col("id"), explode(col("sh")).as("shingle"))
-      .select(col("id"), col("shingle"),
+      .select(col("id"), baseHash32(col("shingle")).as("x"))
+      .select(col("id"), col("x"),
         explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"))
       .select(col("id"), col("seed"),
-        conv(substring(md5(concat(col("seed").cast("string"), lit("|"),
-          col("shingle"))), 1, 8), 16, 10).cast("long").as("h"))
+        affineHash(col("seed"), col("x"), numHashes).as("h"))
       .groupBy("id", "seed").agg(min(col("h")).as("mh"))
     val banded = sig
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))

@@ -55,6 +55,63 @@ object Mixture {
     }
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how target-like its hashed
+    * n-gram distribution is, log w(x) = Σ_f c_f(x)·[ln p̂_target(f) −
+    * ln p̂_raw(f)], where f ranges over hashed bigram buckets and the
+    * probabilities are Laplace-smoothed bucket frequencies. High-weight
+    * docs resemble the target corpus; selection takes the top fraction.
+    *
+    * `isTarget` marks the target-distribution rows INSIDE df (the paper
+    * uses an external target corpus; a column predicate covers both — pass
+    * e.g. `col("lang") === "en"` or join-derived flags). Bucket hashing is
+    * md5-derived (SQL-replayable, the d21 convention), `numBuckets`
+    * bounds the model at a broadcastable size regardless of corpus scale.
+    *
+    * Scale shape: one explode pass over bigram occurrences, one shuffle to
+    * the per-(doc, bucket) counts, and the bucket model (≤ numBuckets
+    * rows) BROADCASTS back — the per-doc weight sum never shuffles the
+    * text. Output: (id, n_bigrams, log_weight), docs with < 2 tokens
+    * excluded (no bigrams → no evidence).
+    *
+    * Judged surfaces round log_weight to 6 places: the ln calls are libm
+    * (last-ulp platform-defined) and the per-doc sum is accumulation-order
+    * sensitive, the same d24 envelope that has held green since r3. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: org.apache.spark.sql.Column,
+                     numBuckets: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val toks = df.select(col(idCol).as("id"), isTarget.as("__tgt"),
+        graft.functions.TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val occ = toks
+      .select(col("id"), col("__tgt"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("id"), col("__tgt"),
+        (conv(substring(md5(concat_ws(" ",
+            element_at(col("t"), col("i")),
+            element_at(col("t"), col("i") + 1))), 1, 8), 16, 10)
+          .cast(LongType) % numBuckets).as("bucket"))
+    val perDocBucket = occ.groupBy("id", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val model = occ.groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        count(when(col("__tgt"), 1)).as("c_tgt"))
+    // totals are two scalars — one tiny aggregate, folded into literals so
+    // the ratio join needs no cross join
+    val totals = model.agg(sum(col("c_raw")).as("r"), sum(col("c_tgt")).as("t"))
+      .head()
+    val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
+    val ratio = model.select(col("bucket"),
+      (log((col("c_tgt") + 1).cast(DoubleType) / lit((tTot + numBuckets).toDouble)) -
+        log((col("c_raw") + 1).cast(DoubleType) / lit((rTot + numBuckets).toDouble)))
+        .as("lr"))
+    perDocBucket.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast(DoubleType) * col("lr")).as("log_weight"))
+  }
+
   /** Apply temperature resampling: one tiny aggregation pass for group
     * sizes, then one filtered scan — the kept rows, annotated with their
     * group's rate. At scale both passes are single shuffles on the

@@ -69,6 +69,14 @@ object DynamicRow {
   /** The real pipeline drive: synthesize Inputs from lineitem, run
     * dynamicFeatures (fused-statements path) + validate. */
   private[graft] def validatedRow(s: SparkSession, dir: String): DataFrame = {
+    val (in, grid) = buildInputs(s, dir)
+    TickerValidation.validate(TickerFeatures.dynamicFeatures(grid, in))
+  }
+
+  /** Input synthesis split out so the stage profiler can time blocks
+    * independently of the full drive. */
+  private[graft] def buildInputs(s: SparkSession,
+                                 dir: String): (TickerFeatures.Inputs, DataFrame) = {
     val li = Tables.lineitem(s, dir)
     val base = li.groupBy(col("l_suppkey").as("sk"), col("l_shipdate").as("date"))
       .agg(moneySum(col("l_extendedprice")).as("b"))
@@ -116,7 +124,7 @@ object DynamicRow {
       .withColumn("as_of", explode(array(asOfDates.map(d => to_date(lit(d))): _*)))
     val in = TickerFeatures.Inputs(prices, dividends, splits, ratios, income,
       balance, sectorIndex, statements = Some(statements))
-    TickerValidation.validate(TickerFeatures.dynamicFeatures(grid, in))
+    (in, grid)
   }
 
   // ---------------------------------------------------------------- oracle

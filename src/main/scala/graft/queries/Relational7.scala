@@ -578,23 +578,27 @@ object Relational7 {
     * linear contract for cluster consumption at corpus scale (the pair
     * contract is quadratic in near-dup cluster size BY DEFINITION; see
     * the scale-boundary note on minHashNearDuplicates). DuckDB replays
-    * shingling, the md5 minhash matrix, ordered band signatures, hub
-    * election, and the exact-Jaccard verify. Jaccard ships unrounded:
-    * both engines divide the same two integers. */
+    * shingling, the md5-seeded AFFINE minhash matrix (one md5 per
+    * shingle, (a·x + b) mod p rehash per seed — constants inlined from
+    * the same derivation), ordered band signatures, hub election, and the
+    * exact-Jaccard verify. Jaccard ships unrounded: both engines divide
+    * the same two integers. */
   val d40 = QueryDef("d40_lsh_star",
     (s, dir) => graft.operators.Dedup.minHashNearDuplicatesMd5Star(
       Tables.documents(s, dir), "doc_id", "text",
       shingleK = 3, numHashes = 16, numBands = 4, jaccardThreshold = 0.5)
       .orderBy("id_a", "id_b"),
-    Some("""WITH tok AS (SELECT doc_id,
-        regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    Some(s"""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
         WHERE len(toks) >= 3),
-      hv AS (SELECT doc_id, s.seed,
-        CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
-        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s),
-      mh AS (SELECT doc_id, seed, MIN(h) AS mh FROM hv GROUP BY 1, 2),
+      seeds(seed, a, b) AS (VALUES ${graft.operators.Dedup.affineSeedsSqlValues(16)}),
+      xv AS (SELECT doc_id,
+        CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x FROM sh),
+      mh AS (SELECT doc_id, seed,
+        MIN((CAST(a AS BIGINT) * x + b) % 4294967311) AS mh
+        FROM xv CROSS JOIN seeds GROUP BY 1, 2),
       banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
         FROM mh GROUP BY 1, 2),

@@ -428,14 +428,17 @@ object ScaleOps {
       SELECT ex.g AS l_returnflag, est.est_distinct_parts, ex.n_distinct_parts
       FROM ex JOIN est USING (g) ORDER BY l_returnflag"""))
 
-  /** MinHash signatures on an md5 hash basis, ORACLE-GATED: DuckDB
-    * recomputes the identical (doc, seed) -> min-hash matrix from the same
-    * shingles and the same md5-derived 32-bit hashes. The production d5
-    * path keeps its fast JVM hash family (not SQL-reproducible); this pins
-    * the minhash CONSTRUCTION — shingling, per-seed hashing, min-reduce —
-    * against an independent engine on a 5% document subsample.
-    * (TextVectorSpec separately pins that the shingle set here equals the
-    * production `distinct_shingles` output.) */
+  /** MinHash signatures on the md5-seeded AFFINE hash basis, ORACLE-GATED:
+    * DuckDB recomputes the identical (doc, seed) -> min-hash matrix from
+    * the same shingles, the same md5 base hashes, and the same inlined
+    * Carter-Wegman constants ((a·x + b) mod p, one md5 per shingle — the
+    * family `Dedup.minHashNearDuplicatesMd5`/`Md5Star` run in d11/d40).
+    * The production d5 path keeps its fast JVM hash family (not
+    * SQL-reproducible); this pins the minhash CONSTRUCTION — shingling,
+    * base hashing, per-seed rehash, min-reduce — against an independent
+    * engine on a 5% document subsample. (TextVectorSpec separately pins
+    * that the shingle set here equals the production `distinct_shingles`
+    * output.) */
   val d21 = QueryDef("d21_minhash_md5_oracle",
     (s, dir) => {
       val tok = Tables.documents(s, dir)
@@ -450,23 +453,27 @@ object ScaleOps {
           concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
         .distinct()
       val hv = sh
-        .select(col("doc_id"), col("shingle"),
+        .select(col("doc_id"),
+          graft.operators.Dedup.baseHash32(col("shingle")).as("x"))
+        .select(col("doc_id"), col("x"),
           explode(sequence(lit(0L), lit(15L))).as("seed"))
         .select(col("doc_id"), col("seed"),
-          conv(substring(md5(concat(col("seed").cast(StringType), lit("|"),
-            col("shingle"))), 1, 8), 16, 10).cast(LongType).as("h"))
+          graft.operators.Dedup.affineHash(col("seed"), col("x"), 16).as("h"))
       hv.groupBy("doc_id", "seed").agg(min(col("h")).as("minhash"))
         .orderBy("doc_id", "seed")
     },
-    Some("""WITH tok AS (SELECT doc_id,
-        regexp_split_to_array(trim(text), '\s+') AS toks
+    Some(s"""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id % 20 = 0),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
         WHERE len(toks) >= 3),
-      hv AS (SELECT doc_id, s.seed,
-        CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
-        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s)
+      seeds(seed, a, b) AS (VALUES ${graft.operators.Dedup.affineSeedsSqlValues(16)}),
+      xv AS (SELECT doc_id,
+        CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x FROM sh),
+      hv AS (SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+        (CAST(a AS BIGINT) * x + b) % 4294967311 AS h
+        FROM xv CROSS JOIN seeds)
       SELECT doc_id, seed, MIN(h) AS minhash FROM hv
       GROUP BY doc_id, seed ORDER BY doc_id, seed"""))
 

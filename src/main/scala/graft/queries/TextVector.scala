@@ -215,11 +215,12 @@ object TextVector {
 
   /** The full corpus-cleaning composite: normalize -> exact dedup ->
     * near-dup removal -> quality gate; outputs surviving doc ids. ORACLE-
-    * GATED since the near-dup stage runs the md5 hash family
+    * GATED since the near-dup stage runs the md5-seeded affine hash family
     * (`Dedup.minHashNearDuplicatesMd5`, the d21 construction), which lets
     * DuckDB replay the ENTIRE pipeline — normalization regex, min-id exact
-    * dedup, per-seed minhash, band-signature candidate join, exact-Jaccard
-    * verify, greedy smaller-id-wins drop, token-count gate — end to end. */
+    * dedup, affine minhash matrix, band-signature candidate join,
+    * exact-Jaccard verify, greedy smaller-id-wins drop, token-count gate —
+    * end to end. */
   val d11 = QueryDef("d11_clean_corpus",
     (s, dir) => {
       val (clean, stats) = graft.operators.CorpusPipeline.cleanCorpus(
@@ -231,23 +232,26 @@ object TextVector {
         lit(stats.afterNearDup).as("n_after_neardup"))
         .orderBy("doc_id")
     },
-    Some("""WITH norm AS (
-        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+    Some(s"""WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
         FROM documents),
       exact AS (
         SELECT doc_id, t FROM norm
         QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1),
-      tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS toks FROM exact),
+      tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS toks FROM exact),
       sh AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS u(i)
         WHERE len(toks) >= 3),
       shsz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-      hv AS (
-        SELECT doc_id, s.seed,
-          CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT) AS h
-        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s),
-      sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hv GROUP BY 1, 2),
+      seeds(seed, a, b) AS (VALUES ${graft.operators.Dedup.affineSeedsSqlValues(16)}),
+      xv AS (
+        SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x
+        FROM sh),
+      sig AS (SELECT doc_id, seed,
+        MIN((CAST(a AS BIGINT) * x + b) % 4294967311) AS mh
+        FROM xv CROSS JOIN seeds GROUP BY 1, 2),
       banded AS (
         SELECT doc_id, CAST(seed // 4 AS INT) AS band,
           array_to_string(list(CAST(mh AS VARCHAR) ORDER BY seed), ',') AS bkey
@@ -276,7 +280,7 @@ object TextVector {
                (SELECT COUNT(*) FROM neark) AS n_after_neardup)
       SELECT q.doc_id, c.n_input, c.n_after_neardup
       FROM (SELECT doc_id FROM neark
-            WHERE len(regexp_split_to_array(t, '\s+')) BETWEEN 5 AND 100000) q
+            WHERE len(regexp_split_to_array(t, '\\s+')) BETWEEN 5 AND 100000) q
       CROSS JOIN counts c
       ORDER BY q.doc_id"""))
 

@@ -139,7 +139,7 @@ object TextVector4 {
   /** Minhash-signature Jaccard ESTIMATION, oracle-gated end to end: the
     * estimate (fraction of agreeing minhashes over 16 seeds) sits next to
     * the exact Jaccard on the same pairs, so the sketch's accuracy is
-    * itself a judged, reproducible number. Uses the d21 md5 hash basis —
+    * itself a judged, reproducible number. Uses the d21 md5-seeded affine hash basis —
     * deterministic in both engines. Scale: signatures are 16 longs per
     * doc (constant state); pair comparison is 16 equality checks, not a
     * shingle-set intersection — the whole point of minhash. Lang blocking
@@ -157,11 +157,12 @@ object TextVector4 {
           concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
         .distinct()
       val mh = sh
-        .select(col("doc_id"), col("lang"), col("shingle"),
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Dedup.baseHash32(col("shingle")).as("x"))
+        .select(col("doc_id"), col("lang"), col("x"),
           explode(sequence(lit(0L), lit(15L))).as("seed"))
         .select(col("doc_id"), col("lang"), col("seed"),
-          conv(substring(md5(concat(col("seed").cast(StringType), lit("|"),
-            col("shingle"))), 1, 8), 16, 10).cast(LongType).as("h"))
+          graft.operators.Dedup.affineHash(col("seed"), col("x"), 16).as("h"))
         .groupBy("doc_id", "lang", "seed").agg(min(col("h")).as("mh"))
       val est = mh.alias("a")
         .join(mh.alias("b"),
@@ -189,15 +190,18 @@ object TextVector4 {
             .as("exact_jaccard"))
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH tok AS (SELECT doc_id, lang,
-        regexp_split_to_array(trim(text), '\s+') AS toks
+    Some(s"""WITH tok AS (SELECT doc_id, lang,
+        regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id % 20 = 0),
       sh AS (SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
         WHERE len(toks) >= 3),
+      seeds(seed, a, b) AS (VALUES ${graft.operators.Dedup.affineSeedsSqlValues(16)}),
       mh AS (SELECT doc_id, lang, s.seed,
-          MIN(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(s.seed, '|', shingle)), 1, 8)) AS BIGINT)) AS mh
-        FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) s
+          MIN((CAST(s.a AS BIGINT) *
+            CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) + s.b)
+            % 4294967311) AS mh
+        FROM sh CROSS JOIN seeds s
         GROUP BY doc_id, lang, s.seed),
       est AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           round(AVG(CASE WHEN a.mh = b.mh THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 9) AS est_jaccard

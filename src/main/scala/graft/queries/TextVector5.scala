@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Mixture}
   */
 object TextVector5 {
 
-  def defs: Seq[QueryDef] = Seq(d41, d42)
+  def defs: Seq[QueryDef] = Seq(d41, d42, d43)
 
   /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
     * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
@@ -119,4 +119,43 @@ object TextVector5 {
         COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.chars_kept, 0) AS chars_kept
       FROM rates r LEFT JOIN keptagg k ON k.lang = r.lang
       ORDER BY r.lang"""))
+
+  /** DSIR importance weights with target = the English slice (the
+    * train-on-target-like-data selection signal): hashed-bigram bucket
+    * model, Laplace smoothing, per-doc summed log-likelihood ratio —
+    * judged for EVERY scoring doc at round(6) (the d24 libm/accumulation
+    * envelope). Selection composes downstream with the scale-safe exact
+    * quantile machinery (Indexing.globalNtile, judged by q50) — a global
+    * rank window here would be the single-partition trap. */
+  val d43 = QueryDef("d43_dsir_weights",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Mixture.dsirLogWeights(docs, "doc_id", "text",
+          col("lang") === "en", numBuckets = 8192)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("log_weight"), 6).as("log_weight_r"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+          regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      occ AS (SELECT doc_id, (lang = 'en') AS tgt,
+          CAST(CONCAT('0x', SUBSTR(md5(t[i] || ' ' || t[i+1]), 1, 8)) AS BIGINT)
+            % 8192 AS bucket
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      model AS (SELECT bucket, COUNT(*) AS c_raw,
+          count(CASE WHEN tgt THEN 1 END) AS c_tgt
+        FROM occ GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS r,
+          CAST(sum(c_tgt) AS BIGINT) AS t FROM model),
+      ratio AS (SELECT bucket,
+          ln((c_tgt + 1)::DOUBLE / (t + 8192)::DOUBLE)
+            - ln((c_raw + 1)::DOUBLE / (r + 8192)::DOUBLE) AS lr
+        FROM model CROSS JOIN tot),
+      pdb AS (SELECT doc_id, bucket, COUNT(*) AS c FROM occ GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        round(sum(CAST(c AS DOUBLE) * lr), 6) AS log_weight_r
+      FROM pdb JOIN ratio USING (bucket)
+      GROUP BY doc_id ORDER BY doc_id"""))
 }

@@ -127,4 +127,35 @@ class TextVector5Spec extends SparkSpec {
     // and the target budget is honored approximately (hash granularity)
     assert(math.abs(kept.count() - 200L) < 40L)
   }
+
+  test("dsirLogWeights ranks target-like docs above off-target docs") {
+    // two disjoint vocabularies; targets use the 'aa..' one
+    val docs = Seq(
+      (1L, "aa bb cc aa bb cc aa bb", true),
+      (2L, "bb cc aa bb cc aa bb cc", true),
+      (3L, "aa bb cc aa bb cc cc aa", false), // target-like but unlabeled
+      (4L, "xx yy zz xx yy zz xx yy", false),
+      (5L, "yy zz xx yy zz xx yy zz", false)
+    ).toDF("doc_id", "text", "is_t")
+    val w = Mixture.dsirLogWeights(docs, "doc_id", "text", col("is_t"),
+        numBuckets = 64)
+      .select("id", "log_weight").as[(Long, Double)].collect().toMap
+    // the unlabeled target-like doc outranks the off-target ones — the
+    // whole point of importance weighting
+    assert(w(3L) > w(4L) && w(3L) > w(5L),
+      s"target-like doc must score higher: $w")
+    assert(w(1L) > w(4L))
+  }
+
+  test("dsirLogWeights counts bigram occurrences and excludes " +
+    "sub-bigram docs") {
+    val docs = Seq(
+      (1L, "a b c d", true),  // 3 bigrams
+      (2L, "a", true),        // no bigrams -> excluded
+      (3L, " x  y ", false)   // whitespace-robust: 1 bigram
+    ).toDF("doc_id", "text", "is_t")
+    val out = Mixture.dsirLogWeights(docs, "doc_id", "text", col("is_t"), 64)
+      .select("id", "n_bigrams").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
 }
