@@ -371,6 +371,61 @@ object Dedup {
     labels
   }
 
+  /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): find every length-`windowTokens` token run that
+    * occurs more than once in the corpus, keep its FIRST occurrence (the
+    * minimal (doc_id, position)), and cut every other occurrence out of
+    * its document — the span-level cousin of document dedup, catching the
+    * boilerplate d1/d5 cannot (shared headers inside otherwise-distinct
+    * docs). The paper builds a corpus suffix array over bytes; this is the
+    * distributed-friendly formulation — fixed-L token windows hashed and
+    * shuffled once — whose guarantee is: every duplicated run of ≥ L
+    * tokens is detected (as ≥ 1 duplicated window) and removed at L-token
+    * granularity. Overlapping removed spans merge for free (removal is a
+    * distinct (doc, token-index) set, not interval arithmetic).
+    *
+    * Scale: window hashing is one explode (≈ token count rows) and ONE
+    * shuffle on the hash; keeper election is a per-hash row_number over
+    * groups whose size is the duplication multiplicity; the removal set is
+    * L × duplicated occurrences; the rebuild is one groupBy(doc). No
+    * stage is quadratic in anything.
+    *
+    * Returns (doc_id from `idCol`, n_tokens, n_removed, cleaned_text) for
+    * EVERY input doc — cleaned_text re-joined on single spaces
+    * (whitespace normalizes; token content is untouched). */
+  def exactSubstringRemoval(df: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = windowTokens
+    val toks = df.select(col(idCol).as("id"),
+      TextFns.tokens(col(textCol)).as("t"))
+    val win = toks.filter(size(col("t")) >= L)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("t")) - (L - 1))).as("i"), col("t"))
+      .select(col("id"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(L)))).as("h"))
+    val wk = Window.partitionBy("h").orderBy(col("id"), col("i"))
+    val dropIdx = win.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") > 1)
+      .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("idx"))
+      .distinct()
+    val tokIdx = toks
+      .select(col("id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .select(col("id"), (col("p") + 1).as("idx"), col("tok"))
+    val keptAgg = tokIdx.join(dropIdx, Seq("id", "idx"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** SemDeDup — semantic deduplication by embedding clustering (Abbas et
     * al. 2023, arXiv:2303.09540): cluster the embedding space, compute
     * pairwise cosine only WITHIN clusters, and drop every member of a

@@ -5,18 +5,18 @@ import org.apache.spark.sql.types._
 import graft.core.Tables
 import graft.operators.{Dedup, Mixture}
 
-/** Eighth coverage batch — the two training-corpus curation moves the
-  * pipeline layer still lacked: SemDeDup (cluster-blocked semantic
-  * deduplication over embeddings, Abbas et al. 2023) and temperature-scaled
-  * mixture resampling (the α-sampling of mC4/XLM-R, completing the fixed-
-  * rate d13 / equal-quota d37 family). Both judged end-to-end: the DuckDB
-  * twins replay anchor assignment, pairwise-cosine keeper choice, and the
-  * α = 0.5 weight arithmetic exactly (sqrt is IEEE-correctly-rounded, so
-  * both engines produce identical bits where libm pow would not).
+/** Eighth coverage batch — the training-corpus curation moves the pipeline
+  * layer still lacked, each judged end-to-end: SemDeDup (cluster-blocked
+  * semantic deduplication over embeddings, Abbas et al. 2023),
+  * temperature-scaled mixture resampling (the α-sampling of mC4/XLM-R,
+  * completing the fixed-rate d13 / equal-quota d37 family; α = 0.5 routes
+  * through IEEE-correctly-rounded sqrt so both engines produce identical
+  * bits where libm pow would not), DSIR importance weights (Xie et al.
+  * 2023), and ExactSubstr duplicate-span removal (Lee et al. 2021).
   */
 object TextVector5 {
 
-  def defs: Seq[QueryDef] = Seq(d41, d42, d43)
+  def defs: Seq[QueryDef] = Seq(d41, d42, d43, d44)
 
   /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
     * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
@@ -158,4 +158,40 @@ object TextVector5 {
         round(sum(CAST(c AS DOUBLE) * lr), 6) AS log_weight_r
       FROM pdb JOIN ratio USING (bucket)
       GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** ExactSubstr duplicate-span removal over the corpus (Lee et al. 2021;
+    * `Dedup.exactSubstringRemoval`, L = 20 tokens): DuckDB replays window
+    * hashing, first-occurrence keeper election, the removal index set,
+    * and the cleaned-text rebuild byte-for-byte — including docs that
+    * lose everything and docs too short to window. */
+  val d44 = QueryDef("d44_exact_substring_removal",
+    (s, dir) => graft.operators.Dedup.exactSubstringRemoval(
+        Tables.documents(s, dir), "doc_id", "text", windowTokens = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      win AS (SELECT doc_id, i, md5(array_to_string(t[i:i+19], ' ')) AS h
+        FROM tok, UNNEST(generate_series(1, len(t) - 19)) AS u(i)
+        WHERE len(t) >= 20),
+      marked AS (SELECT doc_id, i,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM win),
+      dropidx AS (SELECT DISTINCT d.doc_id, u.idx
+        FROM (SELECT doc_id, i FROM marked WHERE rn > 1) d,
+          UNNEST(generate_series(d.i, d.i + 19)) AS u(idx)),
+      tokidx AS (SELECT doc_id, idx, t[idx] AS tok
+        FROM tok, UNNEST(generate_series(1, len(t))) AS u(idx)),
+      kept AS (SELECT k.doc_id, k.idx, k.tok
+        FROM tokidx k LEFT JOIN dropidx d
+          ON d.doc_id = k.doc_id AND d.idx = k.idx
+        WHERE d.doc_id IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY idx) AS cleaned
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(a.cleaned, '') AS cleaned_text
+      FROM tok t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""))
 }

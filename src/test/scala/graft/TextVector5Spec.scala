@@ -128,6 +128,42 @@ class TextVector5Spec extends SparkSpec {
     assert(math.abs(kept.count() - 200L) < 40L)
   }
 
+  test("exactSubstringRemoval cuts later occurrences of a shared run, " +
+    "keeps the first, and leaves short docs untouched") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),          // first occurrence -> kept
+      (2L, s"head1 head2 $shared tail3"),    // later occurrence -> removed
+      (3L, "tiny doc under twenty tokens"),  // no windows -> untouched
+      (4L, shared)                           // exact window, later -> emptied
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringRemoval(docs, "doc_id", "text", 20)
+      .select("id", "n_tokens", "n_removed", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 0 && out(1L)._4 == s"$shared tail1 tail2")
+    assert(out(2L)._3 == 20 && out(2L)._4 == "head1 head2 tail3")
+    assert(out(3L)._3 == 0 && out(3L)._4 == "tiny doc under twenty tokens")
+    assert(out(4L)._3 == 20 && out(4L)._4 == "")
+  }
+
+  test("exactSubstringRemoval merges overlapping duplicated spans " +
+    "instead of double-counting") {
+    // doc 2 contains a 22-token run shared with doc 1: three overlapping
+    // duplicated windows whose union is 22 tokens, not 60
+    val run = (1 to 22).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run x1 x2"),
+      (2L, s"pre1 $run post1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringRemoval(docs, "doc_id", "text", 20)
+      .select("id", "n_removed", "cleaned_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 0)
+    assert(out(2L)._2 == 22, s"expected the merged 22-token span, got ${out(2L)._2}")
+    assert(out(2L)._3 == "pre1 post1")
+  }
+
   test("dsirLogWeights ranks target-like docs above off-target docs") {
     // two disjoint vocabularies; targets use the 'aa..' one
     val docs = Seq(
