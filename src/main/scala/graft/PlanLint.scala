@@ -26,7 +26,8 @@ object PlanLint {
   val allowedBnlj: Map[String, (Int, String)] = Map(
     "e2_knn_brute" -> (1, "corpus x broadcast(query sample) - the documented exact-ANN baseline"),
     "e3_knn_ivf" -> (2, "assignCells + ivfTopK each cross corpus/queries with broadcast(centroids), k<=10"),
-    "d41_semdedup" -> (2, "nearest-anchor assignment crosses corpus x broadcast(anchor set); planned twice because the assigned-cell frame self-joins for within-cluster pairs"),
+    "d41_semdedup" -> (2, "nearest-anchor assignment crosses corpus x broadcast(anchor set) - bounded by construction; the lazy cell checkpoint may hide it from the visible plan entirely"),
+    "d43_dsir_weights" -> (1, "bucket model x broadcast(1-row totals) for the smoothing denominators - the d26 IDF pattern"),
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
     "q28_grid_asof_spend" -> (1, "customer keys x literal as-of date list - the B1 grid pattern"),

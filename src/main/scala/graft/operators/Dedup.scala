@@ -355,6 +355,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    var tR = System.nanoTime()
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("component").as("__nl")),
@@ -378,7 +379,8 @@ object Dedup {
       prevSum = nextSum
       labels = next
       iter += 1
-      dbg(s"round $iter", tE)
+      dbg(s"round $iter", tR)
+      tR = System.nanoTime()
     }
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
@@ -412,8 +414,12 @@ object Dedup {
                             windowTokens: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = windowTokens
+    // lazy checkpoint: the tokenize pass feeds window hashing, the
+    // positional token explode, AND the final n_tokens join — one regex
+    // scan instead of three (cached MEMORY_AND_DISK, spills at scale)
     val toks = df.select(col(idCol).as("id"),
       TextFns.tokens(col(textCol)).as("t"))
+      .localCheckpoint(false)
     val win = toks.filter(size(col("t")) >= L)
       .select(col("id"),
         explode(sequence(lit(1), size(col("t")) - (L - 1))).as("i"), col("t"))
@@ -465,7 +471,12 @@ object Dedup {
     * assignment, one shuffle on centroid_id for the pair join. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, cosineThreshold: Double): DataFrame = {
+    // lazy checkpoint: the assignment pass (corpus x broadcast(centroids)
+    // + per-id window — the dominant stage at paper scale) is consumed by
+    // BOTH sides of the pair self-join and by the final verdict join;
+    // without truncation each consumer re-executes it
     val cells = Similarity.assignCellsSim(df, centroids, idCol, vecCol)
+      .localCheckpoint(false)
     def key(sim: Column, id: Column): Column = struct(round(sim, 9), id)
     val b = cells.select(col("centroid_id"), col("id").as("id_b"),
       col("v").as("v_b"), col("centroid_sim").as("sim_b"))

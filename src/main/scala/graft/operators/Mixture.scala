@@ -40,6 +40,10 @@ object Mixture {
   def temperatureRates(counts: Seq[(String, Long)], alpha: Double,
                        targetFraction: Double): Seq[(String, Long)] = {
     require(counts.nonEmpty, "temperatureRates needs at least one group")
+    // loud, not an NPE inside sortBy: a null group key means the caller's
+    // group column has nulls — fill or filter before resampling
+    require(counts.forall(_._1 != null),
+      "temperatureRates: null group key — fill or filter the group column first")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
     val sorted = counts.sortBy(_._1)
@@ -92,19 +96,26 @@ object Mixture {
             element_at(col("t"), col("i")),
             element_at(col("t"), col("i") + 1))), 1, 8), 16, 10)
           .cast(LongType) % numBuckets).as("bucket"))
-    val perDocBucket = occ.groupBy("id", "bucket")
+    // ONE tokenize+explode scan feeds both the bucket model and the
+    // per-doc counts: a lazy checkpoint truncates the plan so neither
+    // consumer re-derives it (the duplicated-lazy-plan trap measured at
+    // 7x in connectedComponents). eager=false keeps query CONSTRUCTION
+    // free — nothing executes until the result is consumed.
+    val occC = occ.localCheckpoint(false)
+    val perDocBucket = occC.groupBy("id", "bucket")
       .agg(count(lit(1)).as("c"))
-    val model = occ.groupBy("bucket")
+    val model = occC.groupBy("bucket")
       .agg(count(lit(1)).as("c_raw"),
         count(when(col("__tgt"), 1)).as("c_tgt"))
-    // totals are two scalars — one tiny aggregate, folded into literals so
-    // the ratio join needs no cross join
-    val totals = model.agg(sum(col("c_raw")).as("r"), sum(col("c_tgt")).as("t"))
-      .head()
-    val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
-    val ratio = model.select(col("bucket"),
-      (log((col("c_tgt") + 1).cast(DoubleType) / lit((tTot + numBuckets).toDouble)) -
-        log((col("c_raw") + 1).cast(DoubleType) / lit((rTot + numBuckets).toDouble)))
+    // totals ride a 1-row aggregate broadcast back (the d26 IDF pattern)
+    // instead of a driver-side head(), which would execute the corpus
+    // aggregation eagerly at DataFrame-construction time
+    val totals = model.agg(sum(col("c_raw")).as("__r"), sum(col("c_tgt")).as("__t"))
+    val ratio = model.crossJoin(broadcast(totals)).select(col("bucket"),
+      (log((col("c_tgt") + 1).cast(DoubleType) /
+          (col("__t") + numBuckets).cast(DoubleType)) -
+        log((col("c_raw") + 1).cast(DoubleType) /
+          (col("__r") + numBuckets).cast(DoubleType)))
         .as("lr"))
     perDocBucket.join(broadcast(ratio), Seq("bucket"))
       .groupBy("id")
