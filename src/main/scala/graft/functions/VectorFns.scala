@@ -57,4 +57,17 @@ object VectorFns {
     }
     concat(bitCols: _*)
   }
+
+  /** The (b, j) plane coefficient as a JVM double — EXACTLY the value the
+    * column expression above computes (murmur3 of "hp<b>|<j>" at Spark's
+    * fixed seed 42, int-cast to double, / 2³²), exposed so an oracle can
+    * inline the 6×64 constants: the coefficients are data-independent,
+    * and a shortest-repr double literal parses back to the same bits on
+    * any engine. Equality with hash(lit(...)) is pinned by spec. */
+  def planeCoef(b: Int, j: Int): Double = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"hp$b|$j")
+    org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      .toDouble / 4294967296.0
+  }
 }

@@ -505,16 +505,42 @@ object TextVector {
       FROM embeddings WHERE vec_id < 30"""))
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH blocking +
-    * exact cosine verify (rows-only: murmur-seeded hyperplanes). The test
-    * embeddings are near-random (max pairwise cosine ~0.46), so the
-    * threshold sits where this corpus actually has neighbors; production
-    * near-dup removal would use ~0.95. */
+    * exact cosine verify — now ORACLE-GATED end to end: the murmur-seeded
+    * plane coefficients are DATA-INDEPENDENT constants (hash("hp<b>|<j>")
+    * / 2³²), so the oracle inlines the same 6×64 doubles (shortest-repr
+    * literals round-trip exactly) and replays bucketing, the bucket
+    * equi-join, and the e2-parity cosine verify. The projection sums fold
+    * left in dimension order on both engines; `>= 0` on bit-identical
+    * sums picks identical buckets. The test embeddings are near-random
+    * (max pairwise cosine ~0.46), so the threshold sits where this corpus
+    * actually has neighbors; production near-dup removal would use ~0.95.
+    * (TextVectorSpec pins the inlined constants == hash(lit(...)).) */
   val e4 = QueryDef("e4_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
       "vec_id", "embedding", dim = 64, bits = 6, cosineThreshold = 0.3)
       .withColumn("cosine", round(col("cosine"), 4))
       .orderBy("id_a", "id_b"),
-    None)
+    Some {
+      def dot(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val cos = s"${dot("ea.embedding", "eb.embedding")} / " +
+        s"(sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
+      val bitExprs = (0 until 6).map { b =>
+        val terms = (0 until 64).map { j =>
+          s"CAST(embedding[${j + 1}] AS DOUBLE) * (${graft.functions.VectorFns.planeCoef(b, j)})"
+        }.mkString(" + ")
+        s"CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH sig AS (SELECT vec_id, $bitExprs AS bucket FROM embeddings),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT p.id_a, p.id_b, round($cos, 4) AS cosine
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+        WHERE $cos >= 0.3
+        ORDER BY p.id_a, p.id_b"""
+    })
 
   /** Multimodal asset plumbing over synthesized binary content (documents'
     * bytes play the asset payload): content entropy stats + frame-sample

@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Mixture}
   */
 object TextVector5 {
 
-  def defs: Seq[QueryDef] = Seq(d41, d42, d43, d44)
+  def defs: Seq[QueryDef] = Seq(d41, d42, d43, d44, d45)
 
   /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
     * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
@@ -198,4 +198,51 @@ object TextVector5 {
         COALESCE(a.cleaned, '') AS cleaned_text
       FROM tok t LEFT JOIN agg a USING (doc_id)
       ORDER BY t.doc_id"""))
+
+  /** SimHash CONSTRUCTION pinned cross-engine (Charikar 2002) — the d21/
+    * d25 pattern applied to the third sketch family: per token a 32-bit
+    * md5 base value; bit b accumulates +1 when set, −1 when clear, over
+    * the doc's token multiset; sketch bit b = (sum > 0). The production
+    * d7 path keeps its fast JVM hash family (not SQL-reproducible); this
+    * judges the construction — tokenization, bit voting, sign pack — on
+    * the 5% subsample. 2^b via pow(2,b) is exact in doubles below 2³²,
+    * so the pack is engine-identical. */
+  val d45 = QueryDef("d45_simhash_md5_oracle",
+    (s, dir) => {
+      import graft.functions.TextFns
+      val tok = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType).as("h"))
+      val votes = tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("doc_id"), col("b"),
+          // h < 2^32, so unsigned-shift-then-%2 == DuckDB's (h >> b) & 1
+          when(expr("shiftrightunsigned(h, b) % 2") === 1,
+            lit(1)).otherwise(lit(-1)).as("w"))
+        .groupBy("doc_id", "b").agg(sum(col("w")).as("sgn"))
+      votes.groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("b")).cast(LongType))
+          .otherwise(lit(0L))).as("sketch32"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(t) AS tok
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id % 20 = 0)
+        WHERE len(t) >= 3),
+      hv AS (SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM tok),
+      votes AS (SELECT doc_id, b,
+          SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM hv CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b)
+        GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN sgn > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS sketch32
+      FROM votes GROUP BY doc_id ORDER BY doc_id"""))
 }

@@ -368,4 +368,16 @@ class TextVectorSpec extends SparkSpec {
       jaccardThreshold = 0.7).collect()
     assert(md5Star.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet == starIds)
   }
+
+  test("planeCoef inlines exactly the murmur coefficient the column " +
+    "expression computes (the e4 oracle constants)") {
+    import org.apache.spark.sql.functions.{hash => mm, lit}
+    val pairs = Seq((0, 0), (0, 63), (3, 17), (5, 63))
+    val df = pairs.map { case (b, j) => s"hp$b|$j" }.toDF("s")
+      .select((mm(col("s")).cast("double") / lit(4294967296.0)).as("c"))
+    val fromCol = df.as[Double].collect()
+    val fromJvm = pairs.map { case (b, j) => VectorFns.planeCoef(b, j) }
+    assert(fromCol.toSeq == fromJvm,
+      s"column $fromCol vs jvm $fromJvm must be bit-identical")
+  }
 }
