@@ -86,12 +86,18 @@ object GenScale {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // events keep user_id (deep = per-user history growth); event_id keeps
       // rows unique, so the stride only needs to spread load, not stay
-      // disjoint. 61 days in nanos × tile fits a Long for any sane tile
-      // count (7y × >41 tiles would overflow TIMESTAMP(NANOS) range).
-      write(tiled("events", (d, i) => d
-        .withColumn("event_id", col("event_id") + i * E)
-        .withColumn("ts", col("ts") + expr(s"${i}L * ${61L * 86400L} * 1000000000"))),
-        "events")
+      // disjoint. The ts shift dispatches on the OBSERVED encoding like
+      // Tables.events: raw nanos longs for the TIMESTAMP(NANOS) testdata
+      // generation (61 days × tile in nanos fits a Long for any sane tile
+      // count), timestampadd for the TIMESTAMP(MICROS) generation.
+      write(tiled("events", (d, i) => {
+        val shifted =
+          if (d.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            col("ts") + expr(s"${i}L * ${61L * 86400L} * 1000000000")
+          else expr(s"timestampadd(DAY, ${i * 61}, ts)")
+        d.withColumn("event_id", col("event_id") + i * E)
+          .withColumn("ts", shifted)
+      }), "events")
     } else {
       write(tiled("customer",
         (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * C)), "customer")
