@@ -16,7 +16,16 @@ object TextFns {
     * interpreted, with no common-subexpression elimination inside the
     * lambda — passing `tokens(text)` directly into `shinglesOf` re-runs the
     * regex split once per element_at. Bind tokens to a column first
-    * (`withColumn("toks", tokens(...))`) and pass the attribute. */
+    * (`withColumn("toks", tokens(...))`) and pass the attribute.
+    *
+    * ORACLE-PARITY boundary (relied on by every documents oracle, which
+    * pairs this with DuckDB's `regexp_split_to_array(trim(text), '\s+')`):
+    * Java regex `\s` is [ \t\n\x0B\f\r] but DuckDB's RE2 `\s` excludes
+    * vertical tab \x0B, and on the EMPTY string Spark splits to [] while
+    * DuckDB yields ['']. Both differences are outside the corpus contract
+    * (no \x0B; oracle queries that could see empty docs filter on a token
+    * floor that the engines agree on for both representations). A corpus
+    * where either could occur needs an explicit pre-normalization step. */
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 

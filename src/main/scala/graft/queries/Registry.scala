@@ -24,4 +24,20 @@ object QueryDef {
   def moneySum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
   val ONE: Column = lit(1).cast(DecimalType(18, 2))
+
+  /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
+    * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
+    * engines produce the same bits (the e2-proven construction). Shared by
+    * the embedding oracles so the formulation cannot fork. */
+  def dotSql64(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Cosine with the zero-norm guard mirroring CosineSim's NULL: without
+    * it DuckDB yields NaN, which is GREATER than everything in its
+    * ordering and comparisons (NaN >= t is TRUE), while Spark's NULL
+    * drops out of filters and sorts last under DESC — a zero vector would
+    * silently diverge any gate built on the unguarded form. */
+  def cosSql64(a: String, b: String): String =
+    s"""CASE WHEN ${dotSql64(a, a)} > 0 AND ${dotSql64(b, b)} > 0
+      THEN ${dotSql64(a, b)} / (sqrt(${dotSql64(a, a)}) * sqrt(${dotSql64(b, b)})) END"""
 }

@@ -521,10 +521,10 @@ object TextVector {
       .withColumn("cosine", round(col("cosine"), 4))
       .orderBy("id_a", "id_b"),
     Some {
-      def dot(a: String, b: String): String =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      val cos = s"${dot("ea.embedding", "eb.embedding")} / " +
-        s"(sqrt(${dot("ea.embedding", "ea.embedding")}) * sqrt(${dot("eb.embedding", "eb.embedding")}))"
+      // shared guarded cosine (QueryDef.cosSql64): a zero-norm vector is
+      // NULL on both engines, matching CosineSim — NaN would pass
+      // DuckDB's >= filter while Spark's NULL never does
+      val cos = QueryDef.cosSql64("ea.embedding", "eb.embedding")
       val bitExprs = (0 until 6).map { b =>
         val terms = (0 until 64).map { j =>
           s"CAST(embedding[${j + 1}] AS DOUBLE) * (${graft.functions.VectorFns.planeCoef(b, j)})"

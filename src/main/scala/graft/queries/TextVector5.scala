@@ -18,17 +18,9 @@ object TextVector5 {
 
   def defs: Seq[QueryDef] = Seq(d41, d42, d43, d44, d45)
 
-  /** 64-dim dot product as DuckDB SQL — the identical sequential left-fold
-    * (in index order, doubles) as [[graft.functions.VectorExprs]], so both
-    * engines produce the same bits (the e2-proven construction). The
-    * zero-norm CASE mirrors CosineSim's NULL: without it DuckDB yields
-    * NaN, which sorts FIRST under DESC while Spark's NULL sorts last —
-    * a zero vector in the fixture would silently diverge the assignment. */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cosSql(a: String, b: String): String =
-    s"""CASE WHEN ${dotSql(a, a)} > 0 AND ${dotSql(b, b)} > 0
-      THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"""
+  /** Guarded 64-dim cosine, shared with the other embedding oracles —
+    * see [[QueryDef.cosSql64]] for the zero-norm/NaN rationale. */
+  private def cosSql(a: String, b: String): String = QueryDef.cosSql64(a, b)
 
   /** SemDeDup over the embeddings table with injected deterministic anchors
     * (every 50th vec_id — the judged stand-in for kmeansCentroids, the

@@ -378,6 +378,6 @@ class TextVectorSpec extends SparkSpec {
     val fromCol = df.as[Double].collect()
     val fromJvm = pairs.map { case (b, j) => VectorFns.planeCoef(b, j) }
     assert(fromCol.toSeq == fromJvm,
-      s"column $fromCol vs jvm $fromJvm must be bit-identical")
+      s"column ${fromCol.toSeq} vs jvm $fromJvm must be bit-identical")
   }
 }
