@@ -242,37 +242,49 @@ object TextVector5 {
 
   /** The Gopher quality-rule composite (Rae et al. 2021, Appendix A —
     * the published MassiveWeb filter set), per-rule verdicts + overall
-    * pass, judged for every doc. The ratio thresholds are phrased in
-    * EXACT integer arithmetic (chars ≥ 3·words, 5·alpha ≥ 4·words,
-    * 10·symbols ≤ words) so no float ever reaches a rule boundary —
-    * engine-identical by construction. Line-level rules (bullet/ellipsis
-    * line starts) are N/A on this single-line corpus and documented out;
-    * d3/d32/d36 carry the repo's other quality-filter shapes. */
+    * pass, judged for every doc. Paper-faithful details: the 0.1
+    * symbol-to-word threshold applies to the hash ratio and the ellipsis
+    * ratio SEPARATELY (either failing fails the rule), and the stopword
+    * rule requires ≥ 2 DISTINCT members of the paper's 8-word list (the,
+    * be, to, of, and, that, have, with) — not occurrence counts. All
+    * ratio thresholds are phrased in EXACT integer arithmetic (chars ≥
+    * 3·words, 5·alpha ≥ 4·words, 10·hash ≤ words, 10·ellipsis ≤ words)
+    * so no float ever reaches a rule boundary — engine-identical by
+    * construction. The non-whitespace char count reuses d2's codegen'd
+    * regexp_replace form (sum of token lengths == chars minus whitespace;
+    * the interpreted per-token lambda costs two extra passes). Line-level
+    * rules (bullet/ellipsis line starts) are N/A on this single-line
+    * corpus and documented out; d3/d32/d36 carry the repo's other
+    * quality-filter shapes. */
   val d46 = QueryDef("d46_gopher_rules",
     (s, dir) => {
       import graft.functions.TextFns
-      val en = TextFns.langStopwords.toMap.apply("en")
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       val m = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
         .select(col("doc_id"),
           size(col("t")).cast(LongType).as("n_words"),
-          aggregate(transform(col("t"), w => length(w).cast(LongType)),
-            lit(0L), (a, x) => a + x).as("n_chars_tok"),
+          length(regexp_replace(col("text"), "\\s+", ""))
+            .cast(LongType).as("n_chars_tok"),
           size(filter(col("t"), w => w.rlike("[A-Za-z]")))
             .cast(LongType).as("n_alpha"),
-          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
-            ((length(col("text")) -
-              length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
-              .cast(IntegerType)).cast(LongType).as("n_sym"),
-          TextFns.vocabTokenCountOf(col("t"), en).cast(LongType).as("n_stop"))
+          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast(LongType).as("n_hash"),
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+            .cast(LongType).as("n_ellipsis"),
+          size(array_intersect(array_distinct(col("t")),
+            array(gopherStops.map(lit(_)): _*)))
+            .cast(LongType).as("n_stop_words"))
       val rWc = col("n_words").between(50, 100000)
       val rMwl = col("n_chars_tok") >= col("n_words") * 3 &&
         col("n_chars_tok") <= col("n_words") * 10
-      val rSym = col("n_sym") * 10 <= col("n_words")
+      val rSym = col("n_hash") * 10 <= col("n_words") &&
+        col("n_ellipsis") * 10 <= col("n_words")
       val rAlpha = col("n_alpha") * 5 >= col("n_words") * 4
-      val rStop = col("n_stop") >= 2
+      val rStop = col("n_stop_words") >= 2
       m.select(col("doc_id"), col("n_words"), col("n_chars_tok"),
-          col("n_alpha"), col("n_sym"), col("n_stop"),
+          col("n_alpha"), col("n_hash"), col("n_ellipsis"), col("n_stop_words"),
           rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
           rSym.as("r_symbol_ratio"), rAlpha.as("r_alpha_words"),
           rStop.as("r_stopwords"),
@@ -281,24 +293,24 @@ object TextVector5 {
     },
     Some(s"""WITH m AS (SELECT doc_id,
         CAST(len(t) AS BIGINT) AS n_words,
-        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars_tok,
+        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars_tok,
         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        CAST((length(text) - length(replace(text, '#', '')))
-          + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
-        CAST(len(list_filter(t, x -> list_contains(
-          ['the','a','of','and','to','in','is','that','it','for'], x))) AS BIGINT) AS n_stop
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+          w -> list_contains(t, w))) AS BIGINT) AS n_stop_words
       FROM (SELECT doc_id, text,
           regexp_split_to_array(trim(text), '\\s+') AS t FROM documents))
-      SELECT doc_id, n_words, n_chars_tok, n_alpha, n_sym, n_stop,
+      SELECT doc_id, n_words, n_chars_tok, n_alpha, n_hash, n_ellipsis, n_stop_words,
         (n_words BETWEEN 50 AND 100000) AS r_word_count,
         (n_chars_tok >= n_words * 3 AND n_chars_tok <= n_words * 10) AS r_mean_word_len,
-        (n_sym * 10 <= n_words) AS r_symbol_ratio,
+        (n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words) AS r_symbol_ratio,
         (n_alpha * 5 >= n_words * 4) AS r_alpha_words,
-        (n_stop >= 2) AS r_stopwords,
+        (n_stop_words >= 2) AS r_stopwords,
         ((n_words BETWEEN 50 AND 100000)
           AND (n_chars_tok >= n_words * 3 AND n_chars_tok <= n_words * 10)
-          AND (n_sym * 10 <= n_words)
+          AND (n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words)
           AND (n_alpha * 5 >= n_words * 4)
-          AND (n_stop >= 2)) AS gopher_pass
+          AND (n_stop_words >= 2)) AS gopher_pass
       FROM m ORDER BY doc_id"""))
 }
