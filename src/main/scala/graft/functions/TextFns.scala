@@ -21,11 +21,12 @@ object TextFns {
     * ORACLE-PARITY boundary (relied on by every documents oracle, which
     * pairs this with DuckDB's `regexp_split_to_array(trim(text), '\s+')`):
     * Java regex `\s` is [ \t\n\x0B\f\r] but DuckDB's RE2 `\s` excludes
-    * vertical tab \x0B, and on the EMPTY string Spark splits to [] while
-    * DuckDB yields ['']. Both differences are outside the corpus contract
-    * (no \x0B; oracle queries that could see empty docs filter on a token
-    * floor that the engines agree on for both representations). A corpus
-    * where either could occur needs an explicit pre-normalization step. */
+    * vertical tab \x0B — outside the corpus contract (no \x0B); a corpus
+    * where it could occur needs an explicit pre-normalization step.
+    * On the EMPTY string the engines AGREE: Spark's split uses Java
+    * Pattern.split with limit -1, which returns [""] for empty input,
+    * the same single-empty-token array DuckDB yields (verified against
+    * Spark 4.1.2: split(trim(lit("")), "\s+") == [""]). */
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 

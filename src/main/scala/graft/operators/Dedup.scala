@@ -310,6 +310,12 @@ object Dedup {
     * doesn't stack. The loop FAILS LOUDLY if the round cap is hit before
     * convergence rather than returning half-propagated labels.
     *
+    * NOT LAZY: construction runs an eager localCheckpoint() on the input
+    * pair plan (the 77 s -> 11 s fix above), so merely CALLING this —
+    * without ever consuming the result — executes the full upstream
+    * pair-mining job and pins its blocks in executor storage. Callers
+    * that might build-but-skip the query should defer the call instead.
+    *
     * Returns (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
@@ -390,9 +396,14 @@ object Dedup {
   /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): find every length-`windowTokens` token run that
-    * occurs more than once in the corpus, keep its FIRST occurrence (the
-    * minimal (doc_id, position)), and cut every other occurrence out of
-    * its document — the span-level cousin of document dedup, catching the
+    * occurs more than once in the corpus, elect its FIRST occurrence (the
+    * minimal (doc_id, position)) as keeper, and cut every other occurrence
+    * out of its document. The guarantee is WINDOW-granular, not
+    * span-exact: for self-overlapping periodic repeats within one doc,
+    * the rn>1 windows overlap the rn=1 keeper window, so tokens inside
+    * the kept first occurrence can also be removed (e.g. a token repeated
+    * 21 times with L=20 keeps only 1 copy, not 20). Deterministic and
+    * oracle-matched — the span-level cousin of document dedup, catching the
     * boilerplate d1/d5 cannot (shared headers inside otherwise-distinct
     * docs). The paper builds a corpus suffix array over bytes; this is the
     * distributed-friendly formulation — fixed-L token windows hashed and

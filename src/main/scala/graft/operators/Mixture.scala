@@ -131,15 +131,21 @@ object Mixture {
                           alpha: Double, targetFraction: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // The group key is stringified on BOTH sides (driver collect and join
+    // condition) so a non-string groupCol (e.g. an int domain id) works —
+    // previously r.getString(0) threw ClassCastException there while the
+    // md5-bucket side was already type-generic. Primitive values stringify
+    // injectively, so the string-equality join is exact.
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("__grp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
     val rates = temperatureRates(counts, alpha, targetFraction)
-      .toDF(groupCol, "rate_bp")
+      .toDF("__grp", "rate_bp")
     val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
       .cast(LongType) % 10000
-    df.join(broadcast(rates), Seq(groupCol))
+    df.join(broadcast(rates), col(groupCol).cast(StringType) === col("__grp"))
       .withColumn("__bucket", bucket)
       .filter(col("__bucket") < col("rate_bp"))
-      .drop("__bucket")
+      .drop("__bucket", "__grp")
   }
 }

@@ -128,6 +128,19 @@ class TextVector5Spec extends SparkSpec {
     assert(math.abs(kept.count() - 200L) < 40L)
   }
 
+  test("temperatureResample accepts a non-string group column (int domain " +
+    "id) and matches the stringified-key run") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) 7 else 3)).toDF("doc_id", "domain")
+    val byInt = Mixture.temperatureResample(docs, "domain", "doc_id", 0.5, 0.5)
+    val byStr = Mixture.temperatureResample(
+      docs.withColumn("domain", col("domain").cast("string")),
+      "domain", "doc_id", 0.5, 0.5)
+    assert(byInt.select("doc_id").as[Long].collect().toSet ==
+      byStr.select("doc_id").as[Long].collect().toSet)
+    assert(byInt.count() > 0)
+  }
+
   test("exactSubstringRemoval cuts later occurrences of a shared run, " +
     "keeps the first, and leaves short docs untouched") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
