@@ -7,6 +7,7 @@ package graft
   *
   *   runMain graft.StageProfile w4  [sfDir]   # DynamicRow build stages
   *   runMain graft.StageProfile d23 [sfDir]   # pair mining vs components
+  *   runMain graft.StageProfile p4  [sfDir]   # p1 assembly vs GBT fit vs score math
   *
   * Round-6 provenance: the d23 mode caught connectedComponents evaluating
   * its input pair plan once per union branch (77 s → 5 s after the input
@@ -45,6 +46,38 @@ object StageProfile {
           graft.pipeline.TickerValidation.validate(
             graft.features.TickerFeatures.dynamicFeatures(grid, in)).count()
         }
+      case "p4" =>
+        // attribution for the p4 bench median: how much is the (shared,
+        // memoized) p1 feature assembly, how much the GBT fit itself, how
+        // much the declarative phase-4/5 math (now also oracle-gated as
+        // p5_score_math). A slow driver median with flat numbers here = VM
+        // load, not a plan regression.
+        import org.apache.spark.sql.functions.{col, lit, when, broadcast}
+        import org.apache.spark.sql.types.StringType
+        val features = t("p1 feature table (build+checkpoint)") {
+          val f = graft.queries.Pipeline.p1MaterializedForProbe(spark, dir)
+          f.count(); f
+        }
+        val labeled = features.withColumn("cut_label",
+          when(col("max_drawdown_1y") > 0.5, 1.0).otherwise(0.0))
+        val (scored, auc) = t("GBT fit + holdout AUC (eager)") {
+          graft.analysis.Scoring.fitCutProbability(
+            labeled, "cut_label", cutoff = "2000-01-01")
+        }
+        println(f"  auc=$auc%.4f")
+        val cached = t("model transform (count)") {
+          val c = scored.localCheckpoint(); c.count(); c
+        }
+        t("phase 4-5 score + portfolio (count)") {
+          val sectors = graft.core.Tables.customer(spark, dir)
+            .select(col("c_custkey").cast(StringType).as("ticker"),
+              col("c_mktsegment").as("sector"))
+          graft.analysis.Scoring.constructPortfolio(
+            graft.analysis.Scoring.score(cached)
+              .join(broadcast(sectors), Seq("ticker"), "left"),
+            n = 20, groupCols = Seq("sector"), maxPerGroup = 0.2,
+            maxCutProb = 0.9).count()
+        }
       case "d23" =>
         val pairs = graft.operators.Dedup.blockedJaccardPairs(
           graft.core.Tables.documents(spark, dir), "doc_id", "text",
@@ -55,7 +88,7 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4")
     }
     spark.stop()
   }

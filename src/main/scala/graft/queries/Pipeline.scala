@@ -14,10 +14,12 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, m1)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, m1)
 
   private[graft] def inputsForProbe(s: org.apache.spark.sql.SparkSession,
                                     dir: String) = inputsFrom(s, dir)
+  private[graft] def p1MaterializedForProbe(s: org.apache.spark.sql.SparkSession,
+                                            dir: String) = p1Materialized(s, dir)
   private[graft] def indexForProbe(s: org.apache.spark.sql.SparkSession,
                                    dir: String) = indexFrom(s, dir)
 
@@ -213,6 +215,101 @@ object Pipeline {
         .orderBy("ticker", "as_of")
     },
     None)
+
+  /** Phases 4-5 ONLY, over a fixed deterministic `cut_prob` column —
+    * ORACLE-GATED. p4's GBT fit is not an oracle surface, but the score
+    * formula (Final Score = AdjYield*0.5 + DivGrowth*0.3 + Stability*0.2,
+    * README.md:78-115) and the constrained portfolio (rank windows, group
+    * cap, top-N, 1/N weights) are pure declarative math; this query runs
+    * the SAME production code ([[graft.analysis.Scoring.score]] +
+    * [[graft.analysis.Scoring.constructPortfolio]]) against a DuckDB twin
+    * that re-derives every clamp, coalesce default, log1p growth scale,
+    * and both rank windows. cut_prob replays the d42 md5-bucket rule so
+    * both engines agree on it bit-for-bit; features are key-derived with
+    * per-column NULL slices to exercise each coalesce default. After this,
+    * the only unjudged surface in p4 is the GBT fit itself. */
+  val p5 = QueryDef("p5_score_math",
+    (s, dir) => {
+      val ck = col("c_custkey")
+      val feat = Tables.customer(s, dir).select(
+        ck.cast(StringType).as("ticker"),
+        col("c_mktsegment").as("sector"),
+        when(ck % 23 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 80).cast(DoubleType) / 1000.0).as("dividend_yield"),
+        when(ck % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(((ck % 60).cast(DoubleType) - 10.0) / 100.0)
+          .as("dividend_cagr_3y"),
+        when(ck % 17 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 100).cast(DoubleType) / 100.0).as("max_drawdown_1y"),
+        when(ck % 11 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 35).cast(DoubleType) / 10.0).as("volatility"),
+        when(ck % 13 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 25).cast(DoubleType) / 10.0).as("payout_ratio"),
+        when(ck % 19 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 22).cast(DoubleType)).as("net_debt_to_ebitda"),
+        ((conv(substring(md5(ck.cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 10000).cast(DoubleType) / 10000.0).as("cut_prob"))
+      val scored = graft.analysis.Scoring.score(feat)
+      graft.analysis.Scoring.constructPortfolio(scored, n = 20,
+        groupCols = Seq("sector"), maxPerGroup = 0.2, maxCutProb = 0.25)
+        .select(col("ticker"), col("sector"),
+          round(col("adj_yield"), 6).as("adj_yield"),
+          round(col("div_growth"), 6).as("div_growth"),
+          round(col("stability"), 6).as("stability"),
+          round(col("final_score"), 6).as("final_score"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("ticker")
+    },
+    Some("""WITH feat AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS ticker, c_mktsegment AS sector,
+          CASE WHEN c_custkey % 23 = 0 THEN NULL
+               ELSE CAST(c_custkey % 80 AS DOUBLE) / 1000.0 END AS dy,
+          CASE WHEN c_custkey % 7 = 0 THEN NULL
+               ELSE (CAST(c_custkey % 60 AS DOUBLE) - 10.0) / 100.0 END AS cagr,
+          CASE WHEN c_custkey % 17 = 0 THEN NULL
+               ELSE CAST(c_custkey % 100 AS DOUBLE) / 100.0 END AS dd,
+          CASE WHEN c_custkey % 11 = 0 THEN NULL
+               ELSE CAST(c_custkey % 35 AS DOUBLE) / 10.0 END AS vol,
+          CASE WHEN c_custkey % 13 = 0 THEN NULL
+               ELSE CAST(c_custkey % 25 AS DOUBLE) / 10.0 END AS pr,
+          CASE WHEN c_custkey % 19 = 0 THEN NULL
+               ELSE CAST(c_custkey % 22 AS DOUBLE) END AS nde,
+          CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+            AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS cut_prob
+        FROM customer),
+      scored AS (
+        SELECT ticker, sector, cut_prob,
+          COALESCE(dy, 0.0) * (1.0 - cut_prob) AS adj_yield,
+          ln(1.0 + least(greatest(COALESCE(cagr, 0.0) / 0.30, 0.0), 1.0) * 0.30)
+            / ln(1.0 + 0.30) AS div_growth,
+          ((1.0 - cut_prob)
+           + (1.0 - least(greatest(COALESCE(dd, 1.0), 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(vol, 3.0) / 3.0, 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(pr, 2.0) / 2.0, 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(nde, 20.0) / 20.0, 0.0), 1.0))) / 5.0
+            AS stability
+        FROM feat),
+      final AS (
+        SELECT *, adj_yield * 0.5 + div_growth * 0.3 + stability * 0.2
+          AS final_score
+        FROM scored WHERE cut_prob < 0.25),
+      grp AS (
+        SELECT *, row_number() OVER
+            (PARTITION BY sector ORDER BY final_score DESC, ticker) AS gr
+        FROM final),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY final_score DESC, ticker) AS rk
+        FROM grp WHERE gr <= 4),
+      port AS (
+        SELECT *, 1.0 / COUNT(*) OVER () AS weight
+        FROM (SELECT * FROM ranked WHERE rk <= 20))
+      SELECT ticker, sector,
+        round(adj_yield, 6) AS adj_yield,
+        round(div_growth, 6) AS div_growth,
+        round(stability, 6) AS stability,
+        round(final_score, 6) AS final_score,
+        round(weight, 6) AS weight
+      FROM port ORDER BY ticker"""))
 
   /** The macro pipeline (grid form) over a nation×year wide table derived
     * from orders — ORACLE-GATED: the DuckDB SQL replicates the exact
