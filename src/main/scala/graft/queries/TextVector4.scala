@@ -143,11 +143,25 @@ object TextVector4 {
     * deterministic in both engines. Scale: signatures are 16 longs per
     * doc (constant state); pair comparison is 16 equality checks, not a
     * shingle-set intersection — the whole point of minhash. Lang blocking
-    * bounds the candidate pairs. */
+    * bounds the candidate pairs.
+    *
+    * The random-doc fixture has no naturally-shared shingles in the 5%
+    * slice, so the judged surface would be the empty relation (both
+    * engines agreeing on emptiness proves nothing). Deterministic TWIN
+    * docs are injected (the d41-anchor injection pattern): every
+    * doc_id % 100 doc reappears as doc_id + 1e9 with one marker token
+    * appended — a guaranteed high-but-not-1.0 Jaccard pair per twin, so
+    * est_jaccard vs exact_jaccard is judged on NON-EMPTY rows at every
+    * SF. */
   val d35 = QueryDef("d35_minhash_jaccard_est",
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .filter(col("doc_id") % 20 === 0)
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val twins = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" twindupmarker")).as("text"))
+      val toks = base.union(twins)
         .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
       val sh = toks
@@ -190,9 +204,14 @@ object TextVector4 {
             .as("exact_jaccard"))
         .orderBy("id_a", "id_b")
     },
-    Some(s"""WITH tok AS (SELECT doc_id, lang,
+    Some(s"""WITH base AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 1000000000, lang, text || ' twindupmarker'
+        FROM documents WHERE doc_id % 100 = 0),
+      tok AS (SELECT doc_id, lang,
         regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents WHERE doc_id % 20 = 0),
+        FROM base),
       sh AS (SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
         WHERE len(toks) >= 3),
