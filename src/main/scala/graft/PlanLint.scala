@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan lint (dev tool, run per round): plans EVERY registered query and
   * flags physical join shapes that do not survive 100 TB —
@@ -35,6 +37,16 @@ object PlanLint {
     "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),
     "m1_macro_pipeline" -> (1, "country series x literal year grid"))
 
+  /** query -> (allowed NAKED global-window count, justification). A
+    * WindowExec with no partition spec moves ALL rows to one partition —
+    * the single-partition trap at 100 TB. It is acceptable ONLY when its
+    * input is already a bounded relation. The common bounded shape — an
+    * aggregation or limit somewhere below the window — is auto-detected
+    * (`boundedBelow`); what lands here is the remainder: windows whose
+    * boundedness is structural (a checkpointed post-aggregation frame, a
+    * sampled slice) but not visible in the physical plan. */
+  val allowedGlobalWindow: Map[String, (Int, String)] = Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -47,23 +59,43 @@ object PlanLint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def offenders(p: SparkPlan): (Int, Int) = {
+    // "post-aggregation bounded": the subtree has already reduced (any
+    // aggregate) or truncated (any limit) the data, so a global window on
+    // top of it sorts #groups / #limit rows, not the corpus.
+    def boundedBelow(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case _: HashAggregateExec => ()
+        case _: ObjectHashAggregateExec => ()
+        case _: SortAggregateExec => ()
+        case _: GlobalLimitExec => ()
+        case _: CollectLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+      }.nonEmpty
+
+    def offenders(p: SparkPlan): (Int, Int, Int) = {
       val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
-      (cart, bnlj)
+      val nakedWin = p.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }.size
+      (cart, bnlj, nakedWin)
     }
 
     var bad = List.empty[String]
     var planned = 0
     SparkEntry.allDefs.sortBy(_.name).foreach { d =>
       try {
-        val (cart, bnlj) = offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
+        val (cart, bnlj, nakedWin) =
+          offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
         planned += 1
         if (cart > 0)
           bad ::= s"${d.name}: $cart CartesianProductExec (never allowed)"
         val allowed = allowedBnlj.get(d.name).map(_._1).getOrElse(0)
         if (bnlj > allowed)
           bad ::= s"${d.name}: $bnlj BroadcastNestedLoopJoinExec (allowed $allowed)"
+        val allowedWin = allowedGlobalWindow.get(d.name).map(_._1).getOrElse(0)
+        if (nakedWin > allowedWin)
+          bad ::= s"${d.name}: $nakedWin naked global WindowExec (allowed $allowedWin)"
       } catch {
         // a query that cannot even plan is a verify problem, not a lint one
         case e: Throwable => println(s"[planlint] SKIP ${d.name}: ${e.getMessage}")

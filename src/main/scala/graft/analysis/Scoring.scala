@@ -111,16 +111,20 @@ object Scoring {
     val eligible = scored.filter(col("cut_prob") < maxCutProb)
     val wGroup = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("final_score").desc, col("ticker"))
-    val wGlobal = Window.orderBy(col("final_score").desc, col("ticker"))
     // weight = 1/selected: the eligibility filter or group cap can leave
     // fewer than n names, and portfolio weights must still sum to 1.
     val wAll = Window.partitionBy()
+    // global top-N as sort+limit, NOT a row_number window: this plans as
+    // TakeOrderedAndProject (per-partition top-N, then merge) instead of
+    // moving every capped row to one partition — the (score, ticker) order
+    // is total, so the selected set is identical. The weight window is
+    // global but sits above the N-row limit, so it sorts N rows.
     eligible
       .withColumn("__grp_rank", row_number().over(wGroup))
       .filter(col("__grp_rank") <= perGroupCap)
-      .withColumn("__rank", row_number().over(wGlobal))
-      .filter(col("__rank") <= n)
+      .orderBy(col("final_score").desc, col("ticker"))
+      .limit(n)
       .withColumn("weight", lit(1.0) / count(lit(1)).over(wAll))
-      .drop("__grp_rank", "__rank")
+      .drop("__grp_rank")
   }
 }
