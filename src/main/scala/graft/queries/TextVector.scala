@@ -123,14 +123,63 @@ object TextVector {
           ELSE 'und' END AS predicted_lang
       FROM sc ORDER BY doc_id"""))
 
-  /** MinHash+LSH near-dup pairs (murmur3 signatures — no DuckDB oracle;
-    * rows-only check). */
+  /** MinHash+LSH near-dup pairs, BOTH hash families on the same fixture,
+    * ORACLE-GATED as an agreement claim: the production JVM family
+    * (murmur3 signatures, not SQL-reproducible) and the md5-seeded affine
+    * family (the d21/d11 construction) each emit their verified pair set
+    * tagged with a `family` column; the DuckDB twin replays the md5
+    * family end-to-end (shingles → affine minhash matrix → band-signature
+    * candidates → exact-Jaccard verify) and emits every pair under BOTH
+    * family labels. The judged claim is therefore: the JVM family's
+    * band/bucket SELECTION surfaces exactly the same verified pairs as
+    * the replayable md5 family — if the families ever diverge on a
+    * judged SF, this row goes red instead of silently passing rows-only.
+    * (Construction twins d21/d45/d25 pin the per-family hash math; this
+    * closes the selection decision, the last unjudged piece.) The exact
+    * Jaccard both families attach is the same shingle-set computation, so
+    * the value column agrees by construction. */
   val d5 = QueryDef("d5_minhash_dedup",
-    (s, dir) => Dedup.minHashNearDuplicates(Tables.documents(s, dir),
-      "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 4,
-      jaccardThreshold = 0.5)
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jvm = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 4, jaccardThreshold = 0.5)
+        .select(lit("jvm").as("family"), col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+      val md5f = Dedup.minHashNearDuplicatesMd5(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4, jaccardThreshold = 0.5)
+        .select(lit("md5").as("family"), col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+      jvm.union(md5f).orderBy("family", "id_a", "id_b")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      shset AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+      seeds(seed, a, b) AS (VALUES ${graft.operators.Dedup.affineSeedsSqlValues(16)}),
+      xv AS (SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x
+        FROM sh),
+      sig AS (SELECT doc_id, seed,
+          MIN((CAST(a AS BIGINT) * x + b) % 4294967311) AS mh
+        FROM xv CROSS JOIN seeds GROUP BY 1, 2),
+      banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+          array_to_string(list(CAST(mh AS VARCHAR) ORDER BY seed), ',') AS bkey
+        FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver AS (SELECT c.id_a, c.id_b,
+          CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+        FROM cand c
+        JOIN shset sa ON c.id_a = sa.doc_id
+        JOIN shset sb ON c.id_b = sb.doc_id)
+      SELECT fam.family, v.id_a, v.id_b, round(v.j, 6) AS jaccard
+      FROM ver v CROSS JOIN (VALUES ('jvm'), ('md5')) fam(family)
+      WHERE v.j >= 0.5
+      ORDER BY fam.family, v.id_a, v.id_b"""))
 
   /** Exact blocked n-gram Jaccard pairs (verify step of near-dup),
     * blocked on (source, lang) to bound the quadratic. */
@@ -152,7 +201,13 @@ object TextVector {
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
       ORDER BY id_a, id_b"""))
 
-  /** SimHash near-dup pairs (custom Catalyst expression — rows-only). */
+  /** SimHash near-dup pairs (custom Catalyst expression — rows-only by
+    * design: there is no verify step, so the emitted set is a function of
+    * the family's own hash values and near-threshold pairs legitimately
+    * differ between hash families; an exact-equality oracle would be
+    * wrong). Construction is oracle-gated by d45; the SELECTION decision
+    * is pinned by FamilyAgreementSpec (core-recall + cross-family-overlap
+    * floors against the md5-64 twin, both fixtures). */
   val d7 = QueryDef("d7_simhash_dedup",
     (s, dir) => Dedup.simHashNearDuplicates(Tables.documents(s, dir),
       "doc_id", "text", maxHamming = 3)
@@ -173,7 +228,11 @@ object TextVector {
       ORDER BY doc_id"""))
 
   /** Rolling-hash winnowing fingerprints (custom Catalyst expression) +
-    * shared-fingerprint pair detection (rows-only: custom hash). */
+    * shared-fingerprint pair detection (rows-only: custom hash; no verify
+    * step, so pair sets are family-dependent at the margin). Construction
+    * is oracle-gated by d25; the SELECTION decision is pinned by
+    * FamilyAgreementSpec: exact-Jaccard core ⊆ jvm pairs ⊆ md5-family
+    * pairs on both fixtures. */
   val d9 = QueryDef("d9_winnowing_pairs",
     (s, dir) => {
       val fp = Tables.documents(s, dir)
