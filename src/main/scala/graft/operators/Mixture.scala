@@ -135,10 +135,15 @@ object Mixture {
     // condition) so a non-string groupCol (e.g. an int domain id) works —
     // previously r.getString(0) threw ClassCastException there while the
     // md5-bucket side was already type-generic. Primitive values stringify
-    // injectively, so the string-equality join is exact.
+    // injectively, so the string-equality join is exact. NULL groups are
+    // dropped before the rate derivation: they can never match the join
+    // (NULL = x is never true), and mapping them to the string "null"
+    // would collide with a genuine "null"-valued string group (duplicate
+    // rate keys → row fanout through the join).
     val counts = df.groupBy(col(groupCol).cast(StringType).as("__grp"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+      .filter(col("__grp").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val rates = temperatureRates(counts, alpha, targetFraction)
       .toDF("__grp", "rate_bp")
     val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)

@@ -224,7 +224,9 @@ object Pipeline {
     * the SAME production code ([[graft.analysis.Scoring.score]] +
     * [[graft.analysis.Scoring.constructPortfolio]]) against a DuckDB twin
     * that re-derives every clamp, coalesce default, log1p growth scale,
-    * and both rank windows. cut_prob replays the d42 md5-bucket rule so
+    * the group-cap rank window, and the global top-N (sort+limit in the
+    * engine, rank-filter in the twin — same set under the total order).
+    * cut_prob replays the d42 md5-bucket rule so
     * both engines agree on it bit-for-bit; features are key-derived with
     * per-column NULL slices to exercise each coalesce default. After this,
     * the only unjudged surface in p4 is the GBT fit itself. */

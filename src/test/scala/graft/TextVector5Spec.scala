@@ -141,6 +141,21 @@ class TextVector5Spec extends SparkSpec {
     assert(byInt.count() > 0)
   }
 
+  test("temperatureResample drops NULL groups and keeps them distinct " +
+    "from a literal 'null' string group (no rate-key collision fanout)") {
+    val docs = (1L to 200L).map(i => (i, i % 3 match {
+      case 0 => null; case 1 => "null"; case _ => "en"
+    })).toDF("doc_id", "lang")
+    val kept = Mixture.temperatureResample(docs, "lang", "doc_id", 0.5, 0.5)
+    // no row fanout: every kept doc_id appears exactly once
+    val ids = kept.select("doc_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "rate-key collision fanout")
+    // NULL-group docs are never kept (they cannot match the rate join)
+    assert(kept.filter(col("lang").isNull).count() == 0)
+    // the literal "null" string group resamples normally
+    assert(kept.filter(col("lang") === "null").count() > 0)
+  }
+
   test("exactSubstringRemoval cuts later occurrences of a shared run, " +
     "keeps the first, and leaves short docs untouched") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
