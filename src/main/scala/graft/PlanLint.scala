@@ -32,6 +32,8 @@ object PlanLint {
     "d43_dsir_weights" -> (1, "bucket model x broadcast(1-row totals) for the smoothing denominators - the d26 IDF pattern"),
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
+    "d48_quality_pareto" -> (1, "bucket model x broadcast(1-row doc totals) for the NB smoothing denominators - the d26 pattern"),
+    "e8_pq_adc_topk" -> (1, "encoded corpus x broadcast(query sample + per-query ADC lookup tables) - the PQ serving shape; the broadcast side is the bounded query set"),
     "q28_grid_asof_spend" -> (1, "customer keys x literal as-of date list - the B1 grid pattern"),
     "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),
     "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),

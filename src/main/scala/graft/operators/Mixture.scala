@@ -123,6 +123,54 @@ object Mixture {
         sum(col("c").cast(DoubleType) * col("lr")).as("log_weight"))
   }
 
+  /** Token-budgeted mixture selection — the "hit each domain's token
+    * quota" step of assembling a pretraining mix (the published mixtures
+    * — The Pile's per-subset epochs, LLaMA's sampling proportions — are
+    * all stated as per-source token budgets, not doc counts). Given a
+    * per-group token budget, deterministically select documents until the
+    * budget is reached.
+    *
+    * Scale shape (the reason this is NOT a cumulative-sum window over
+    * docs): a running sum per group would put one group's entire corpus
+    * in one window partition — the single-partition trap. Instead docs
+    * hash into `numBuckets` md5 buckets; one shuffle aggregates
+    * per-(group, bucket) token mass; the cumulative fill runs over the
+    * BOUNDED (group × bucket) relation; a bucket is kept when the mass
+    * before it leaves budget headroom (cum − t < budget). Selection is
+    * then a broadcast semi-join on (group, bucket) — one more narrow
+    * pass. Budget is honored at bucket granularity: overshoot is bounded
+    * by one bucket's mass (corpus_tokens/numBuckets in expectation —
+    * raise `numBuckets` for tighter tracking), and a doc's fate depends
+    * only on its id hash and the group's aggregate fill, never on
+    * shuffle order.
+    *
+    * `budgets`: (group, token budget) — bounded by group cardinality.
+    * Output: the kept rows annotated with `__bucket`. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+                        tokensCol: String, budgets: DataFrame,
+                        numBuckets: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = budgets.toDF("__grp", "__budget")
+    val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % numBuckets
+    val wb = df.withColumn("__bucket", bucket)
+    val perBucket = wb.groupBy(col(groupCol).cast(StringType).as("__grp"),
+        col("__bucket"))
+      .agg(sum(col(tokensCol)).as("__t"))
+    // window over ≤ numBuckets rows per group — bounded, partitioned
+    val w = Window.partitionBy("__grp").orderBy("__bucket")
+    // rename the semi-join keys: kept descends from wb, so a same-name
+    // equality would resolve to a trivially-true self-reference
+    val kept = perBucket.withColumn("__cum", sum(col("__t")).over(w))
+      .join(b, Seq("__grp"))
+      .filter(col("__cum") - col("__t") < col("__budget"))
+      .select(col("__grp"), col("__bucket").as("__kb"))
+    wb.join(broadcast(kept),
+        col(groupCol).cast(StringType) === col("__grp") &&
+          col("__bucket") === col("__kb"))
+      .drop("__grp", "__kb")
+  }
+
   /** Apply temperature resampling: one tiny aggregation pass for group
     * sizes, then one filtered scan — the kept rows, annotated with their
     * group's rate. At scale both passes are single shuffles on the

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Classifier, Mixture, Similarity}
+
+/** Specs for the ninth coverage batch: token-budgeted mixture selection,
+  * the GPT-3 Pareto quality filter, and product quantization. */
+class TextVector6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- tokenBudgetSelect ---------------------------------------------------
+
+  private def mixDocs = (1L to 300L).map { i =>
+    val grp = if (i % 3 == 0) "web" else if (i % 3 == 1) "wiki" else "code"
+    (i, grp, 10L + i % 7)
+  }.toDF("doc_id", "domain", "n_tokens")
+
+  test("tokenBudgetSelect: budget above the group's mass keeps everything, " +
+    "budget 0 keeps nothing") {
+    val budgets = Seq(("web", 100000L), ("wiki", 0L), ("code", 100000L))
+      .toDF("g", "b")
+    val kept = Mixture.tokenBudgetSelect(mixDocs, "domain", "doc_id",
+      "n_tokens", budgets)
+    val byG = kept.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byG("web") == 100 && byG("code") == 100)
+    assert(!byG.contains("wiki"))
+  }
+
+  test("tokenBudgetSelect: kept mass lands within one bucket of the budget " +
+    "and is deterministic") {
+    val budgets = Seq(("web", 500L), ("wiki", 500L), ("code", 500L)).toDF("g", "b")
+    def run() = Mixture.tokenBudgetSelect(mixDocs, "domain", "doc_id",
+      "n_tokens", budgets, numBuckets = 100)
+    val kept = run()
+    val mass = kept.groupBy("domain").agg(sum("n_tokens").as("m"))
+      .as[(String, Long)].collect().toMap
+    // every group has SOME fill, reaches the budget, and overshoots by at
+    // most one bucket's mass (≤ a handful of docs at 100 buckets)
+    mass.values.foreach { m => assert(m >= 500 && m <= 500 + 100) }
+    assert(run().select("doc_id").as[Long].collect().sorted
+      .sameElements(kept.select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("tokenBudgetSelect: a doc's fate is independent of other groups' budgets") {
+    val b1 = Seq(("web", 500L), ("wiki", 500L), ("code", 500L)).toDF("g", "b")
+    val b2 = Seq(("web", 500L), ("wiki", 99999L), ("code", 1L)).toDF("g", "b")
+    def webIds(b: org.apache.spark.sql.DataFrame) =
+      Mixture.tokenBudgetSelect(mixDocs, "domain", "doc_id", "n_tokens", b,
+        numBuckets = 100)
+        .filter(col("domain") === "web").select("doc_id").as[Long].collect().sorted
+    assert(webIds(b1).sameElements(webIds(b2)))
+  }
+
+  // --- paretoQualityFilter -------------------------------------------------
+
+  private def qualityDocs = (1L to 400L).map { i =>
+    val pos = i % 2 == 0
+    // positives share a distinctive vocabulary, negatives another
+    val text = if (pos) s"curated encyclopedia article number $i with citations"
+    else s"spam spam click here buy now offer $i"
+    (i, pos, text)
+  }.toDF("id", "pos", "text")
+
+  test("paretoQualityFilter: positives score higher and survive more often") {
+    val out = Classifier.paretoQualityFilter(qualityDocs, "id", "text",
+      col("pos")).cache()
+    val agg = out.join(qualityDocs.select("id", "pos"), "id")
+      .groupBy("pos").agg(avg("score_r").as("s"),
+        avg(col("kept").cast("double")).as("kr"))
+      .as[(Boolean, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(agg(true)._1 > agg(false)._1, "positive mean score must be higher")
+    assert(agg(true)._2 > agg(false)._2, "positive keep-rate must be higher")
+    // the low-end TAIL survival probability here is (2-s)^-9 ≈ 1/500 per
+    // doc — with 200 negatives, zero survivors is the expected draw; the
+    // tail behavior itself is pinned by the closed-form grid test below
+    out.unpersist()
+  }
+
+  test("paretoQualityFilter: u is a unit draw, prob a probability, verdict " +
+    "reproducible") {
+    def run() = Classifier.paretoQualityFilter(qualityDocs, "id", "text", col("pos"))
+    val rows = run().select("u", "prob_r", "kept").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)
+    }
+    assert(run().filter(col("kept")).count() == rows.count(_.getBoolean(2)))
+  }
+
+  test("paretoKeep matches the closed-form acceptance probability (2-s)^-9") {
+    // s = 0.5 → P(keep) = 1.5^-9 ≈ 0.0260123...; sweep u on a fine grid and
+    // check the indicator flips exactly at 1 - (2-s)^-9
+    val grid = (0 until 10000).map(i => (i / 10000.0, 0.5)).toDF("u", "s")
+    val kept = grid.withColumn("k", Classifier.paretoKeep(col("s"), col("u")))
+      .filter(col("k")).count()
+    val expect = math.pow(1.5, -9)
+    assert(math.abs(kept / 10000.0 - expect) < 2e-4)
+  }
+
+  // --- product quantization ------------------------------------------------
+
+  /** 2 subspaces × 2 codewords × 2 dims — tiny codebook for exact checks. */
+  private val tinyCb: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+    Array(Array(2.0, 2.0), Array(3.0, 3.0)))
+
+  test("pqEncode: a vector assembled from codewords encodes to exactly " +
+    "those codewords; ties break to the lowest index") {
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f, 3.0f, 3.0f)), // cw0 ++ cw1
+      (2L, Seq(1.0f, 1.0f, 2.0f, 2.0f)), // cw1 ++ cw0
+      (3L, Seq(0.5f, 0.5f, 2.5f, 2.5f))  // equidistant — lowest index wins
+    ).toDF("id", "vec")
+    val codes = Similarity.pqEncode(corpus, "id", "vec", tinyCb)
+      .orderBy("id").select("codes").as[Seq[Int]].collect()
+    assert(codes(0) == Seq(0, 1))
+    assert(codes(1) == Seq(1, 0))
+    assert(codes(2) == Seq(0, 0))
+  }
+
+  test("pqAdcTopK: when corpus vectors sit ON codewords, ADC distance is " +
+    "the exact squared distance and ranking matches brute force") {
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f, 2.0f, 2.0f)),
+      (2L, Seq(1.0f, 1.0f, 3.0f, 3.0f)),
+      (3L, Seq(1.0f, 1.0f, 2.0f, 2.0f))).toDF("id", "vec")
+    val enc = Similarity.pqEncode(corpus, "id", "vec", tinyCb)
+    val q = Seq((99L, Seq(0.0f, 0.0f, 2.0f, 2.0f))).toDF("query_id", "qv")
+    val top = Similarity.pqAdcTopK(q, enc, tinyCb, 3)
+      .orderBy("rank").select("neighbor_id", "adc").as[(Long, Double)].collect()
+    assert(top(0) == (1L, 0.0)) // identical vector
+    assert(top(1) == (3L, 2.0)) // differs by cw0→cw1 in subspace 0
+    assert(top(2) == (2L, 4.0)) // differs in both subspaces
+  }
+
+  test("pqTrain: codebook shape is m x k x dim/m and encoding covers all " +
+    "codewords on a separable corpus") {
+    val corpus = (0 until 200).map { i =>
+      val base = (i % 4).toFloat * 10f
+      (i.toLong, Seq(base, base + 1f, -base, -base - 1f))
+    }.toDF("id", "vec")
+    val cb = Similarity.pqTrain(corpus, "vec", dim = 4, m = 2, k = 4,
+      maxIter = 10)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 2)))
+    val used = Similarity.pqEncode(corpus, "id", "vec", cb)
+      .select(explode(col("codes"))).distinct().count()
+    assert(used == 4, "4 well-separated clusters must use all 4 codewords")
+  }
+}
