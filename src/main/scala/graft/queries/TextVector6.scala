@@ -16,7 +16,7 @@ import graft.operators.{Classifier, Mixture, Similarity}
   * construction (e9) and ADC top-k serving (e8). */
 object TextVector6 {
 
-  def defs: Seq[QueryDef] = Seq(d47, d48, e8, e9)
+  def defs: Seq[QueryDef] = Seq(d47, d48, d49, d50, e8, e9)
 
   /** Deterministic judged stand-in for [[Similarity.pqTrain]] (the d41
     * anchor-injection pattern): codeword j of subspace s is the s-th
@@ -127,6 +127,109 @@ object TextVector6 {
       SELECT doc_id, n_feat, score_r, prob_r, u,
         (u > 1.0 - 1.0 / p9) AS kept
       FROM c5 ORDER BY doc_id"""))
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    * score every doc with the corpus-trained bigram LM (d24's exact
+    * construction — MLE P(w2|w1), per-doc mean log-prob) and split the
+    * corpus into head/middle/tail TERCILES of model fit — CCNet's
+    * "perplexity buckets", the cheap quality stratification that picks
+    * which slice feeds training. The tercile runs through the scale-safe
+    * exact [[graft.core.Indexing.globalNtile]] (q50's machinery — bucketed
+    * global row ids, NO single-partition ntile window). The ntile key is
+    * the ROUNDED score: raw doubles differ across engines in last ulps
+    * (libm ln + accumulation order), and a boundary flip would shift a
+    * whole tercile edge; round(6) + doc_id tie-break make the order —
+    * and hence the buckets — engine-identical. */
+  val d49 = QueryDef("d49_perplexity_buckets",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val big = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+        .select(col("doc_id"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+      val bigramCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val unigramCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = big
+        .join(bigramCounts, Seq("w1", "w2"))
+        .join(broadcast(unigramCounts), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))), 6)
+            .as("logp_r"))
+      graft.core.Indexing.globalNtile(scored, 3, "logp_r", "tercile",
+          descending = true, tieBreak = Seq("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"), col("logp_r"),
+          col("tercile"),
+          when(col("tercile") === 1, "head").when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+      sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(AVG(ln(CAST(c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))), 6) AS logp_r
+        FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id),
+      nt AS (SELECT doc_id, n_bigrams, logp_r,
+          ntile(3) OVER (ORDER BY logp_r DESC, doc_id ASC) AS tercile
+        FROM sc)
+      SELECT doc_id, n_bigrams, logp_r, CAST(tercile AS INT) AS tercile,
+        CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM nt ORDER BY doc_id"""))
+
+  /** The C4 cleaning-rule composite (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the published "Colossal Clean Crawled Corpus" filter set),
+    * doc-level rules with per-rule verdicts: ≥ 3 sentences (terminal
+    * punctuation count), no "lorem ipsum", no curly brace (the code
+    * filter), no "javascript" token, no bad-words hit (literal stand-in
+    * list). Every rule is exact integer/substring arithmetic — no float
+    * near any boundary, engine-identical by construction. Line-level
+    * rules (terminal-punctuation line ends, citation/policy line drops)
+    * are N/A on this single-line corpus, same boundary as d46; together
+    * the published filter stacks are all present: C4 (this), Gopher
+    * (d46), and the repetition/quality family (d3/d12/d32/d36). */
+  val d50 = QueryDef("d50_c4_rules",
+    (s, dir) => {
+      val lowered = lower(col("text"))
+      val badwords = Seq("badword1", "badword2", "badword3")
+      val m = Tables.documents(s, dir).select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.!?]", "")))
+          .cast(LongType).as("n_sentences"),
+        lowered.contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        lowered.contains("javascript").as("has_javascript"),
+        badwords.map(w => lowered.contains(w)).reduce(_ || _).as("has_badword"))
+      m.select(col("doc_id"), col("n_sentences"), col("has_lorem"),
+          col("has_brace"), col("has_javascript"), col("has_badword"),
+          (col("n_sentences") >= 3 && !col("has_lorem") && !col("has_brace") &&
+            !col("has_javascript") && !col("has_badword")).as("c4_pass"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)
+          AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        contains(lower(text), 'javascript') AS has_javascript,
+        (contains(lower(text), 'badword1') OR contains(lower(text), 'badword2')
+          OR contains(lower(text), 'badword3')) AS has_badword
+      FROM documents)
+      SELECT doc_id, n_sentences, has_lorem, has_brace, has_javascript,
+        has_badword,
+        (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+          AND NOT has_javascript AND NOT has_badword) AS c4_pass
+      FROM m ORDER BY doc_id"""))
 
   /** PQ ADC top-10 over the embeddings table: anchor-derived codebooks
     * (m = 8 subspaces × ≤ 16 codewords), every vector encoded, queries =

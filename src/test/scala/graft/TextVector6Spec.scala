@@ -97,6 +97,37 @@ class TextVector6Spec extends SparkSpec {
     assert(math.abs(kept / 10000.0 - expect) < 2e-4)
   }
 
+  // --- d49/d50 query-level behavior ---------------------------------------
+
+  test("d50 C4 rules: each rule fires on its crafted offender and a clean " +
+    "doc passes") {
+    val dir = java.nio.file.Files.createTempDirectory("c4docs").toString
+    Seq(
+      (1L, "One good sentence. Another one follows! A third ends it?", "en", "src0", 1L),
+      (2L, "Too short. Really.", "en", "src0", 1L),
+      (3L, "This has lorem ipsum filler. More text here. And more still.", "en", "src0", 1L),
+      (4L, "Code block { int x = 1; } inside. Two more. Sentences here.", "en", "src0", 1L),
+      (5L, "Please enable JavaScript to view. Second sentence. Third one.", "en", "src0", 1L),
+      (6L, "Contains badword2 sadly. Second sentence. Third sentence.", "en", "src0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextVector6.d50.fn(spark, dir)
+      .select("doc_id", "c4_pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L)); assert(!out(2L)); assert(!out(3L))
+    assert(!out(4L)); assert(!out(5L)); assert(!out(6L))
+  }
+
+  test("d49 perplexity terciles: buckets are balanced and ordered by model " +
+    "fit (head's mean logp >= tail's)") {
+    val out = graft.queries.TextVector6.d49.fn(spark, "/root/testdata/sf0.001")
+      .groupBy("bucket").agg(count(lit(1)).as("n"), avg("logp_r").as("m"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(out.keySet))
+    val sizes = out.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, "ntile terciles must be balanced")
+    assert(out("head")._2 >= out("middle")._2 && out("middle")._2 >= out("tail")._2)
+  }
+
   // --- product quantization ------------------------------------------------
 
   /** 2 subspaces × 2 codewords × 2 dims — tiny codebook for exact checks. */
