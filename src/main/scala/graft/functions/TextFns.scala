@@ -30,6 +30,29 @@ object TextFns {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  /** CCNet's dedup text normalization (Wenzek et al. 2020, arXiv:1911.00359
+    * — cc_net normalizes before hashing so trivial variants collide):
+    * lowercase → accent fold → every digit → '0' → strip everything
+    * outside [a-z0\s] → collapse whitespace. The accent fold is an
+    * EXPLICIT literal translate map (both engines replay `translate`
+    * identically); the final character class is plain ASCII on purpose —
+    * after lowering/folding, "anything else is punctuation" is the
+    * normalization contract, with no unicode regex classes whose
+    * Java-vs-RE2 semantics could fork (the d2/tokens boundary). */
+  val accentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñý"
+  // 6a 4e 4i 5o 4u cny — the two literals MUST stay codepoint-aligned; a
+  // length mismatch silently shifts every later mapping (caught in dev:
+  // a sixth 'o' sent ú→o, ñ→c, ý→n on both engines at once)
+  val accentTo = "aaaaaa" + "eeee" + "iiii" + "ooooo" + "uuuu" + "cny"
+  require(accentFrom.length == accentTo.length,
+    s"accent maps misaligned: ${accentFrom.length} vs ${accentTo.length}")
+  def ccnetNormalize(text: Column): Column = {
+    val folded = translate(lower(text), accentFrom, accentTo)
+    val digits = regexp_replace(folded, "[0-9]", "0")
+    val depunct = regexp_replace(digits, "[^a-z0\\s]", "")
+    trim(regexp_replace(depunct, "\\s+", " "))
+  }
+
   /** Word k-grams ("shingles") as space-joined strings over a PRE-BOUND
     * token array column. Empty array when fewer than k tokens. */
   def shinglesOf(t: Column, k: Int): Column =
