@@ -33,12 +33,13 @@ object TextFns {
   /** CCNet's dedup text normalization (Wenzek et al. 2020, arXiv:1911.00359
     * — cc_net normalizes before hashing so trivial variants collide):
     * lowercase → accent fold → every digit → '0' → strip everything
-    * outside [a-z0\s] → collapse whitespace. The accent fold is an
+    * outside [a-z0 \t\n\r\f] → collapse whitespace. The accent fold is an
     * EXPLICIT literal translate map (both engines replay `translate`
-    * identically); the final character class is plain ASCII on purpose —
-    * after lowering/folding, "anything else is punctuation" is the
-    * normalization contract, with no unicode regex classes whose
-    * Java-vs-RE2 semantics could fork (the d2/tokens boundary). */
+    * identically); the character classes are plain ASCII and the
+    * whitespace class is spelled out LITERALLY — `\s` itself forks
+    * between Java (includes \x0B vertical tab) and RE2 (does not), so a
+    * VT-bearing doc would normalize to different bytes per engine. With
+    * the explicit class, VT is "punctuation" (stripped) on both. */
   val accentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñý"
   // 6a 4e 4i 5o 4u cny — the two literals MUST stay codepoint-aligned; a
   // length mismatch silently shifts every later mapping (caught in dev:
@@ -49,8 +50,8 @@ object TextFns {
   def ccnetNormalize(text: Column): Column = {
     val folded = translate(lower(text), accentFrom, accentTo)
     val digits = regexp_replace(folded, "[0-9]", "0")
-    val depunct = regexp_replace(digits, "[^a-z0\\s]", "")
-    trim(regexp_replace(depunct, "\\s+", " "))
+    val depunct = regexp_replace(digits, "[^a-z0 \t\n\r\f]", "")
+    trim(regexp_replace(depunct, "[ \t\n\r\f]+", " "))
   }
 
   /** Word k-grams ("shingles") as space-joined strings over a PRE-BOUND

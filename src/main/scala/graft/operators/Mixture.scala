@@ -145,7 +145,15 @@ object Mixture {
     * shuffle order.
     *
     * `budgets`: (group, token budget) — bounded by group cardinality.
-    * Output: the kept rows annotated with `__bucket`. */
+    * Output: the kept rows annotated with `__bucket`.
+    *
+    * Membership contract (semi-join semantics, the same NULL-group rule
+    * as [[temperatureResample]]): rows whose group is NULL or absent
+    * from `budgets` are DROPPED, not kept-by-default — "select up to
+    * budget per group listed in budgets" is the operation; an unlisted
+    * group has no budget to fill, and a NULL group can never equal a
+    * budget key. Callers wanting those rows preserved must list the
+    * group (or fill NULLs) before selecting. */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         tokensCol: String, budgets: DataFrame,
                         numBuckets: Int = 10000): DataFrame = {

@@ -27,6 +27,14 @@ object TextVector6 {
     val anchors = emb.filter(col("vec_id") % 31 === 0 && col("vec_id") < 496)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
     require(anchors.nonEmpty, "embeddings table has no anchor vectors")
+    // The oracle labels codeword j = vec_id / 31; Spark labels by dense
+    // array position. A GAP in the anchor ids (a filtered/regenerated
+    // table) would silently misalign the two labelings — e8's ADC would
+    // still agree (self-consistent joins) but e9's packed code_key would
+    // fork with no diagnostic. Pin the contract loudly instead.
+    val ids = anchors.map(_.getLong(0)).toSeq
+    require(ids == Seq.tabulate(ids.length)(_ * 31L),
+      s"anchor ids must be exactly 0,31,..,${(ids.length - 1) * 31} (dense multiples of 31); got $ids")
     val vecs = anchors.map(_.getSeq[Float](1).toArray.map(_.toDouble))
     Array.tabulate(8)(s => vecs.map(_.slice(s * 8, s * 8 + 8)))
   }
@@ -40,8 +48,13 @@ object TextVector6 {
     * bucket-granularity overshoot visible at every judged SF. */
   val d47 = QueryDef("d47_token_budget_mix",
     (s, dir) => {
+      // ONE tokenize scan: this frame feeds totals (twice — budgets input
+      // and final join), the per-bucket fill, and the selection join back
+      // — the duplicated-lazy-plan trap; the lazy checkpoint truncates it
+      // so tokenization runs once (at 100 TB the tokenize pass dominates)
       val docs = Tables.documents(s, dir)
         .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast(LongType))
+        .localCheckpoint(false)
       val totals = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs_in"), sum(col("n_tokens")).as("tokens_in"))
         // DIV, not `/`: Spark's Divide is double-valued on longs; the

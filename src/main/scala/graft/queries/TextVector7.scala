@@ -35,7 +35,8 @@ object TextVector7 {
     Some(s"""WITH n AS (SELECT doc_id,
         trim(regexp_replace(regexp_replace(regexp_replace(
           translate(lower(text), '${TextFns.accentFrom}', '${TextFns.accentTo}'),
-          '[0-9]', '0', 'g'), '[^a-z0\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+          '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
+          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm
         FROM documents),
       h AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm_chars,
           md5(norm) AS norm_hash FROM n),

@@ -41,6 +41,16 @@ class TextVector6Spec extends SparkSpec {
       .sameElements(kept.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("tokenBudgetSelect: NULL and unbudgeted groups are dropped (the " +
+    "documented semi-join contract), budgeted groups unaffected") {
+    val docs = Seq((1L, "web", 10L), (2L, null, 10L), (3L, "unlisted", 10L),
+      (4L, "web", 10L)).toDF("doc_id", "domain", "n_tokens")
+    val budgets = Seq(("web", 1000L)).toDF("g", "b")
+    val kept = Mixture.tokenBudgetSelect(docs, "domain", "doc_id",
+      "n_tokens", budgets).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
   test("tokenBudgetSelect: a doc's fate is independent of other groups' budgets") {
     val b1 = Seq(("web", 500L), ("wiki", 500L), ("code", 500L)).toDF("g", "b")
     val b2 = Seq(("web", 500L), ("wiki", 99999L), ("code", 1L)).toDF("g", "b")

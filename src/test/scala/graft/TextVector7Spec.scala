@@ -18,6 +18,13 @@ class TextVector7Spec extends SparkSpec {
     assert(out == "hello world 00 accenttouche uny")
   }
 
+  test("ccnetNormalize strips vertical tab as punctuation — the explicit " +
+    "whitespace class, where Java \\s (VT included) would fork from RE2") {
+    val out = Seq("a\u000Bb c").toDF("t")
+      .select(TextFns.ccnetNormalize(col("t"))).as[String].head()
+    assert(out == "ab c")
+  }
+
   test("ccnetNormalize collapses trivial variants to one dedup key") {
     val docs = Seq(
       (1L, "The Quick Brown Fox!"),
