@@ -10,7 +10,7 @@ import graft.functions.TextFns
   * shuffle + sharding that lays a corpus out for training. */
 object TextVector7 {
 
-  def defs: Seq[QueryDef] = Seq(d51, d52)
+  def defs: Seq[QueryDef] = Seq(d51, d52, d53)
 
   /** CCNet normalization-keyed exact dedup: hash the NORMALIZED text
     * ([[TextFns.ccnetNormalize]] — lowercase, accent fold, digits→0,
@@ -43,6 +43,51 @@ object TextVector7 {
       c AS (SELECT norm_hash, count(*) AS n_same FROM h GROUP BY 1)
       SELECT doc_id, n_norm_chars, norm_hash, n_same, (n_same > 1) AS is_dup
       FROM h JOIN c USING (norm_hash) ORDER BY doc_id"""))
+
+  /** Corpus datacard — the per-(source, lang) statistics rollup every
+    * released dataset publishes (datasheets/data cards: size, token and
+    * char mass, length distribution, duplication): doc/token/char counts,
+    * exact median token count (the q10 percentile ↔ quantile_cont
+    * parity), CORPUS-WIDE exact-dup incidence attributed per group
+    * (md5(text) appearing >1 anywhere — d1's key), dup rate in exact
+    * integer basis points, and the share of docs meeting Gopher's 50-word
+    * floor. One tokenize scan (lazy checkpoint feeds both the dup-key
+    * counts and the rollup); two shuffles (hash counts, group rollup) —
+    * the whole card is one pass over the corpus at any scale. */
+  val d53 = QueryDef("d53_corpus_datacard",
+    (s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("n_toks"),
+          md5(col("text")).as("h"))
+        .localCheckpoint(false)
+      val dupCounts = perDoc.groupBy("h").agg(count(lit(1)).as("n_same"))
+      perDoc.join(dupCounts, Seq("h"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          percentile(col("n_toks"), lit(0.5)).as("median_tokens"),
+          count(when(col("n_same") > 1, 1)).as("n_dup_docs"),
+          count(when(col("n_toks") >= 50, 1)).as("n_ge50_tokens"))
+        .withColumn("dup_rate_bp", expr("n_dup_docs * 10000 DIV n_docs"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH d AS (SELECT source, lang, n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+          md5(text) AS h
+        FROM documents),
+      c AS (SELECT h, count(*) AS n_same FROM d GROUP BY 1)
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        quantile_cont(n_toks, 0.5) AS median_tokens,
+        count(CASE WHEN n_same > 1 THEN 1 END) AS n_dup_docs,
+        count(CASE WHEN n_toks >= 50 THEN 1 END) AS n_ge50_tokens,
+        count(CASE WHEN n_same > 1 THEN 1 END) * 10000
+          // count(*) AS dup_rate_bp
+      FROM d JOIN c USING (h)
+      GROUP BY source, lang ORDER BY source, lang"""))
 
   /** Deterministic global shuffle + strided sharding — the "shuffle the
     * corpus, write N interleaved shards" layout step every training run
