@@ -47,8 +47,21 @@ object Similarity {
     // 8 iterations: IVF cells only need a reasonable Voronoi partition, not
     // a converged clustering — recall is governed by nProbe, and each extra
     // iteration is a full corpus pass.
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__vec")
-      .setMaxIter(maxIter).fit(assembled)
+    def fit(kEff: Int) = new KMeans().setK(kEff).setSeed(seed)
+      .setFeaturesCol("__vec").setMaxIter(maxIter).fit(assembled)
+    val model =
+      try fit(k)
+      catch {
+        // MLlib's block-based trainer throws ArrayIndexOutOfBounds from
+        // deep inside KMeansAggregator when the corpus has fewer DISTINCT
+        // points than k (duplicate vectors collapse the init set). The
+        // distinct count is only computed on this failure path — the
+        // healthy path pays nothing — and anything else rethrows.
+        case e: Throwable =>
+          val distinct = assembled.distinct().count()
+          if (distinct >= k || distinct == 0) throw e
+          fit(distinct.toInt)
+      }
     val spark = corpus.sparkSession
     import spark.implicits._
     model.clusterCenters.zipWithIndex

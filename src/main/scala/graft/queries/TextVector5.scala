@@ -79,7 +79,10 @@ object TextVector5 {
   val d42 = QueryDef("d42_temperature_mix",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      // NULL-lang rows are outside the resample contract (the operator
+      // drops them; temperatureRates loudly rejects a null group) — the
+      // judged corpus has none, but the query must not crash on one
+      val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
       val kept = Mixture.temperatureResample(docs, "lang", "doc_id",
         alpha = 0.5, targetFraction = 0.5)
       val keptAgg = kept.groupBy("lang")
@@ -96,7 +99,8 @@ object TextVector5 {
           coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
         .orderBy("lang")
     },
-    Some("""WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    Some("""WITH per AS (SELECT lang, count(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang),
       den AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS d,
                      CAST(sum(n) AS BIGINT) AS total
               FROM per),
