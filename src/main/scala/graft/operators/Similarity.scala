@@ -40,6 +40,45 @@ object Similarity {
   /** Train IVF cells with MLlib KMeans — geometrically-fit centroids beat
     * any metadata-derived partitioning for recall. Output:
     * (centroid_id, centroid_vec array<double>), broadcast-sized. */
+  /** True iff the failure is (or wraps, at any depth) the
+    * ArrayIndexOutOfBounds that MLlib's block-based KMeansAggregator
+    * throws when the corpus has fewer DISTINCT points than k. */
+  private def isKmeansLowDistinctCrash(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[ArrayIndexOutOfBoundsException]) return true
+      if (c.getMessage != null &&
+        c.getMessage.contains("ArrayIndexOutOfBoundsException")) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  /** KMeans centers over an assembled `__vec` column, guarded against the
+    * MLlib low-distinct-points crash: on that SPECIFIC failure (and only
+    * it — cancellations/OOMs rethrow) the distinct count is computed and
+    * the fit retried at the clamped k; a 1-distinct corpus skips KMeans
+    * entirely (its k param requires > 1) and returns the single vector.
+    * The healthy path pays nothing extra. Shared by [[kmeansCentroids]]
+    * and [[pqTrain]] — subvector slices collapse to duplicates even more
+    * readily than full vectors. */
+  private def fitCenters(assembled: DataFrame, k: Int, seed: Long,
+                         maxIter: Int): Array[Array[Double]] = {
+    def fit(kEff: Int) = new KMeans().setK(kEff).setSeed(seed)
+      .setFeaturesCol("__vec").setMaxIter(maxIter).fit(assembled)
+      .clusterCenters.map(_.toArray)
+    try fit(k)
+    catch {
+      case e: Throwable if isKmeansLowDistinctCrash(e) =>
+        val distinctVecs = assembled.distinct()
+        val distinct = distinctVecs.count()
+        if (distinct >= k || distinct == 0) throw e
+        else if (distinct == 1)
+          Array(distinctVecs.head.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+        else fit(distinct.toInt)
+    }
+  }
+
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       seed: Long = 42L, maxIter: Int = 8): DataFrame = {
     val assembled = corpus.select(
@@ -47,25 +86,11 @@ object Similarity {
     // 8 iterations: IVF cells only need a reasonable Voronoi partition, not
     // a converged clustering — recall is governed by nProbe, and each extra
     // iteration is a full corpus pass.
-    def fit(kEff: Int) = new KMeans().setK(kEff).setSeed(seed)
-      .setFeaturesCol("__vec").setMaxIter(maxIter).fit(assembled)
-    val model =
-      try fit(k)
-      catch {
-        // MLlib's block-based trainer throws ArrayIndexOutOfBounds from
-        // deep inside KMeansAggregator when the corpus has fewer DISTINCT
-        // points than k (duplicate vectors collapse the init set). The
-        // distinct count is only computed on this failure path — the
-        // healthy path pays nothing — and anything else rethrows.
-        case e: Throwable =>
-          val distinct = assembled.distinct().count()
-          if (distinct >= k || distinct == 0) throw e
-          fit(distinct.toInt)
-      }
+    val centers = fitCenters(assembled, k, seed, maxIter)
     val spark = corpus.sparkSession
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("centroid_id", "centroid_vec")
   }
 
@@ -140,10 +165,10 @@ object Similarity {
     (0 until m).map { s =>
       val slices = corpus.select(array_to_vector(
         slice(col(vecCol), s * sub + 1, sub).cast("array<double>")).as("__vec"))
-      // per-subspace seed: subspaces must not share a clustering
-      val model = new KMeans().setK(k).setSeed(seed + s).setFeaturesCol("__vec")
-        .setMaxIter(maxIter).fit(slices)
-      model.clusterCenters.map(_.toArray)
+      // per-subspace seed: subspaces must not share a clustering; the
+      // guarded fit matters MORE here — low-dim subvector slices collapse
+      // to duplicate points far more readily than full vectors
+      fitCenters(slices, k, seed + s, maxIter)
     }.toArray
   }
 

@@ -71,7 +71,10 @@ object TextVector7 {
           count(when(col("n_same") > 1, 1)).as("n_dup_docs"),
           count(when(col("n_toks") >= 50, 1)).as("n_ge50_tokens"))
         .withColumn("dup_rate_bp", expr("n_dup_docs * 10000 DIV n_docs"))
-        .orderBy("source", "lang")
+        // explicit nulls-first on BOTH engines: Spark's asc default is
+        // NULLS FIRST, DuckDB's is NULLS LAST — a NULL lang row (the
+        // pathological-corpus class) would otherwise order differently
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
     },
     Some("""WITH d AS (SELECT source, lang, n_chars,
           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
@@ -87,7 +90,8 @@ object TextVector7 {
         count(CASE WHEN n_same > 1 THEN 1 END) * 10000
           // count(*) AS dup_rate_bp
       FROM d JOIN c USING (h)
-      GROUP BY source, lang ORDER BY source, lang"""))
+      GROUP BY source, lang
+      ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
 
   /** Deterministic global shuffle + strided sharding — the "shuffle the
     * corpus, write N interleaved shards" layout step every training run

@@ -174,6 +174,28 @@ class TextVector6Spec extends SparkSpec {
     assert(top(2) == (2L, 4.0)) // differs in both subspaces
   }
 
+  test("kmeansCentroids: an all-identical corpus (1 distinct point) returns " +
+    "that single vector instead of crashing MLlib's k>1 trainer") {
+    val corpus = (1 to 20).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val c = Similarity.kmeansCentroids(corpus, "vec", k = 5)
+      .select("centroid_vec").as[Seq[Double]].collect()
+    assert(c.length == 1 && c.head == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("pqTrain: subspaces with fewer distinct subvectors than k clamp " +
+    "instead of crashing (the low-dim collapse case)") {
+    // subspace 0 has 2 distinct subvectors, subspace 1 has 4 — k=4 forces
+    // the guarded refit in subspace 0 only
+    val corpus = (0 until 100).map { i =>
+      val a = (i % 2).toFloat; val b = (i % 4).toFloat
+      (i.toLong, Seq(a, a, b, b))
+    }.toDF("id", "vec")
+    val cb = Similarity.pqTrain(corpus, "vec", dim = 4, m = 2, k = 4,
+      maxIter = 5)
+    assert(cb(0).length == 2 && cb(1).length == 4)
+  }
+
   test("pqTrain: codebook shape is m x k x dim/m and encoding covers all " +
     "codewords on a separable corpus") {
     val corpus = (0 until 200).map { i =>
