@@ -33,6 +33,7 @@ object PlanLint {
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
     "d48_quality_pareto" -> (1, "bucket model x broadcast(1-row doc totals) for the NB smoothing denominators - the d26 pattern"),
+    "d54_curation_pipeline" -> (1, "the composed classifier stage carries d48's 1-row doc-totals broadcast - same justification"),
     "e8_pq_adc_topk" -> (1, "encoded corpus x broadcast(query sample + per-query ADC lookup tables) - the PQ serving shape; the broadcast side is the bounded query set"),
     "q28_grid_asof_spend" -> (1, "customer keys x literal as-of date list - the B1 grid pattern"),
     "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),

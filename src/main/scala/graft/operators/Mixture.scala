@@ -200,7 +200,12 @@ object Mixture {
       .agg(count(lit(1)).as("n"))
       .filter(col("__grp").isNotNull)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val rates = temperatureRates(counts, alpha, targetFraction)
+    // empty input (or all-NULL groups) resamples to the empty corpus —
+    // composed pipelines hit this when upstream stages drop everything,
+    // and temperatureRates' nonEmpty require is for direct misuse, not
+    // the legitimate empty relation
+    val rates = (if (counts.isEmpty) Seq.empty[(String, Long)]
+      else temperatureRates(counts, alpha, targetFraction))
       .toDF("__grp", "rate_bp")
     val bucket = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
       .cast(LongType) % 10000

@@ -4,13 +4,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core.Tables
 import graft.functions.TextFns
+import graft.operators.Mixture
 
 /** Tenth coverage batch: the corpus OUTPUT-side moves — normalization-keyed
   * deduplication (CCNet's dedup normalizer) and the deterministic global
   * shuffle + sharding that lays a corpus out for training. */
 object TextVector7 {
 
-  def defs: Seq[QueryDef] = Seq(d51, d52, d53)
+  def defs: Seq[QueryDef] = Seq(d51, d52, d53, d54)
 
   /** CCNet normalization-keyed exact dedup: hash the NORMALIZED text
     * ([[TextFns.ccnetNormalize]] — lowercase, accent fold, digits→0,
@@ -92,6 +93,151 @@ object TextVector7 {
       FROM d JOIN c USING (h)
       GROUP BY source, lang
       ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
+
+  /** The round-7 curation stack composed END-TO-END as one lazy plan —
+    * the capstone composition: normalization-keyed dedup (d51's key,
+    * lowest-id keeper) → the C4 rule gate (d50) → the GPT-3 quality
+    * classifier + Pareto acceptance TRAINED ON THE SURVIVOR distribution
+    * (d48 re-based — the model a real pipeline fits after cleaning) →
+    * temperature mixture resampling (d42, α = 0.5) → deterministic
+    * shuffle-sharding of the final corpus (d52). Judged per doc: the
+    * FIRST stage that dropped it (or 'kept') plus the final shard
+    * assignment — a single hash over the whole pipeline's routing, so
+    * any drift in any stage, or in how stages compose, breaks the gate.
+    * Every stage is an operator already oracle-proven in isolation; this
+    * pins their composition. */
+  val d54 = QueryDef("d54_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val withH = docs
+        .withColumn("nh", md5(TextFns.ccnetNormalize(col("text"))))
+        .localCheckpoint(false)
+      val keepers = withH.groupBy("nh").agg(min(col("doc_id")).as("keeper"))
+      val s1 = withH.join(keepers, Seq("nh"))
+        .withColumn("dedup_keep", col("doc_id") === col("keeper"))
+      val lowered = lower(col("text"))
+      val nSent = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?]", ""))).cast(LongType)
+      val badwords = Seq("badword1", "badword2", "badword3")
+      val c4pass = nSent >= 3 && !lowered.contains("lorem ipsum") &&
+        !col("text").contains("{") && !lowered.contains("javascript") &&
+        !badwords.map(lowered.contains(_)).reduce(_ || _)
+      val s2flag = s1.filter(col("dedup_keep")).withColumn("c4_pass", c4pass)
+      val surv2 = s2flag.filter(col("c4_pass"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .localCheckpoint(false)
+      val cls = graft.operators.Classifier.paretoQualityFilter(surv2,
+          "doc_id", "text", col("source").isin("src0", "src1", "src2"))
+        .select(col("id").as("doc_id"), col("kept").as("cls_kept"))
+      val surv3 = surv2.join(cls, Seq("doc_id")).filter(col("cls_kept"))
+        .select(col("doc_id"), col("lang"))
+      val mixFlag = Mixture.temperatureResample(surv3, "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), lit(true).as("mix_keep"))
+      val hkey = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast(LongType)
+      val keyed = mixFlag.select(col("doc_id")).withColumn("hkey", hkey)
+      val sh = graft.core.Indexing.globalRowIds(keyed, "hkey", "position",
+          tieBreak = Seq("doc_id"))
+        .select(col("doc_id"), expr("position % 8").as("shard"),
+          expr("position DIV 8").as("pos_in_shard"))
+      s1.select(col("doc_id"), col("dedup_keep"))
+        .join(s2flag.select(col("doc_id"), col("c4_pass")), Seq("doc_id"), "left")
+        .join(cls, Seq("doc_id"), "left")
+        .join(mixFlag, Seq("doc_id"), "left")
+        .join(sh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("dedup_keep"), "dedup")
+            .when(!col("c4_pass"), "c4")
+            .when(!col("cls_kept"), "classifier")
+            .when(col("mix_keep").isNull, "mix")
+            .otherwise("kept").as("stage"),
+          col("shard"), col("pos_in_shard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH norm AS (SELECT doc_id, lang, source, text,
+        md5(trim(regexp_replace(regexp_replace(regexp_replace(
+          translate(lower(text), '${TextFns.accentFrom}', '${TextFns.accentTo}'),
+          '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
+          '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS nh
+        FROM documents),
+      keep1 AS (SELECT nh, min(doc_id) AS keeper FROM norm GROUP BY nh),
+      s1 AS (SELECT norm.doc_id, norm.lang, norm.source, norm.text,
+          (norm.doc_id = keep1.keeper) AS dedup_keep
+        FROM norm JOIN keep1 USING (nh)),
+      c4g AS (SELECT doc_id,
+          (CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND NOT contains(lower(text), 'javascript')
+            AND NOT (contains(lower(text), 'badword1')
+              OR contains(lower(text), 'badword2')
+              OR contains(lower(text), 'badword3'))) AS c4_pass
+        FROM s1 WHERE dedup_keep),
+      s2 AS (SELECT s1.doc_id, s1.lang, s1.source, s1.text
+        FROM s1 JOIN c4g USING (doc_id) WHERE c4g.c4_pass),
+      tokd AS (SELECT doc_id, (source IN ('src0','src1','src2')) AS pos,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM s2),
+      feats AS (SELECT DISTINCT doc_id, pos,
+          CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+        FROM tokd),
+      tot AS (SELECT count(*) FILTER (WHERE pos) AS np,
+          count(*) FILTER (WHERE NOT pos) AS nn
+        FROM (SELECT DISTINCT doc_id, pos FROM feats)),
+      model AS (SELECT bucket, count(*) FILTER (WHERE pos) AS dfp,
+          count(*) FILTER (WHERE NOT pos) AS dfn
+        FROM feats GROUP BY 1),
+      w AS (SELECT bucket,
+          ln((dfp + 1)::DOUBLE / (np + 2)::DOUBLE)
+            - ln((dfn + 1)::DOUBLE / (nn + 2)::DOUBLE) AS w
+        FROM model CROSS JOIN tot),
+      sc AS (SELECT doc_id, round(sum(w) / count(*), 6) AS score_r
+        FROM feats JOIN w USING (bucket) GROUP BY 1),
+      pr AS (SELECT doc_id,
+          round(1.0 / (1.0 + exp(-score_r)), 6) AS prob_r,
+          CAST(CAST(CONCAT('0x',
+              SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|u'), 1, 8)) AS BIGINT)
+            % 1000000 AS DOUBLE) / 1000000.0 AS u
+        FROM sc),
+      cc1 AS (SELECT *, (2.0 - prob_r) AS p FROM pr),
+      cc2 AS (SELECT *, p * p AS p2 FROM cc1),
+      cc3 AS (SELECT *, p2 * p2 AS p4 FROM cc2),
+      cc4 AS (SELECT *, p4 * p4 AS p8 FROM cc3),
+      cls AS (SELECT doc_id, (u > 1.0 - 1.0 / (p8 * p)) AS cls_kept FROM cc4),
+      s3 AS (SELECT s2.doc_id, s2.lang FROM s2 JOIN cls USING (doc_id)
+        WHERE cls.cls_kept),
+      per AS (SELECT lang, count(*) AS nl FROM s3
+        WHERE lang IS NOT NULL GROUP BY lang),
+      den AS (SELECT list_sum(list(sqrt(CAST(nl AS DOUBLE)) ORDER BY lang)) AS dsum,
+          CAST(sum(nl) AS BIGINT) AS total FROM per),
+      rates AS (SELECT p.lang,
+          CAST(floor(least(1.0,
+            ((CAST(total AS DOUBLE) * 0.5) * sqrt(CAST(p.nl AS DOUBLE)))
+              / dsum / CAST(p.nl AS DOUBLE)) * 10000.0) AS BIGINT) AS rate_bp
+        FROM per p CROSS JOIN den),
+      s4 AS (SELECT s3.doc_id FROM s3 JOIN rates r ON r.lang = s3.lang
+        WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(s3.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < r.rate_bp),
+      keyed AS (SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hkey
+        FROM s4),
+      sh AS (SELECT doc_id,
+          row_number() OVER (ORDER BY hkey ASC, doc_id ASC) - 1 AS position
+        FROM keyed)
+      SELECT s1.doc_id,
+        CASE WHEN NOT s1.dedup_keep THEN 'dedup'
+             WHEN NOT c4g.c4_pass THEN 'c4'
+             WHEN NOT cls.cls_kept THEN 'classifier'
+             WHEN s4.doc_id IS NULL THEN 'mix'
+             ELSE 'kept' END AS stage,
+        sh.position % 8 AS shard, sh.position // 8 AS pos_in_shard
+      FROM s1
+      LEFT JOIN c4g USING (doc_id)
+      LEFT JOIN cls USING (doc_id)
+      LEFT JOIN s4 ON s4.doc_id = s1.doc_id
+      LEFT JOIN sh ON sh.doc_id = s1.doc_id
+      ORDER BY s1.doc_id"""))
 
   /** Deterministic global shuffle + strided sharding — the "shuffle the
     * corpus, write N interleaved shards" layout step every training run
