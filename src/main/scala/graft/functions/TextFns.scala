@@ -30,6 +30,27 @@ object TextFns {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  /** The C4 doc-level rule primitives (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2), shared by the d50 rule query and the d54 pipeline composition
+    * so the two cannot drift: sentence-terminator count, the bad-word
+    * stand-in list, and the combined pass predicate. [[c4PassSql]] renders
+    * the identical DuckDB condition for the oracles. */
+  val c4Badwords: Seq[String] = Seq("badword1", "badword2", "badword3")
+  def c4SentenceCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.!?]", ""))).cast("long")
+  def c4Pass(text: Column): Column = {
+    val lowered = lower(text)
+    c4SentenceCount(text) >= 3 && !lowered.contains("lorem ipsum") &&
+      !text.contains("{") && !lowered.contains("javascript") &&
+      !c4Badwords.map(lowered.contains(_)).reduce(_ || _)
+  }
+  def c4PassSql(t: String): String =
+    s"""(CAST(length($t) - length(regexp_replace($t, '[.!?]', '', 'g')) AS BIGINT) >= 3
+      AND NOT contains(lower($t), 'lorem ipsum')
+      AND NOT contains($t, '{')
+      AND NOT contains(lower($t), 'javascript')
+      AND NOT (${c4Badwords.map(w => s"contains(lower($t), '$w')").mkString(" OR ")}))"""
+
   /** CCNet's dedup text normalization (Wenzek et al. 2020, arXiv:1911.00359
     * — cc_net normalizes before hashing so trivial variants collide):
     * lowercase → accent fold → every digit → '0' → strip everything

@@ -215,10 +215,11 @@ object TextVector6 {
   val d50 = QueryDef("d50_c4_rules",
     (s, dir) => {
       val lowered = lower(col("text"))
-      val badwords = Seq("badword1", "badword2", "badword3")
+      // rule primitives shared with the d54 composition (TextFns) so the
+      // two rule sets cannot drift; equivalence pinned by spec
+      val badwords = TextFns.c4Badwords
       val m = Tables.documents(s, dir).select(col("doc_id"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.!?]", "")))
-          .cast(LongType).as("n_sentences"),
+        TextFns.c4SentenceCount(col("text")).as("n_sentences"),
         lowered.contains("lorem ipsum").as("has_lorem"),
         col("text").contains("{").as("has_brace"),
         lowered.contains("javascript").as("has_javascript"),

@@ -108,22 +108,43 @@ object TextVector7 {
     * pins their composition. */
   val d54 = QueryDef("d54_curation_pipeline",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // Injected deterministic twins (the d35 pattern) make EVERY stage's
+      // judged surface non-empty at every SF — the synthetic corpus has no
+      // sentence punctuation, so without them the C4 gate would drop all
+      // docs and stages 3-5 would be judged on the empty relation:
+      //  * +2e9 twins (every 10th doc): original text + a punctuated
+      //    suffix — pass C4 and feed classifier/mix/shard;
+      //  * +3e9 twins (every 25th doc): ASCII-case-folded text + the same
+      //    suffix — where both twins exist (every 50th) they collide in
+      //    NORMALIZED space, exercising the dedup stage (keeper = lower
+      //    id). translate, not upper(): locale-exact on both engines.
+      val suffix = ". Extra sentence one! Extra sentence two? Extra three."
+      val lo = "abcdefghijklmnopqrstuvwxyz"
+      val up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val baseDocs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val twins1 = baseDocs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+          col("source"), concat(col("text"), lit(suffix)).as("text"))
+      val twins2 = baseDocs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 3000000000L).as("doc_id"), col("lang"),
+          col("source"),
+          concat(translate(col("text"), lo, up), lit(suffix)).as("text"))
+      val docs = baseDocs.unionByName(twins1).unionByName(twins2)
+      // coalesce: a NULL text must still be attributed to a stage, not
+      // vanish through a never-matching NULL join key
       val withH = docs
-        .withColumn("nh", md5(TextFns.ccnetNormalize(col("text"))))
+        .withColumn("nh",
+          md5(coalesce(TextFns.ccnetNormalize(col("text")), lit(""))))
         .localCheckpoint(false)
       val keepers = withH.groupBy("nh").agg(min(col("doc_id")).as("keeper"))
+      // checkpoint: s1 feeds three legs of the final plan (verdict join,
+      // c4 flags, survivor path) — without it the dedup shuffle re-runs
       val s1 = withH.join(keepers, Seq("nh"))
         .withColumn("dedup_keep", col("doc_id") === col("keeper"))
-      val lowered = lower(col("text"))
-      val nSent = (length(col("text")) -
-        length(regexp_replace(col("text"), "[.!?]", ""))).cast(LongType)
-      val badwords = Seq("badword1", "badword2", "badword3")
-      val c4pass = nSent >= 3 && !lowered.contains("lorem ipsum") &&
-        !col("text").contains("{") && !lowered.contains("javascript") &&
-        !badwords.map(lowered.contains(_)).reduce(_ || _)
-      val s2flag = s1.filter(col("dedup_keep")).withColumn("c4_pass", c4pass)
+        .localCheckpoint(false)
+      val s2flag = s1.filter(col("dedup_keep"))
+        .withColumn("c4_pass", TextFns.c4Pass(col("text")))
       val surv2 = s2flag.filter(col("c4_pass"))
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .localCheckpoint(false)
@@ -132,9 +153,12 @@ object TextVector7 {
         .select(col("id").as("doc_id"), col("kept").as("cls_kept"))
       val surv3 = surv2.join(cls, Seq("doc_id")).filter(col("cls_kept"))
         .select(col("doc_id"), col("lang"))
+      // checkpoint: mixFlag is consumed by the shard pass (3 scans inside
+      // globalRowIds) AND the final verdict join
       val mixFlag = Mixture.temperatureResample(surv3, "lang", "doc_id",
           alpha = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), lit(true).as("mix_keep"))
+        .localCheckpoint(false)
       val hkey = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast(LongType)
       val keyed = mixFlag.select(col("doc_id")).withColumn("hkey", hkey)
@@ -156,24 +180,29 @@ object TextVector7 {
           col("shard"), col("pos_in_shard"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH norm AS (SELECT doc_id, lang, source, text,
-        md5(trim(regexp_replace(regexp_replace(regexp_replace(
+    Some(s"""WITH docs AS (
+        SELECT doc_id, lang, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000000, lang, source,
+          text || '. Extra sentence one! Extra sentence two? Extra three.'
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 3000000000, lang, source,
+          translate(text, 'abcdefghijklmnopqrstuvwxyz',
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+            || '. Extra sentence one! Extra sentence two? Extra three.'
+        FROM documents WHERE doc_id % 25 = 0),
+      norm AS (SELECT doc_id, lang, source, text,
+        md5(coalesce(trim(regexp_replace(regexp_replace(regexp_replace(
           translate(lower(text), '${TextFns.accentFrom}', '${TextFns.accentTo}'),
           '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
-          '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS nh
-        FROM documents),
+          '[ \\t\\n\\r\\f]+', ' ', 'g')), '')) AS nh
+        FROM docs),
       keep1 AS (SELECT nh, min(doc_id) AS keeper FROM norm GROUP BY nh),
       s1 AS (SELECT norm.doc_id, norm.lang, norm.source, norm.text,
           (norm.doc_id = keep1.keeper) AS dedup_keep
         FROM norm JOIN keep1 USING (nh)),
-      c4g AS (SELECT doc_id,
-          (CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) >= 3
-            AND NOT contains(lower(text), 'lorem ipsum')
-            AND NOT contains(text, '{')
-            AND NOT contains(lower(text), 'javascript')
-            AND NOT (contains(lower(text), 'badword1')
-              OR contains(lower(text), 'badword2')
-              OR contains(lower(text), 'badword3'))) AS c4_pass
+      c4g AS (SELECT doc_id, ${TextFns.c4PassSql("text")} AS c4_pass
         FROM s1 WHERE dedup_keep),
       s2 AS (SELECT s1.doc_id, s1.lang, s1.source, s1.text
         FROM s1 JOIN c4g USING (doc_id) WHERE c4g.c4_pass),

@@ -33,7 +33,10 @@ class DegenerateTablesSpec extends SparkSpec {
     spark.read.parquet(s"$base/lineitem.parquet")
       .unionByName(Seq(1).toDF("x").select(
         lit(900002L).as("l_orderkey"), lit(1L).as("l_partkey"),
-        lit(1L).as("l_suppkey"), lit(1L).as("l_linenumber"),
+        // cast: the base column is int32 — a long literal would silently
+        // widen the whole rewritten column to int64 (a physical schema
+        // the driver never produces)
+        lit(1L).as("l_suppkey"), lit(1).cast("int").as("l_linenumber"),
         lit(0.0).as("l_quantity"), lit(0.0).as("l_extendedprice"),
         lit(1.0).as("l_discount"), lit(0.0).as("l_tax"),
         lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),

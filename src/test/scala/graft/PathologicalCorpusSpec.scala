@@ -34,7 +34,8 @@ class PathologicalCorpusSpec extends SparkSpec {
       (7L, "!!! ??? ... ,,, ;;;", "zh", "src7", 19L),
       (8L, "héllo wörld çédille ñoño", "es", "src8", 24L),
       (9L, (1 to 60).map(i => s"w$i").mkString(" ") + ". The be to of and that.",
-        "en", "src9", 300L)
+        "en", "src9", 300L),
+      (10L, null, "en", "src0", 0L) // NULL text: must be attributed, not crash
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     val emb = (0L to 9L).map { i =>

@@ -127,6 +127,30 @@ class TextVector6Spec extends SparkSpec {
     assert(!out(4L)); assert(!out(5L)); assert(!out(6L))
   }
 
+  test("d50's per-rule c4_pass equals the shared TextFns.c4Pass predicate " +
+    "row-for-row (the d54 composition uses the shared form)") {
+    val texts = Seq(
+      "One good sentence. Another one follows! A third ends it?",
+      "Too short. Really.",
+      "lorem ipsum here. And more. And more still.",
+      "code { x } here. Two. Three.",
+      "javascript required. Two. Three.",
+      "badword3 present. Two. Three.",
+      "no punctuation at all",
+      "") // empty
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val both = df.select(col("id"),
+      graft.functions.TextFns.c4Pass(col("t")).as("shared"),
+      (graft.functions.TextFns.c4SentenceCount(col("t")) >= 3 &&
+        !lower(col("t")).contains("lorem ipsum") && !col("t").contains("{") &&
+        !lower(col("t")).contains("javascript") &&
+        !graft.functions.TextFns.c4Badwords.map(w => lower(col("t")).contains(w))
+          .reduce(_ || _)).as("d50form"))
+    assert(both.filter(col("shared") =!= col("d50form")).count() == 0)
+    // and the rules actually discriminate on this fixture
+    assert(both.filter(col("shared")).count() == 1)
+  }
+
   test("d49 perplexity terciles: buckets are balanced and ordered by model " +
     "fit (head's mean logp >= tail's)") {
     val out = graft.queries.TextVector6.d49.fn(spark, "/root/testdata/sf0.001")
