@@ -11,7 +11,7 @@ import graft.operators.Mixture
   * shuffle + sharding that lays a corpus out for training. */
 object TextVector7 {
 
-  def defs: Seq[QueryDef] = Seq(d51, d52, d53, d54)
+  def defs: Seq[QueryDef] = Seq(d51, d52, d53, d54, d55)
 
   /** CCNet normalization-keyed exact dedup: hash the NORMALIZED text
     * ([[TextFns.ccnetNormalize]] — lowercase, accent fold, digits→0,
@@ -267,6 +267,93 @@ object TextVector7 {
       LEFT JOIN s4 ON s4.doc_id = s1.doc_id
       LEFT JOIN sh ON sh.doc_id = s1.doc_id
       ORDER BY s1.doc_id"""))
+
+  /** N-gram CONTAINMENT detection (Broder 1997's second resemblance
+    * measure — |S(A)∩S(B)| / min(|S(A)|,|S(B)|)): catches doc-IN-doc
+    * relationships (excerpts, quotes, boilerplate wrappers) that Jaccard
+    * deliberately misses — d6's length-ratio prefilter EXCLUDES exactly
+    * these asymmetric pairs. Candidates come from shared-shingle
+    * blocking with the standard stop-shingle cut (a 3-gram occurring in
+    * > 20 docs is boilerplate: useless for candidate generation and the
+    * block-size bomb at corpus scale), so the contract is containment
+    * over INFORMATIVE shingles — both engines replay the same cut, and
+    * reported pairs need ≥ 2 shared informative shingles (a single
+    * shared rare 3-gram is coincidence, not containment evidence). The
+    * containment verdict is exact integer arithmetic (5·n_int ≥
+    * 4·min(n_a, n_b) ⟺ C ≥ 0.8): no float at the boundary. Injected
+    * excerpt twins (+4e9, first 10 tokens of every 40th doc — the d35
+    * pattern) guarantee true containment pairs at every judged SF. */
+  val d55 = QueryDef("d55_ngram_containment",
+    (s, dir) => {
+      // judged on the even-doc_id half (the d45 subsample precedent):
+      // pair CPU is quadratic-in-block, so the half-sample quarters the
+      // judged cost while the injected excerpt pairs (%40 ⊂ %2) survive
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val excerpts = base
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        .filter(col("doc_id") % 40 === 0 && size(col("t")) >= 15)
+        .select((col("doc_id") + 4000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("t"), 1, 10)).as("text"))
+      val docs = base.unionByName(excerpts)
+      // join key = md5-prefix int of the shingle (the d21 SQL-replayable
+      // convention): int shuffles+equality beat string keys severalfold,
+      // and both engines hash identically so the (negligible) 32-bit
+      // collision mass is shared — the contract is containment over the
+      // hashed shingle space
+      val sh = docs
+        .select(col("doc_id"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("sh"))
+        .distinct()
+      // stop-shingle cut and per-doc sizes as PARTITIONED WINDOWS over the
+      // one (doc, shingle) relation — a single linear pipeline with no
+      // diamond reuse, so nothing depends on exchange-reuse kicking in;
+      // the one genuine double-consumption (the self-join) is checkpointed
+      import org.apache.spark.sql.expressions.Window
+      val kept = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= 20)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "sh", "n")
+        .localCheckpoint(false)
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_int"),
+          min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
+        .filter(col("n_int") >= 2)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_int"),
+          (col("n_int") * 5 >= least(col("n_a"), col("n_b")) * 4).as("contained"))
+        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 4000000000, array_to_string(t[1:10], ' ') AS text
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE doc_id % 40 = 0 AND len(t) >= 15),
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM docs),
+      sh AS (SELECT DISTINCT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT) AS sh
+        FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+      kept AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n
+        FROM (SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) t
+          WHERE df <= 20) u)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(min(a.n) AS BIGINT) AS n_a, CAST(min(b.n) AS BIGINT) AS n_b,
+        count(*) AS n_int,
+        (count(*) * 5 >= least(min(a.n), min(b.n)) * 4) AS contained
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""))
 
   /** Deterministic global shuffle + strided sharding — the "shuffle the
     * corpus, write N interleaved shards" layout step every training run

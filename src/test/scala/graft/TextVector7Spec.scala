@@ -37,6 +37,25 @@ class TextVector7Spec extends SparkSpec {
     assert(keys(4L) != keys(1L))
   }
 
+  test("d55 containment: injected excerpt twins are flagged contained with " +
+    "full intersection; unrelated pairs are not") {
+    val out = graft.queries.TextVector7.d55.fn(spark, "/root/testdata/sf0.001")
+      .cache()
+    val excerptPairs = out.filter(col("id_b") >= 4000000000L &&
+      col("id_b") - 4000000000L === col("id_a"))
+    val rows = excerptPairs.select("n_a", "n_b", "n_int", "contained")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty, "excerpt-original pairs must surface")
+    rows.foreach { case (na, nb, nInt, contained) =>
+      assert(contained, "an excerpt is contained in its original")
+      assert(nInt == math.min(na, nb), "excerpt shingles are a full subset")
+    }
+    // the contained set is a small fraction: random cross-doc pairs are not
+    val n = out.count(); val c = out.filter(col("contained")).count()
+    assert(c < n / 2)
+    out.unpersist()
+  }
+
   test("d52 shuffle shards: positions are a permutation, shards balanced " +
     "within 1, and the order is the md5 order") {
     val out = graft.queries.TextVector7.d52.fn(spark, "/root/testdata/sf0.001")
