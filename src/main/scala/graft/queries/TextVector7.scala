@@ -328,7 +328,6 @@ object TextVector7 {
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_int"),
           (col("n_int") * 5 >= least(col("n_a"), col("n_b")) * 4).as("contained"))
         .orderBy("id_a", "id_b")
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
