@@ -78,6 +78,32 @@ object StageProfile {
             n = 20, groupCols = Seq("sector"), maxPerGroup = 0.2,
             maxCutProb = 0.9).count()
         }
+      case "d55" =>
+        // attribution for the bimodal round-7 d55 bench median (2.7 s vs
+        // 9 s on the identical plan): times each stage of the judged
+        // query via the SHARED builders in TextVector7 (no drift
+        // possible) and prints the partition counts the AQE-coalescing
+        // suspect would show up in.
+        import graft.queries.TextVector7
+        val docs = t("docs (even half + excerpt twins, count)") {
+          val d = TextVector7.d55Docs(spark, dir); println("  n_docs=" + d.count()); d
+        }
+        val sh = t("shingle explode + hash + distinct (count)") {
+          val x = TextVector7.d55Shingles(docs)
+          println("  n_doc_shingles=" + x.count()); x
+        }
+        println("  sh partitions=" + sh.rdd.getNumPartitions)
+        val kept = t("stop-cut + per-doc sizes (count)") {
+          val k = TextVector7.d55Kept(sh); println("  n_kept=" + k.count()); k
+        }
+        val ck = t("localCheckpoint") { kept.localCheckpoint(false) }
+        println("  kept partitions=" + ck.rdd.getNumPartitions)
+        t("self-join + containment verdict (count)") {
+          println("  n_pairs=" + TextVector7.d55Pairs(ck).count())
+        }
+        t("full judged d55 (fresh plan, count)") {
+          println("  n_rows=" + graft.SparkEntry.queries("d55_ngram_containment")(spark, dir).count())
+        }
       case "d23" =>
         val pairs = graft.operators.Dedup.blockedJaccardPairs(
           graft.core.Tables.documents(spark, dir), "doc_id", "text",
@@ -88,7 +114,7 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55")
     }
     spark.stop()
   }

@@ -169,10 +169,17 @@ object TextFns {
   /** A deterministic "winnowing-lite" document fingerprint: the minimum md5
     * over the document's word k-shingles. Oracle-friendly (md5 is standard)
     * and stable under content reordering-free edits. */
-  def minShingleFingerprint(text: Column, k: Int): Column = {
-    val sh = shingleSet(text, k)
-    when(size(sh) > 0, array_min(transform(sh, s => md5(s)))).otherwise(md5(trim(text)))
-  }
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    minShingleFingerprintOf(tokens(text), text, k)
+
+  /** [[minShingleFingerprint]] over a PRE-BOUND token array (see the CSE
+    * note on [[tokens]] — the unbound form re-runs the regex split per
+    * element_at inside the shingle lambda). Single evaluation of the
+    * shingle set: `array_min` over an empty transform is NULL, so the
+    * coalesce replaces the size-guarded double reference. */
+  def minShingleFingerprintOf(toks: Column, text: Column, k: Int): Column =
+    coalesce(array_min(transform(shinglesOf(toks, k), s => md5(s))),
+      md5(trim(text)))
 
   /** Per-language stopword seed lists for the language-ID heuristic. Tiny on
     * purpose — they inline into codegen'd `isin` filters. */

@@ -70,11 +70,23 @@ object Similarity {
     try fit(k)
     catch {
       case e: Throwable if isKmeansLowDistinctCrash(e) =>
-        val distinctVecs = assembled.distinct()
+        // distinct is counted on a signed-zero-normalized ARRAY form:
+        // Vector-UDT struct equality bit-compares doubles, so a corpus
+        // with -0.0/0.0 variants of one point would read as >1 distinct
+        // while KMeans sees a single geometric point — the clamp could
+        // then retry at a k that still crashes (r8 advisor finding).
+        // `x === 0.0` matches both zeros in Spark SQL, so the transform
+        // collapses them; Spark's NaN = NaN (non-IEEE) already groups
+        // NaN variants. The >= k rethrow guard stays: an AIOOBE with
+        // enough distinct points is a different bug and must surface.
+        val distinctVecs = assembled
+          .select(transform(vector_to_array(col("__vec")).cast("array<double>"),
+            x => when(x === 0.0, lit(0.0)).otherwise(x)).as("__a"))
+          .distinct()
         val distinct = distinctVecs.count()
         if (distinct >= k || distinct == 0) throw e
         else if (distinct == 1)
-          Array(distinctVecs.head.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+          Array(distinctVecs.head.getSeq[Double](0).toArray)
         else fit(distinct.toInt)
     }
   }

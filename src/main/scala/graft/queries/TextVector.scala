@@ -217,8 +217,10 @@ object TextVector {
   /** Winnowing-lite document fingerprint: min md5 over word 5-shingles. */
   val d8 = QueryDef("d8_doc_fingerprint",
     (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        TextFns.minShingleFingerprint(col("text"), 5).as("fingerprint"))
+        TextFns.minShingleFingerprintOf(col("toks"), col("text"), 5)
+          .as("fingerprint"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
       COALESCE(list_min(list_transform(range(1, greatest(len(t) - 3, 1)),

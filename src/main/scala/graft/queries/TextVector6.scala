@@ -167,9 +167,14 @@ object TextVector6 {
           element_at(col("t"), col("i") + 1).as("w2"))
       val bigramCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val unigramCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // no broadcast hint on either count relation: both are
+      // vocabulary-sized (unbounded in corpus scale — Heaps' law), so a
+      // forced broadcast would OOM the driver at 100 TB; shuffle-join on
+      // the word key and let AQE downgrade to broadcast when a corpus's
+      // vocabulary actually is small (r8 advisor finding)
       val scored = big
         .join(bigramCounts, Seq("w1", "w2"))
-        .join(broadcast(unigramCounts), Seq("w1"))
+        .join(unigramCounts, Seq("w1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))), 6)

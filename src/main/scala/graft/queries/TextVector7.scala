@@ -53,8 +53,15 @@ object TextVector7 {
     * (md5(text) appearing >1 anywhere — d1's key), dup rate in exact
     * integer basis points, and the share of docs meeting Gopher's 50-word
     * floor. One tokenize scan (lazy checkpoint feeds both the dup-key
-    * counts and the rollup); two shuffles (hash counts, group rollup) —
-    * the whole card is one pass over the corpus at any scale. */
+    * counts and the rollup); two shuffles (hash counts, group rollup).
+    * SCALE BOUNDARY (r8 advisor finding): every aggregate here is
+    * bounded-state EXCEPT `percentile` — its exact-median buffer holds
+    * all group members, and a (source, lang) group is corpus-sized. The
+    * judged card keeps the exact form (the q10 ↔ quantile_cont parity
+    * surface); a 100 TB datacard swaps that one column for the bucketed
+    * exact-quantile machinery ([[graft.core.Indexing.globalNtile]] per
+    * group, or approx_percentile when ±ε is acceptable — the d34
+    * contract) and keeps the rest of the plan unchanged. */
   val d53 = QueryDef("d53_corpus_datacard",
     (s, dir) => {
       val perDoc = Tables.documents(s, dir)
@@ -283,58 +290,86 @@ object TextVector7 {
     * 4·min(n_a, n_b) ⟺ C ≥ 0.8): no float at the boundary. Injected
     * excerpt twins (+4e9, first 10 tokens of every 40th doc — the d35
     * pattern) guarantee true containment pairs at every judged SF. */
+  // d55 stage builders — shared with `StageProfile d55` so the profiled
+  // stages cannot drift from the judged query.
+
+  /** Even-half corpus + injected excerpt twins (the judged d55 input).
+    * Judged on the even-doc_id half (the d45 subsample precedent): pair
+    * CPU is quadratic-in-block, so the half-sample quarters the judged
+    * cost while the injected excerpt pairs (%40 ⊂ %2) survive. */
+  private[graft] def d55Docs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val excerpts = base
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(col("doc_id") % 40 === 0 && size(col("t")) >= 15)
+      .select((col("doc_id") + 4000000000L).as("doc_id"),
+        concat_ws(" ", slice(col("t"), 1, 10)).as("text"))
+    base.unionByName(excerpts)
+  }
+
+  /** Distinct (doc_id, hashed-shingle) relation.
+    * Join key = md5-prefix int of the shingle (the d21 SQL-replayable
+    * convention): int shuffles+equality beat string keys severalfold,
+    * and both engines hash identically so the (negligible) 32-bit
+    * collision mass is shared — the contract is containment over the
+    * hashed shingle space.
+    * The repartition spreads the shingle explode across cores: the judged
+    * corpus is one small parquet split (a single input partition), so the
+    * higher-order shingle lambda would otherwise run single-threaded — at
+    * production scale inputs split naturally and this is a no-op cost.
+    * Tokens are BOUND to an attribute before the shingle lambda: HOF
+    * lambdas get no common-subexpression elimination, so the unbound form
+    * (shingleSet(text, k)) re-runs the full-document regex split once per
+    * element_at — ~3·n_tokens splits per doc (the TextFns CSE note;
+    * round-7's unattributed d55 cost). Bound, the split runs once per
+    * row. */
+  private[graft] def d55Shingles(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesOf(col("toks"), 3))).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("sh"))
+      .distinct()
+
+  /** Stop-shingle cut (df ≤ 20) and per-doc set sizes as PARTITIONED
+    * WINDOWS over the one (doc, shingle) relation — a single linear
+    * pipeline with no diamond reuse, so nothing depends on exchange-reuse
+    * kicking in. NOT checkpointed here: the caller checkpoints exactly at
+    * the genuine double-consumption (the self-join). */
+  private[graft] def d55Kept(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= 20)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "sh", "n")
+  }
+
+  /** Shared-shingle self-join → containment verdict (exact integer
+    * arithmetic at the boundary). */
+  private[graft] def d55Pairs(
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_int"),
+        min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
+      .filter(col("n_int") >= 2)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_int"),
+        (col("n_int") * 5 >= least(col("n_a"), col("n_b")) * 4).as("contained"))
+      .orderBy("id_a", "id_b")
+
   val d55 = QueryDef("d55_ngram_containment",
-    (s, dir) => {
-      // judged on the even-doc_id half (the d45 subsample precedent):
-      // pair CPU is quadratic-in-block, so the half-sample quarters the
-      // judged cost while the injected excerpt pairs (%40 ⊂ %2) survive
-      val base = Tables.documents(s, dir)
-        .filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"))
-      val excerpts = base
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        .filter(col("doc_id") % 40 === 0 && size(col("t")) >= 15)
-        .select((col("doc_id") + 4000000000L).as("doc_id"),
-          concat_ws(" ", slice(col("t"), 1, 10)).as("text"))
-      val docs = base.unionByName(excerpts)
-      // join key = md5-prefix int of the shingle (the d21 SQL-replayable
-      // convention): int shuffles+equality beat string keys severalfold,
-      // and both engines hash identically so the (negligible) 32-bit
-      // collision mass is shared — the contract is containment over the
-      // hashed shingle space
-      // spread the shingle explode across cores: the judged corpus is one
-      // small parquet split (a single input partition), so the
-      // higher-order shingle lambda would otherwise run single-threaded —
-      // at production scale inputs split naturally and this is a no-op
-      // cost (one narrow round-robin exchange before the heavy map)
-      val sh = docs
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("sh"))
-        .distinct()
-      // stop-shingle cut and per-doc sizes as PARTITIONED WINDOWS over the
-      // one (doc, shingle) relation — a single linear pipeline with no
-      // diamond reuse, so nothing depends on exchange-reuse kicking in;
-      // the one genuine double-consumption (the self-join) is checkpointed
-      import org.apache.spark.sql.expressions.Window
-      val kept = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("df") <= 20)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select("doc_id", "sh", "n")
-        .localCheckpoint(false)
-      kept.alias("a")
-        .join(kept.alias("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_int"),
-          min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
-        .filter(col("n_int") >= 2)
-        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_int"),
-          (col("n_int") * 5 >= least(col("n_a"), col("n_b")) * 4).as("contained"))
-        .orderBy("id_a", "id_b")
-    },
+    (s, dir) => d55Pairs(
+      d55Kept(d55Shingles(d55Docs(s, dir))).localCheckpoint(false)),
     Some("""WITH docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
         UNION ALL

@@ -87,4 +87,27 @@ class ScoringSpec extends SparkSpec {
     assert(ws.length == 2)
     assert(math.abs(ws.sum - 1.0) < 1e-12)
   }
+
+  /** The p4 GBT-fit envelope (round-7 verdict task 3): the last rows-only
+    * ML surface gets a regression gate. Mirrors `StageProfile p4` exactly
+    * — the REAL p1 feature table (sf0.001 for spec cost), the same
+    * drawdown-derived label, the same fixed seed (42) and walk-forward
+    * cutoff — and pins the AUC floor PROFILE_p4.txt recorded (0.9998 on
+    * the quiet-VM run; floor 0.99 leaves room for MLlib version drift but
+    * would catch any real fit regression). Fit wall-time is recorded via
+    * info() so a future slowdown is visible in the test report. */
+  test("p4 envelope: GBT fit on the real feature table — fixed seed/split AUC floor") {
+    val dir = "/root/testdata/sf0.001"
+    val features = graft.queries.Pipeline.p1MaterializedForProbe(spark, dir)
+    val labeled = features.withColumn("cut_label",
+      when(col("max_drawdown_1y") > 0.5, 1.0).otherwise(0.0))
+    val t0 = System.nanoTime()
+    val (scored, auc) = Scoring.fitCutProbability(labeled, "cut_label", "2000-01-01")
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    info(f"p4 envelope: holdout auc=$auc%.4f, fit+transform ${fitSec}%.1f s (seed 42, cutoff 2000-01-01)")
+    assert(!auc.isNaN, "holdout must be non-empty on the p1 grid")
+    assert(auc >= 0.99, s"p4 GBT holdout AUC regressed below the 0.99 envelope: $auc")
+    val n = scored.filter(col("cut_prob").isNull).count()
+    assert(n == 0, s"cut_prob must be defined for every scored row; $n nulls")
+  }
 }
