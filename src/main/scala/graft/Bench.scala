@@ -91,12 +91,18 @@ object Bench {
     val total = s3(results.map(_._2).sum)
     val runsJson = runTotals.map(s3).mkString("[", ",", "]")
     // Full detail to a file the judge can read; compact line to stdout.
+    // "legs" carries every round's per-query time (not just the median):
+    // driver benches run on a shared VM whose load swings legs 2x, and
+    // per-leg visibility lets a reader discard a loaded leg instead of
+    // guessing which medians absorbed it (round-7 verdict task 7).
     val detailPath = "bench_detail.json"
+    val legsJson = runMaps.map(m => jmap(m.toSeq.sortBy(_._1)))
+      .mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_runs":$nRuns,"run_totals":$runsJson,""" +
       s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],""" +
-      s""""queries":${jmap(results)},"sf":"$sfDir"}"""
+      s""""queries":${jmap(results)},"legs":$legsJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)

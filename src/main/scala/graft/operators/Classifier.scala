@@ -85,6 +85,77 @@ object Classifier {
       .withColumn("kept", paretoKeep(col("prob_r"), col("u")))
   }
 
+  /** Distinct (id, bucket) hashed-unigram presence features — the shared
+    * construction of [[paretoQualityFilter]], [[trainNbWeights]] and
+    * [[applyNbPareto]] (one definition so train and frozen-apply cannot
+    * drift). */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                             numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("id"), explode(col("t")).as("tok"))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType) % numBuckets).as("bucket"))
+      .distinct()
+
+  /** Train the hashed-NB log-odds weights ONCE and hand them back as a
+    * (bucket, w) frame (≤ numBuckets rows — broadcastable at any corpus
+    * size). The frozen-model half of the incremental curation contract:
+    * a production quality classifier is trained once on a reference
+    * corpus and applied unchanged to every later batch (GPT-3 trained its
+    * classifier once against WebText), so batch decisions never depend on
+    * when a document arrives. Same arithmetic as [[paretoQualityFilter]]
+    * (which stays the fused single-pass form for the one-shot case). */
+  def trainNbWeights(df: DataFrame, idCol: String, textCol: String,
+                     isPositive: Column, numBuckets: Int = 4096): DataFrame = {
+    val feats = df.select(col(idCol).as("id"), isPositive.as("__pos"),
+        graft.functions.TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("id"), col("__pos"), explode(col("t")).as("tok"))
+      .select(col("id"), col("__pos"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType) % numBuckets).as("bucket"))
+      .distinct()
+      .localCheckpoint(false)
+    val docTotals = feats.select(col("id"), col("__pos")).distinct()
+      .agg(count(when(col("__pos"), 1)).as("__np"),
+        count(when(!col("__pos"), 1)).as("__nn"))
+    feats.groupBy("bucket")
+      .agg(count(when(col("__pos"), 1)).as("df_pos"),
+        count(when(!col("__pos"), 1)).as("df_neg"))
+      .crossJoin(broadcast(docTotals)).select(col("bucket"),
+        (log((col("df_pos") + 1).cast(DoubleType) / (col("__np") + 2).cast(DoubleType)) -
+          log((col("df_neg") + 1).cast(DoubleType) / (col("__nn") + 2).cast(DoubleType)))
+          .as("w"))
+  }
+
+  /** Score + Pareto-filter `df` against FROZEN weights (from
+    * [[trainNbWeights]], possibly over an earlier corpus). Buckets absent
+    * from the model contribute nothing; a document with NO modeled bucket
+    * scores 0 raw log-odds (sigmoid 0.5 — neutral), so out-of-vocabulary
+    * batches degrade to a fair coin against the Pareto draw rather than
+    * vanishing. Output schema = [[paretoQualityFilter]]'s. */
+  def applyNbPareto(df: DataFrame, idCol: String, textCol: String,
+                    weights: DataFrame, alpha: Int = 9,
+                    numBuckets: Int = 4096): DataFrame = {
+    require(alpha == 9, "the exp-free acceptance chain is built for the paper's α = 9")
+    val feats = hashedFeatures(df, idCol, textCol, numBuckets)
+    val scored = feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(count(col("w")).as("n_feat"),
+        sum(col("w")).as("__sw"))
+      .select(col("id"), col("n_feat"),
+        when(col("n_feat") > 0, round(col("__sw") / col("n_feat"), 6))
+          .otherwise(lit(0.0)).as("score_r"))
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-col("score_r"))), 6)
+    val u = (conv(substring(md5(concat(col("id").cast(StringType), lit("|u"))), 1, 8), 16, 10)
+      .cast(LongType) % 1000000).cast(DoubleType) / lit(1000000.0)
+    scored.withColumn("prob_r", prob).withColumn("u", u)
+      .withColumn("kept", paretoKeep(col("prob_r"), col("u")))
+  }
+
   /** keep ⟺ Pareto(α=9) draw > 1 − s ⟺ u > 1 − (2−s)^{−9}, the
     * square-and-multiply chain (p²)²·(p²)²·… so both engines evaluate the
     * identical IEEE op sequence — no libm pow at the decision boundary.

@@ -2,14 +2,122 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.functions.TextFns
+import graft.operators.{Mixture, Similarity}
 
 /** Eleventh coverage batch (round 8): judged surfaces for the previously
   * spec-only ML fit interiors — the production [[Similarity.pqTrain]]
   * per-subspace KMeans path. */
 object TextVector8 {
 
-  def defs: Seq[QueryDef] = Seq(e10, d56)
+  def defs: Seq[QueryDef] = Seq(e10, d56, d57)
+
+  /** Incremental curation step (round-7 verdict task 6 — the reference's
+    * B2/B7 skip-existing semantics on the corpus pipeline): the odd-id
+    * half of the corpus is the already-curated STORE, the even-id half
+    * (plus injected twins) is the NEW batch, and ONLY the batch is
+    * curated — against the store's frozen normalized-hash set and frozen
+    * per-lang mixture rates ([[graft.operators.Mixture.temperatureRates]]
+    * over the store's language counts at freeze time). Stage routing per
+    * batch doc plus the STATELESS hash shard (md5(id) % 8 — unlike d52's
+    * position interleave, a later batch can never move an earlier doc's
+    * shard). Twin injection keeps every judged surface non-empty:
+    * +2e9 punctuated-suffix twins (pass C4 → reach mix/kept), +5e9
+    * copies of store docs (must die at 'dedup' via the incumbent check),
+    * +6e9 copies of batch docs (must die at 'dedup' via the
+    * within-batch min-id keeper). The classifier stage is frozen-weights
+    * by contract; here it is disabled (None) to keep the oracle focused —
+    * the frozen-apply path is pinned by IncrementalCurationSpec's
+    * two-batch ≡ one-batch equivalence proof instead, and the classifier
+    * math itself is judged by d48/d54. */
+  val d57 = QueryDef("d57_incremental_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val suffix = ". Extra sentence one! Extra sentence two? Extra three."
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val store = docs.filter(col("doc_id") % 2 === 1)
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      val batch = b0
+        .unionByName(b0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+            col("source"), concat(col("text"), lit(suffix)).as("text")))
+        .unionByName(store.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("lang"),
+            col("source"), col("text")))
+        .unionByName(b0.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 6000000000L).as("doc_id"), col("lang"),
+            col("source"), col("text")))
+      val counts = store
+        .groupBy(col("lang").cast(StringType).as("g"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("g").isNotNull)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val state = graft.operators.Incremental.CurationState(
+        store.select(graft.operators.Incremental.normHash(col("text")).as("nh")),
+        clsWeights = None,
+        rates = Mixture.temperatureRates(counts, alpha = 0.5, targetFraction = 0.5),
+        nShards = 8)
+      graft.operators.Incremental.curateBatch(batch, state)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH store AS (
+        SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 2 = 1),
+      b0 AS (SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT doc_id, lang, text FROM b0
+        UNION ALL
+        SELECT doc_id + 2000000000, lang,
+          text || '. Extra sentence one! Extra sentence two? Extra three.'
+        FROM b0 WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 5000000000, lang, text FROM store WHERE doc_id % 20 = 1
+        UNION ALL
+        SELECT doc_id + 6000000000, lang, text FROM b0 WHERE doc_id % 30 = 0),
+      sh AS (SELECT doc_id, lang, text,
+        md5(coalesce(trim(regexp_replace(regexp_replace(regexp_replace(
+          translate(lower(text), '${TextFns.accentFrom}', '${TextFns.accentTo}'),
+          '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
+          '[ \\t\\n\\r\\f]+', ' ', 'g')), '')) AS nh
+        FROM batch),
+      sth AS (SELECT DISTINCT
+        md5(coalesce(trim(regexp_replace(regexp_replace(regexp_replace(
+          translate(lower(text), '${TextFns.accentFrom}', '${TextFns.accentTo}'),
+          '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
+          '[ \\t\\n\\r\\f]+', ' ', 'g')), '')) AS nh
+        FROM store),
+      keep AS (SELECT nh, min(doc_id) AS keeper FROM sh GROUP BY nh),
+      s1 AS (SELECT sh.doc_id, sh.lang, sh.text,
+          (sth.nh IS NULL AND sh.doc_id = keep.keeper) AS dedup_keep
+        FROM sh JOIN keep USING (nh) LEFT JOIN sth ON sth.nh = sh.nh),
+      c4g AS (SELECT doc_id, ${TextFns.c4PassSql("text")} AS c4_pass
+        FROM s1 WHERE dedup_keep),
+      s2 AS (SELECT s1.doc_id, s1.lang FROM s1 JOIN c4g USING (doc_id)
+        WHERE c4g.c4_pass),
+      per AS (SELECT lang, count(*) AS nl FROM store
+        WHERE lang IS NOT NULL GROUP BY lang),
+      den AS (SELECT list_sum(list(sqrt(CAST(nl AS DOUBLE)) ORDER BY lang)) AS dsum,
+          CAST(sum(nl) AS BIGINT) AS total FROM per),
+      rates AS (SELECT p.lang,
+          CAST(floor(least(1.0,
+            ((CAST(total AS DOUBLE) * 0.5) * sqrt(CAST(p.nl AS DOUBLE)))
+              / dsum / CAST(p.nl AS DOUBLE)) * 10000.0) AS BIGINT) AS rate_bp
+        FROM per p CROSS JOIN den),
+      mix AS (SELECT s2.doc_id FROM s2 JOIN rates r ON r.lang = s2.lang
+        WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(s2.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < r.rate_bp)
+      SELECT s1.doc_id,
+        CASE WHEN NOT s1.dedup_keep THEN 'dedup'
+             WHEN NOT c4g.c4_pass THEN 'c4'
+             WHEN mix.doc_id IS NULL THEN 'mix'
+             ELSE 'kept' END AS stage,
+        CASE WHEN mix.doc_id IS NOT NULL THEN
+          CAST(CONCAT('0x', SUBSTR(md5(CAST(s1.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        END AS shard
+      FROM s1
+      LEFT JOIN c4g USING (doc_id)
+      LEFT JOIN mix ON mix.doc_id = s1.doc_id
+      ORDER BY s1.doc_id"""))
 
   /** Line-level C4 rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 and
     * the released TF c4.py) — the rules d50 could not judge on the
