@@ -1,16 +1,84 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.core.Tables
 import graft.functions.TextFns
 import graft.operators.{Mixture, Similarity}
 
-/** Eleventh coverage batch (round 8): judged surfaces for the previously
-  * spec-only ML fit interiors — the production [[Similarity.pqTrain]]
-  * per-subspace KMeans path. */
+/** Eleventh coverage batch (round 8): judged surfaces for the round-7
+  * verdict's evidence gaps — the production [[Similarity.pqTrain]]
+  * KMeans path (e10), the line-level C4 rules the single-line corpus
+  * could not judge (d56), the incremental skip-existing curation step
+  * (d57, [[graft.operators.Incremental]]), and C4's three-sentence-span
+  * global dedup (d58). */
 object TextVector8 {
 
-  def defs: Seq[QueryDef] = Seq(e10, d56, d57)
+  def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58)
+
+  /** C4's span-level deduplication (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once in the data set") — the remaining C4 move after d50 (page
+    * rules), d56 (line rules) and d44 (window-granular exact substrings).
+    * Sentences are extracted with the lookaround-free pattern
+    * `[^.!?]*[.!?]` (Java and RE2 agree — lookbehind splits would fork
+    * the engines); spans are every 3 consecutive sentences, keyed by the
+    * d21 md5-prefix int; the keeper is the GLOBAL first occurrence
+    * (lowest (doc_id, span_idx)) via a window partitioned by span hash —
+    * one shuffle on the span key, no global window, the d1 scale shape.
+    * The synthetic corpus has no sentence punctuation, so every
+    * doc_id % 10 == 0 doc gains a punctuated tail: one doc-unique
+    * anchor sentence (spans containing it are singletons — the keep
+    * polarity) and three SHARED tail sentences whose span is identical
+    * across all injected docs (a corpus-wide duplicate cluster — the
+    * drop polarity, and the block-size case the span-hash shuffle must
+    * absorb). Judged per span: hash, cluster size, first-occurrence
+    * verdict. */
+  val d58 = QueryDef("d58_c4_span_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val text2 = concat(col("text"), lit(". Unique anchor "),
+        col("doc_id"),
+        lit(" ends here! Shared tail one. Shared tail two? Shared tail three."))
+      val sents = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          regexp_extract_all(text2, lit("[^.!?]*[.!?]"), lit(0)).as("sents"))
+      val spans = sents
+        .filter(size(col("sents")) >= 3)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("sents")) - 2),
+            i => concat_ws(" ",
+              trim(element_at(col("sents"), i)),
+              trim(element_at(col("sents"), i + 1)),
+              trim(element_at(col("sents"), i + 2))))))
+        .select(col("doc_id"), (col("pos") + 1).as("span_idx"),
+          conv(substring(md5(col("col")), 1, 8), 16, 10)
+            .cast(LongType).as("span_h"))
+      spans
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("span_h")))
+        .withColumn("is_first",
+          row_number().over(Window.partitionBy("span_h")
+            .orderBy(col("doc_id").asc, col("span_idx").asc)) === 1)
+        .orderBy("doc_id", "span_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        regexp_extract_all(text || '. Unique anchor ' || CAST(doc_id AS VARCHAR)
+          || ' ends here! Shared tail one. Shared tail two? Shared tail three.',
+          '[^.!?]*[.!?]') AS s
+        FROM documents WHERE doc_id % 10 = 0),
+      sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+          CAST(CONCAT('0x', SUBSTR(md5(
+            trim(s[i]) || ' ' || trim(s[i+1]) || ' ' || trim(s[i+2])), 1, 8))
+            AS BIGINT) AS span_h
+        FROM t, UNNEST(generate_series(1, len(s) - 2)) AS u(i)
+        WHERE len(s) >= 3)
+      SELECT doc_id, span_idx, span_h,
+        count(*) OVER (PARTITION BY span_h) AS dup_count,
+        (row_number() OVER (PARTITION BY span_h
+          ORDER BY doc_id ASC, span_idx ASC) = 1) AS is_first
+      FROM sp ORDER BY doc_id, span_idx"""))
 
   /** Incremental curation step (round-7 verdict task 6 — the reference's
     * B2/B7 skip-existing semantics on the corpus pipeline): the odd-id

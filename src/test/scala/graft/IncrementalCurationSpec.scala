@@ -81,6 +81,51 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(stages.getOrElse("kept", 0) > 0, "kept surface empty")
   }
 
+  test("Trigger.AvailableNow curation stream: two deliveries == one-batch, idempotent rerun") {
+    val base = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val (in, verdicts, store, ckpt) =
+      (s"$base/in", s"$base/verdicts", s"$base/store", s"$base/ckpt")
+    val docs = corpus.localCheckpoint(false)
+    val weights = Classifier
+      .trainNbWeights(docs, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"))
+      .localCheckpoint(false)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .filter(col("lang").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rates = Mixture.temperatureRates(counts, alpha = 0.5, targetFraction = 0.5)
+
+    def run(): Unit = graft.streaming.CurationStream.curationAvailableNow(
+      spark, in, verdicts, store, ckpt, docs.schema,
+      Some(weights), rates).awaitTermination()
+    def streamedRows(): Set[(Long, String, Long)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(verdicts)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    // append-only deliveries: delivery 2's ids all above delivery 1's
+    docs.filter(col("doc_id") < 500000000L).write.parquet(s"$in/delivery1")
+    run()
+    docs.filter(col("doc_id") >= 500000000L).write.parquet(s"$in/delivery2")
+    run()
+    val streamed = streamedRows()
+
+    val emptyStore = Seq.empty[String].toDF("nh")
+    val oneBatch = Incremental.curateBatch(docs,
+      Incremental.CurationState(emptyStore, Some(weights), rates))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed == oneBatch,
+      s"streamed diverged: only-stream=${(streamed -- oneBatch).take(5)} " +
+        s"only-batch=${(oneBatch -- streamed).take(5)}")
+
+    // nothing pending: rerun must not change verdicts or store
+    val storeBefore = spark.read.parquet(store).count()
+    run()
+    assert(streamedRows() == oneBatch)
+    assert(spark.read.parquet(store).count() == storeBefore)
+  }
+
   test("incumbents win: a batch doc duplicating the store dies at dedup even with a lower id") {
     val store = Seq((100L, "en", "src0", "same normalized text here"))
       .toDF("doc_id", "lang", "source", "text")

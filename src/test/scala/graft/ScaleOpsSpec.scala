@@ -98,6 +98,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalPrefixAgg equals the naive BETWEEN aggregate (pairs never materialized)") {
+    val pts = Seq(("2024-01-01", 1.5), ("2024-01-15", 2.25), ("2024-01-15", 4.0),
+      ("2024-02-10", 3.0), ("2024-03-01", 4.5)).toDF("d", "v")
+      .select(col("d").cast("date").as("d"),
+        col("v").cast("decimal(18,2)").as("v"))
+    val iv = Seq(("a", "2024-01-01", "2024-01-20"),
+      ("b", "2024-01-10", "2024-02-15"),
+      ("c", "2024-05-01", "2024-05-02"),    // matches nothing: dropped
+      ("d", "2024-02-01", "2024-01-01"),    // end < start: dropped
+      ("e", "2023-01-01", "2024-01-01"),    // clamps below the domain
+      ("f", "2024-02-20", "2026-01-01"))    // clamps above the domain
+      .toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("date").as("s"),
+        col("e").cast("date").as("e"))
+    val naive = pts.crossJoin(iv).filter(col("d").between(col("s"), col("e")))
+      .groupBy("iid").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .orderBy("iid")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    val got = graft.core.RangeJoin.intervalPrefixAgg(pts, iv, "d", "s", "e",
+        Seq("sv" -> col("v")))
+      .select("iid", "n_points", "sv").orderBy("iid")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(got == naive)
+    // empty points: full-schema empty result, no crash
+    assert(graft.core.RangeJoin.intervalPrefixAgg(
+      pts.limit(0), iv, "d", "s", "e", Seq("sv" -> col("v"))).count() == 0)
+  }
+
   test("range join plans an equi-join on the bin, not a nested loop") {
     val pts = (1 to 100).map(i => (java.sql.Date.valueOf("2024-01-01"), i))
       .toDF("d", "pid")
