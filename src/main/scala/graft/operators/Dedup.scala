@@ -252,8 +252,13 @@ object Dedup {
     * quarter by pigeonhole), verify with bit_count(xor). */
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
+    // checkpoint: the simhash sketch feeds the 4-way quarter union and
+    // then BOTH sides of the bucket self-join — un-checkpointed, the
+    // full-text sketch expression re-evaluates up to 8x (r8 sf10 probe;
+    // the quarter projections above it are cheap and stay lazy)
     val sk = df.select(col(idCol).as("id"),
       SimHash.simhash64(TextFns.tokens(col(textCol))).as("sk"))
+      .localCheckpoint(false)
     val quarters = (0 until 4).map { q =>
       sk.select(col("id"), col("sk"),
         concat(lit(q.toString), lit(":"),
@@ -278,11 +283,14 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleK: Int = 3,
                           threshold: Double = 0.5): DataFrame = {
+    // checkpoint: the shingle-set construction feeds both self-join sides
+    // (same multi-consumer class as simHashNearDuplicates — r8)
     val sh = df.select(concat_ws("|", blockCols.map(col): _*).as("block"),
       col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
       .withColumn("sh", TextExprs.distinctShingles(col("toks"), shingleK))
       .select(col("block"), col("id"), col("sh"), size(col("sh")).as("sz"))
       .filter(col("sz") > 0)
+      .localCheckpoint(false)
     val b = sh.select(col("block"), col("id").as("id_b"),
       col("sh").as("sh_b"), col("sz").as("sz_b"))
     sh.join(b, Seq("block"))

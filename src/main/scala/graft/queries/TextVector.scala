@@ -237,10 +237,15 @@ object TextVector {
     * pairs on both fixtures. */
   val d9 = QueryDef("d9_winnowing_pairs",
     (s, dir) => {
+      // checkpoint: the rolling-hash fingerprint expression feeds BOTH
+      // sides of the self-join (and the global orderBy's range-sampling
+      // pass re-executes its child) — materialize it once (r8 sf10 probe:
+      // the un-checkpointed form re-ran the winnowing pass up to 4x)
       val fp = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.winnowingFingerprint(
             col("text"), k = 20, w = 8)).as("fp"))
+        .localCheckpoint(false)
       val b = fp.select(col("fp"), col("doc_id").as("doc_b"))
       fp.join(b, Seq("fp"))
         .filter(col("doc_id") < col("doc_b"))

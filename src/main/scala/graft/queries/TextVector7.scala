@@ -22,11 +22,18 @@ object TextVector7 {
     * flag. */
   val d51 = QueryDef("d51_ccnet_norm_dedup",
     (s, dir) => {
+      // checkpoint: the normalize chain (4 regex passes over every byte)
+      // feeds TWO consumers (cluster counts + the join-back) and then a
+      // global orderBy whose range-sampling pass re-executes its child —
+      // without the checkpoint the chain runs up to 4x (r8 sf10 probe:
+      // 49-69 s legs vs 4 s with the plan shared; the duplicated-lazy-
+      // plan trap, instance six)
       val h = Tables.documents(s, dir)
         .select(col("doc_id"), TextFns.ccnetNormalize(col("text")).as("__norm"))
         .select(col("doc_id"),
           length(col("__norm")).cast(LongType).as("n_norm_chars"),
           md5(col("__norm")).as("norm_hash"))
+        .localCheckpoint(false)
       val clusters = h.groupBy("norm_hash").agg(count(lit(1)).as("n_same"))
       h.join(clusters, Seq("norm_hash"))
         .select(col("doc_id"), col("n_norm_chars"), col("norm_hash"),
