@@ -173,12 +173,16 @@ object TextVector4 {
       val toks = base.union(twins)
         .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
+      // checkpoint: the shingle relation feeds the signature derivation,
+      // the per-doc sizes, and both legs of the pair-restricted exact
+      // intersection (the r8 multi-consumer rule)
       val sh = toks
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1), size(col("toks")) - 2)).as("i"), col("toks"))
         .select(col("doc_id"), col("lang"),
           concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("shingle"))
         .distinct()
+        .localCheckpoint(false)
       val mh = sh
         .select(col("doc_id"), col("lang"),
           graft.operators.Dedup.baseHash32(col("shingle")).as("x"))
@@ -194,13 +198,21 @@ object TextVector4 {
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(round(count(lit(1)).cast(DoubleType) / 16.0, 9).as("est_jaccard"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.alias("x")
-        .join(sh.alias("y"),
-          col("x.lang") === col("y.lang") && col("x.shingle") === col("y.shingle") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      // exact intersections ONLY for the candidate pairs (r8): the old
+      // shared-shingle self-join enumerated every shingle-sharing pair in
+      // the corpus before the left join threw the non-candidates away —
+      // an uncut block bomb on boilerplate-heavy corpora. Pair-restricted,
+      // the work is Σ_candidates |sh(a)| — linear in candidates. est fans
+      // out to 2 consumers → checkpointed (the r8 class-3 rule; sh is
+      // checkpointed at its definition above).
+      val estC = est.localCheckpoint(false)
+      val inter = estC.select(col("id_a"), col("id_b"))
+        .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_int"))
-      est.join(inter, Seq("id_a", "id_b"), "left")
+      estC.join(inter, Seq("id_a", "id_b"), "left")
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"),
           Seq("id_a"))
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"),
