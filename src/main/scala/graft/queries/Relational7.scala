@@ -474,13 +474,23 @@ object Relational7 {
   val d34 = QueryDef("d34_approx_quantile",
     (s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_returnflag", "l_extendedprice")
+      // exact quantiles via the distributed order-statistic select
+      // (Indexing.groupQuantiles) — the aggregate-buffer form
+      // (percentile(col, q)) holds a group-sized value map merged
+      // single-threaded per group and measured 23x/decade on the sf10
+      // tiling; selection is two narrow scans + a bucket-filtered pick
+      def q(p: Double) = round(max(when(col("__q") === p, col("__quantile"))), 6)
+      val exact = graft.core.Indexing
+        .groupQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+        .groupBy("l_returnflag")
+        .agg(q(0.25).as("p25_exact"), q(0.5).as("p50_exact"),
+          q(0.75).as("p75_exact"))
       val ap = li.groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"),
             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ap"),
-          count(lit(1)).as("n"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_exact"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50_exact"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_exact"))
+          count(lit(1)).as("n"))
+        .join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
           col("p25_exact"), col("p50_exact"), col("p75_exact"),
           element_at(col("ap"), 1).as("a25"),

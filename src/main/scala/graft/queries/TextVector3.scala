@@ -29,13 +29,16 @@ object TextVector3 {
     * (first `len % (k+1)` segments take the extra char — the standard
     * even split); if ed(a,b) <= k, then a contains at least one of b's
     * segments EXACTLY, at a start within ±k of its canonical position
-    * (pigeonhole + shift lemma). The probe side therefore emits, for
-    * every partner length ℓ within ±k of its own, the windowed substrings
-    * of ℓ's segmentation grid; the join key is (lang, ℓ, segIdx,
-    * content). Candidates → normalized distinct pairs → banded-DP verify
-    * (`levenshtein(a, b, k)`: O(n·k), -1 above the cap).
+    * (pigeonhole + shift lemma). The probe side emits, for every partner
+    * length ℓ in [len−k, len] (one-directional: the pigeonhole partitions
+    * the SHORTER string, so each pair is generated from its longer side),
+    * the substrings of ℓ's segmentation grid whose start offset d from the
+    * canonical position passes the shift filter |d| + |d−(len−ℓ)| ≤ k;
+    * the join key is (lang, ℓ, segIdx, content). Candidates → normalized
+    * distinct pairs → banded-DP verify (`levenshtein(a, b, k)`: O(n·k),
+    * -1 above the cap).
     *
-    * Per-doc key counts are bounded by (2k+1)·(k+1)·(2k+1) — constant in
+    * Per-doc key counts are bounded by (k+1)²·(k+1) — constant in
     * corpus size. No padding anywhere: an earlier padded-grid variant
     * gave every short doc an identical all-padding segment, a join key
     * that degenerates to quadratic once a corpus has many short docs.
@@ -69,18 +72,28 @@ object TextVector3 {
             ${segLen("len", "j")}) AS s))""")).as("seg"))
       .select(col("b_id"), col("lang"), col("l"),
         col("seg.j").as("j"), col("seg.s").as("s"))
-    // probe: for each partner length l in [len-k, len+k] and segment j of
-    // l's grid, every own-substring of that segment's length starting
-    // within ±k of its canonical position. sequence(lo, hi) DESCENDS when
-    // hi < lo in Spark, so empty windows must return array() explicitly.
+    // probe: ONE-DIRECTIONAL (l in [len-k, len] — the pigeonhole partitions
+    // the shorter string, so every pair is found from its longer side;
+    // equal lengths probe both ways and the least/greatest dedup absorbs
+    // it) with the PassJoin SHIFT FILTER on the start offset d = pos −
+    // segStart: the prefix regions differ by |d| chars and the suffix
+    // regions by |d − D| (D = len − l), each a lower bound on edits in that
+    // region, so |d| + |d−D| ≤ k ⟺ d ∈ [−((k−D) div 2), (k+D) div 2].
+    // Both are output-identical prunes; together they cut the probe rows
+    // ~13× (the ±k two-sided window was the sf10 probe's 167M-row stage).
+    // sequence(lo, hi) DESCENDS when hi < lo in Spark, so empty windows
+    // must return array() explicitly.
     val subs = b.select(col("doc_id").as("a_id"), col("lang"),
       explode(expr(s"""flatten(flatten(
-          transform(sequence(greatest(len - $k, 0), len + $k), l ->
+          transform(sequence(greatest(len - $k, 0), len), l ->
             transform(sequence(0, $k), j ->
-              CASE WHEN least(len - ${segLen("l", "j")}, ${segStart("l", "j")} + $k)
-                     >= greatest(0, ${segStart("l", "j")} - $k)
-              THEN transform(sequence(greatest(0, ${segStart("l", "j")} - $k),
-                     least(len - ${segLen("l", "j")}, ${segStart("l", "j")} + $k)),
+              CASE WHEN least(len - ${segLen("l", "j")},
+                       ${segStart("l", "j")} + ((len - l) + $k) div 2)
+                     >= greatest(0, ${segStart("l", "j")} - (($k - (len - l)) div 2))
+              THEN transform(sequence(
+                     greatest(0, ${segStart("l", "j")} - (($k - (len - l)) div 2)),
+                     least(len - ${segLen("l", "j")},
+                       ${segStart("l", "j")} + ((len - l) + $k) div 2)),
                 pos -> struct(l AS l, j AS j,
                   substring(p, pos + 1, ${segLen("l", "j")}) AS s))
               ELSE array() END))))""")).as("sub"))

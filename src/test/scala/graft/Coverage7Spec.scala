@@ -158,6 +158,29 @@ class Coverage7Spec extends SparkSpec {
       want.select("k", "dec").except(got.select("k", "dec")).isEmpty)
   }
 
+  test("groupQuantiles equals the percentile aggregate: ties, tiny groups, constant groups") {
+    // mixed shapes the bucketed select must survive: heavy ties (bucket
+    // row_number picks among equals — value-deterministic), a 1-row group
+    // (pos = 0 for every q), a constant group (width 0 → single bucket),
+    // interpolated positions (group sizes not divisible by 4), and a null
+    // value ignored like percentile ignores it
+    val df = (Seq.tabulate(103)(i => ("a", Some(i % 7 * 1.5))) ++
+      Seq(("b", Some(42.0))) ++
+      Seq.tabulate(10)(_ => ("c", Some(3.0))) ++
+      Seq(("a", Option.empty[Double])))
+      .toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = graft.core.Indexing.groupQuantiles(df, Seq("g"), "v", qs, nBuckets = 8)
+      .select($"g", $"__q", round($"__quantile", 9).as("r"))
+    val want = df.groupBy("g")
+      .agg(percentile($"v", typedLit(qs.toArray)).as("ps"))
+      .select($"g", explode(arrays_zip(typedLit(qs.toArray).as("__q"),
+        $"ps".as("p"))).as("z"))
+      .select($"g", $"z.__q", round($"z.p", 9).as("r"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "bucketed order-statistic select must equal the aggregate form")
+  }
+
   test("globalRowIds: NaN and infinity keys keep window order, never poison buckets") {
     import org.apache.spark.sql.expressions.Window
     // NaN must not poison the max-bound (Spark max treats NaN > any double),
