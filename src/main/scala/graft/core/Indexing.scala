@@ -177,7 +177,18 @@ object Indexing {
     * Returns one row per (group, q): groupCols + `__q` + `__quantile`
     * (null when the group has no non-null values, matching `percentile`).
     * Group cardinality must be driver-bounded (it is the output row count);
-    * values must be finite (NaN/±Inf would poison the range buckets). */
+    * values must be finite (NaN/±Inf would poison the range buckets).
+    * Null GROUP KEYS are first-class (internal joins are null-safe), since
+    * groupBy keeps a null group and the degenerate-corpus gate feeds one. */
+  /** Inner join on `cols` with null-safe (`<=>`) key equality — a plain
+    * using-columns join silently drops null-keyed groups. */
+  private def nullSafeJoin(l: DataFrame, r: DataFrame,
+                           cols: Seq[String]): DataFrame = {
+    val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => l(c) <=> rr(s"__r_$c")).reduce(_ && _)
+    cols.foldLeft(l.join(rr, cond))((d, c) => d.drop(s"__r_$c"))
+  }
+
   def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      qs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
@@ -198,7 +209,7 @@ object Indexing {
     val bucket = when(col("__hi") === col("__lo"), lit(0))
       .otherwise(least(floor((col("__v") - col("__lo")) / width)
         .cast(IntegerType), lit(nBuckets - 1)))
-    val bucketed = rows.join(broadcast(bounds), groupCols)
+    val bucketed = nullSafeJoin(rows, broadcast(bounds), groupCols)
       .withColumn("__bucket", bucket)
     // narrow scan 2: the (group, bucket) histogram → driver
     val hist = bucketed.groupBy(gCols :+ col("__bucket"): _*)
@@ -243,12 +254,14 @@ object Indexing {
     // pass 3: only the targeted buckets are scanned; per-bucket windows
     // hold ≈ n/nBuckets rows each and run in parallel across buckets
     val needed = targetDf.select(gCols :+ col("__bucket"): _*).distinct()
-    val picked = bucketed.join(broadcast(needed), groupCols :+ "__bucket")
+    val localRanked = nullSafeJoin(bucketed, broadcast(needed),
+        groupCols :+ "__bucket")
       .withColumn("__local", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(gCols :+ col("__bucket"): _*)
           .orderBy(col("__v"))).cast(LongType) - 1)
-      .join(broadcast(targetDf), groupCols ++ Seq("__bucket", "__local"))
+    val picked = nullSafeJoin(localRanked, broadcast(targetDf),
+        groupCols ++ Seq("__bucket", "__local"))
       .groupBy(gCols :+ col("__q"): _*)
       .agg(max(when(col("__isLow"), col("__v"))).as("__vlo"),
         max(when(!col("__isLow"), col("__v"))).as("__vhi"))
@@ -256,7 +269,7 @@ object Indexing {
     // null never enter `rows`, so they are absent from the result — callers
     // needing percentile's null-for-empty row restore it with a left join.
     val nByGroup = bounds.select(gCols :+ col("__n"): _*)
-    nByGroup.join(broadcast(picked), groupCols)
+    nullSafeJoin(nByGroup, broadcast(picked), groupCols)
       .withColumn("__pos", col("__q") * (col("__n") - 1).cast(DoubleType))
       .withColumn("__quantile",
         col("__vlo") + (col("__pos") - floor(col("__pos"))) *

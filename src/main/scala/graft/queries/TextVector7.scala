@@ -59,16 +59,16 @@ object TextVector7 {
     * parity), CORPUS-WIDE exact-dup incidence attributed per group
     * (md5(text) appearing >1 anywhere — d1's key), dup rate in exact
     * integer basis points, and the share of docs meeting Gopher's 50-word
-    * floor. One tokenize scan (lazy checkpoint feeds both the dup-key
-    * counts and the rollup); two shuffles (hash counts, group rollup).
-    * SCALE BOUNDARY (r8 advisor finding): every aggregate here is
-    * bounded-state EXCEPT `percentile` — its exact-median buffer holds
-    * all group members, and a (source, lang) group is corpus-sized. The
-    * judged card keeps the exact form (the q10 ↔ quantile_cont parity
-    * surface); a 100 TB datacard swaps that one column for the bucketed
-    * exact-quantile machinery ([[graft.core.Indexing.globalNtile]] per
-    * group, or approx_percentile when ±ε is acceptable — the d34
-    * contract) and keeps the rest of the plan unchanged. */
+    * floor. One tokenize scan (the lazy checkpoint feeds the dup-key
+    * counts, the rollup, and the median select); two shuffles (hash
+    * counts, group rollup). The exact median comes from
+    * [[graft.core.Indexing.groupQuantiles]] — the distributed
+    * order-statistic select (r8 advisor finding: the `percentile`
+    * aggregate's buffer holds ALL group members, and a (source, lang)
+    * group is corpus-sized; the select's state is a driver-bounded
+    * histogram plus a bucket-filtered pick — hash-identical output, the
+    * d34 contract). The join-back is null-safe: the degenerate-corpus
+    * gate feeds a NULL-lang group a plain equi-join would drop. */
   val d53 = QueryDef("d53_corpus_datacard",
     (s, dir) => {
       val perDoc = Tables.documents(s, dir)
@@ -77,15 +77,23 @@ object TextVector7 {
           md5(col("text")).as("h"))
         .localCheckpoint(false)
       val dupCounts = perDoc.groupBy("h").agg(count(lit(1)).as("n_same"))
-      perDoc.join(dupCounts, Seq("h"))
+      val med = graft.core.Indexing
+        .groupQuantiles(perDoc, Seq("source", "lang"), "n_toks", Seq(0.5))
+        .select(col("source").as("m_source"), col("lang").as("m_lang"),
+          col("__quantile").as("median_tokens"))
+      val roll = perDoc.join(dupCounts, Seq("h"))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
           sum(col("n_chars")).as("sum_chars"),
-          percentile(col("n_toks"), lit(0.5)).as("median_tokens"),
           count(when(col("n_same") > 1, 1)).as("n_dup_docs"),
           count(when(col("n_toks") >= 50, 1)).as("n_ge50_tokens"))
+      roll.join(broadcast(med),
+          col("source") <=> col("m_source") && col("lang") <=> col("m_lang"))
         .withColumn("dup_rate_bp", expr("n_dup_docs * 10000 DIV n_docs"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"), col("median_tokens"), col("n_dup_docs"),
+          col("n_ge50_tokens"), col("dup_rate_bp"))
         // explicit nulls-first on BOTH engines: Spark's asc default is
         // NULLS FIRST, DuckDB's is NULLS LAST — a NULL lang row (the
         // pathological-corpus class) would otherwise order differently

@@ -93,11 +93,15 @@ object TextVector8 {
     * +2e9 punctuated-suffix twins (pass C4 → reach mix/kept), +5e9
     * copies of store docs (must die at 'dedup' via the incumbent check),
     * +6e9 copies of batch docs (must die at 'dedup' via the
-    * within-batch min-id keeper). The classifier stage is frozen-weights
-    * by contract; here it is disabled (None) to keep the oracle focused —
-    * the frozen-apply path is pinned by IncrementalCurationSpec's
-    * two-batch ≡ one-batch equivalence proof instead, and the classifier
-    * math itself is judged by d48/d54. */
+    * within-batch min-id keeper). The classifier stage runs with
+    * FROZEN weights trained once on the STORE (positives = the curated
+    * src0/src1/src2 slice — [[graft.operators.Classifier.trainNbWeights]])
+    * and applied to the batch via [[graft.operators.Classifier.applyNbPareto]];
+    * the oracle re-trains the same ≤4096-row bucket model from the store
+    * rows and replays the left-join scoring (unmodeled buckets contribute
+    * nothing) and the exp-free (2−s)⁹ acceptance chain term-for-term —
+    * d48's replay, pointed at frozen state. The two-batch ≡ one-batch
+    * equivalence proof is IncrementalCurationSpec. */
   val d57 = QueryDef("d57_incremental_curation",
     (s, dir) => {
       import org.apache.spark.sql.types.StringType
@@ -123,7 +127,9 @@ object TextVector8 {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val state = graft.operators.Incremental.CurationState(
         store.select(graft.operators.Incremental.normHash(col("text")).as("nh")),
-        clsWeights = None,
+        clsWeights = Some(graft.operators.Classifier.trainNbWeights(
+          store, "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"))),
         rates = Mixture.temperatureRates(counts, alpha = 0.5, targetFraction = 0.5),
         nShards = 8)
       graft.operators.Incremental.curateBatch(batch, state)
@@ -160,8 +166,44 @@ object TextVector8 {
         FROM sh JOIN keep USING (nh) LEFT JOIN sth ON sth.nh = sh.nh),
       c4g AS (SELECT doc_id, ${TextFns.c4PassSql("text")} AS c4_pass
         FROM s1 WHERE dedup_keep),
-      s2 AS (SELECT s1.doc_id, s1.lang FROM s1 JOIN c4g USING (doc_id)
+      s2 AS (SELECT s1.doc_id, s1.lang, s1.text FROM s1 JOIN c4g USING (doc_id)
         WHERE c4g.c4_pass),
+      sttok AS (SELECT doc_id, (source IN ('src0','src1','src2')) AS pos,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM store),
+      stfeat AS (SELECT DISTINCT doc_id, pos,
+          CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+        FROM sttok),
+      sttot AS (SELECT count(*) FILTER (WHERE pos) AS np,
+          count(*) FILTER (WHERE NOT pos) AS nn
+        FROM (SELECT DISTINCT doc_id, pos FROM stfeat)),
+      w AS (SELECT bucket,
+          ln((count(*) FILTER (WHERE pos) + 1)::DOUBLE / (np + 2)::DOUBLE)
+            - ln((count(*) FILTER (WHERE NOT pos) + 1)::DOUBLE / (nn + 2)::DOUBLE) AS w
+        FROM stfeat CROSS JOIN sttot GROUP BY bucket, np, nn),
+      bfeat AS (SELECT DISTINCT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+        FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM s2)),
+      sc AS (SELECT f.doc_id, count(w.w) AS n_feat,
+          CASE WHEN count(w.w) > 0
+            THEN round(sum(w.w) / count(w.w), 6) ELSE 0.0 END AS score_r
+        FROM bfeat f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+      pr AS (SELECT doc_id,
+          round(1.0 / (1.0 + exp(-score_r)), 6) AS prob_r,
+          CAST(CAST(CONCAT('0x',
+              SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|u'), 1, 8)) AS BIGINT)
+            % 1000000 AS DOUBLE) / 1000000.0 AS u
+        FROM sc),
+      cls AS (SELECT doc_id,
+          (u > 1.0 - 1.0 / (((2.0 - prob_r) * (2.0 - prob_r))
+            * ((2.0 - prob_r) * (2.0 - prob_r))
+            * (((2.0 - prob_r) * (2.0 - prob_r)) * ((2.0 - prob_r) * (2.0 - prob_r)))
+            * (2.0 - prob_r))) AS cls_kept
+        FROM pr),
+      s3 AS (SELECT s2.doc_id, s2.lang FROM s2 JOIN cls USING (doc_id)
+        WHERE cls.cls_kept),
       per AS (SELECT lang, count(*) AS nl FROM store
         WHERE lang IS NOT NULL GROUP BY lang),
       den AS (SELECT list_sum(list(sqrt(CAST(nl AS DOUBLE)) ORDER BY lang)) AS dsum,
@@ -171,12 +213,13 @@ object TextVector8 {
             ((CAST(total AS DOUBLE) * 0.5) * sqrt(CAST(p.nl AS DOUBLE)))
               / dsum / CAST(p.nl AS DOUBLE)) * 10000.0) AS BIGINT) AS rate_bp
         FROM per p CROSS JOIN den),
-      mix AS (SELECT s2.doc_id FROM s2 JOIN rates r ON r.lang = s2.lang
-        WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(s2.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      mix AS (SELECT s3.doc_id FROM s3 JOIN rates r ON r.lang = s3.lang
+        WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(s3.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 10000 < r.rate_bp)
       SELECT s1.doc_id,
         CASE WHEN NOT s1.dedup_keep THEN 'dedup'
              WHEN NOT c4g.c4_pass THEN 'c4'
+             WHEN NOT cls.cls_kept THEN 'classifier'
              WHEN mix.doc_id IS NULL THEN 'mix'
              ELSE 'kept' END AS stage,
         CASE WHEN mix.doc_id IS NOT NULL THEN
@@ -184,6 +227,7 @@ object TextVector8 {
         END AS shard
       FROM s1
       LEFT JOIN c4g USING (doc_id)
+      LEFT JOIN cls ON cls.doc_id = s1.doc_id
       LEFT JOIN mix ON mix.doc_id = s1.doc_id
       ORDER BY s1.doc_id"""))
 
