@@ -62,9 +62,19 @@ object Bench {
     val runMaps: Seq[Map[String, Double]] = (1 to nRuns).map { r =>
       // The warm-up (and any previous round) materialized p1 and the w4
       // validated frame; drop both so every measured round builds (and
-      // pays for) the sfDir intermediates.
+      // pays for) the sfDir intermediates. ALSO release every persisted /
+      // locally-checkpointed RDD block the previous round left behind:
+      // without this, blocks accumulate across rounds and are freed only
+      // when the ContextCleaner notices the RDD was garbage-collected —
+      // GC-timing-dependent eviction pressure that made identical legs
+      // differ 2-6x (d11 legs 49/117/19 s at sf10, the d55-style
+      // bimodality). Safe between rounds: no frame from a previous round
+      // is referenced after clearMaterialized.
       queries.Pipeline.clearMaterialized()
       queries.DynamicRow.clearMaterialized()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         try {

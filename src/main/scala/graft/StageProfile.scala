@@ -104,6 +104,25 @@ object StageProfile {
         t("full judged d55 (fresh plan, count)") {
           println("  n_rows=" + graft.SparkEntry.queries("d55_ngram_containment")(spark, dir).count())
         }
+      case "d5" =>
+        // attribution for the r8 full-sf10-sweep outliers d5 (105 s) /
+        // d11 (137 s): both run the minhash near-dup pipeline; stages are
+        // the shingle+signature build, the band self-join, and the
+        // exact-Jaccard verify over candidate pairs.
+        val docs = graft.core.Tables.documents(spark, dir)
+        val (sh, banded) = graft.operators.Dedup.jvmBands(
+          docs, "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 4)
+        t("sh: tokens+distinctShingles (count)") { println("  n=" + sh.count()) }
+        t("banded: minhash sigs (count)") { println("  n=" + banded.count()) }
+        val cand = graft.operators.Dedup.pairCandidates(banded, Seq("band"))
+        t("band self-join candidates (count)") { println("  n=" + cand.count()) }
+        t("verify jaccard (count)") {
+          println("  n=" + graft.operators.Dedup
+            .verifyJaccard(cand, sh, 0.8).count())
+        }
+        t("full judged d5 (fresh plan, count)") {
+          println("  n=" + SparkEntry.queries("d5_minhash_dedup")(spark, dir).count())
+        }
       case "d23" =>
         val pairs = graft.operators.Dedup.blockedJaccardPairs(
           graft.core.Tables.documents(spark, dir), "doc_id", "text",
@@ -114,7 +133,7 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5")
     }
     spark.stop()
   }

@@ -154,6 +154,15 @@ object Indexing {
       .drop("__rid", "__negkey")
   }
 
+  /** Inner join on `cols` with null-safe (`<=>`) key equality — a plain
+    * using-columns join silently drops null-keyed groups. */
+  private def nullSafeJoin(l: DataFrame, r: DataFrame,
+                           cols: Seq[String]): DataFrame = {
+    val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => l(c) <=> rr(s"__r_$c")).reduce(_ && _)
+    cols.foldLeft(l.join(rr, cond))((d, c) => d.drop(s"__r_$c"))
+  }
+
   /** Exact per-group continuous quantiles (Hyndman-Fan type 7, the
     * `percentile` / `quantile_cont` rule) as a distributed order-statistic
     * SELECT instead of an aggregation buffer.
@@ -179,16 +188,11 @@ object Indexing {
     * Group cardinality must be driver-bounded (it is the output row count);
     * values must be finite (NaN/±Inf would poison the range buckets).
     * Null GROUP KEYS are first-class (internal joins are null-safe), since
-    * groupBy keeps a null group and the degenerate-corpus gate feeds one. */
-  /** Inner join on `cols` with null-safe (`<=>`) key equality — a plain
-    * using-columns join silently drops null-keyed groups. */
-  private def nullSafeJoin(l: DataFrame, r: DataFrame,
-                           cols: Seq[String]): DataFrame = {
-    val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
-    val cond = cols.map(c => l(c) <=> rr(s"__r_$c")).reduce(_ && _)
-    cols.foldLeft(l.join(rr, cond))((d, c) => d.drop(s"__r_$c"))
-  }
-
+    * groupBy keeps a null group and the degenerate-corpus gate feeds one.
+    * `df` must be DETERMINISTIC (globalRowIds' contract): the histogram
+    * action and the pick action each re-evaluate it, and the driver-
+    * resolved rank targets are only valid if both passes see the same
+    * rows. */
   def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      qs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
@@ -200,10 +204,15 @@ object Indexing {
     val v = col(valueCol).cast(DoubleType)
     val rows = df.filter(v.isNotNull)
       .select(gCols :+ v.as("__v"): _*)
-    // narrow scan 1: per-group bounds + count (group-bounded result)
+    // narrow scan 1: per-group bounds + count (group-bounded result).
+    // Checkpointed: it feeds the histogram action, the pick action and the
+    // final nByGroup projection — without it the full-scan aggregate
+    // re-runs once per consumer (the repo's multi-consumer rule; the
+    // checkpoint itself is group-bounded, i.e. tiny)
     val bounds = rows.groupBy(gCols: _*)
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
         count(lit(1)).as("__n"))
+      .localCheckpoint(false)
     // bucket by per-group value range (broadcast of group-bounded bounds)
     val width = (col("__hi") - col("__lo")) / lit(nBuckets.toDouble)
     val bucket = when(col("__hi") === col("__lo"), lit(0))

@@ -87,19 +87,26 @@ object Dedup {
     * form costs ~10x more (higher-order functions don't codegen). Bands
     * carry ONLY (band, id): the wide shingle arrays never enter a
     * band-join shuffle. */
-  private def jvmBands(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def jvmBands(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, numHashes: Int,
                        numBands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
+    // both relations checkpointed (r8 sf10 StageProfile d5): `sh` feeds
+    // the signature build AND both shingle sides of the Jaccard verify,
+    // `banded` feeds both sides of the band self-join — un-checkpointed,
+    // the tokenize+shingle+minhash expressions re-ran once per consumer
+    // and re-derivation was ~75% of d5's sf10 runtime (39 s → ~10 s)
     val sh = df.select(col(idCol).as("id"),
         TextFns.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"),
         TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val banded = sh
       .withColumn("sig", TextExprs.shingleMinHash(col("toks"), shingleK, numHashes))
       .select(col("id"),
         explode(TextFns.lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+      .localCheckpoint(false)
     (sh, banded)
   }
 
@@ -107,7 +114,7 @@ object Dedup {
     * across buckets — the quadratic-in-bucket-size contract. `keys` is
     * the bucket identity (JVM family: band key; md5 family: band index +
     * signature string). */
-  private def pairCandidates(banded: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def pairCandidates(banded: DataFrame, keys: Seq[String]): DataFrame =
     banded
       .join(banded.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
       .filter(col("id") < col("id_b"))
@@ -127,7 +134,7 @@ object Dedup {
   /** Exact-Jaccard verify over deduped candidate pairs: each pair joins
     * its two shingle sets once; candidates are deduped across bands
     * BEFORE this (expensive) step so each pair verifies once. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             jaccardThreshold: Double): DataFrame = {
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -222,14 +229,16 @@ object Dedup {
     * rehashes per occurrence (cheap multiply-mods), min-reduce per seed.
     * Band key = ordered minhash values of the band's seeds: sort_array on
     * (seed, mh) structs makes the key deterministic under shuffle order. */
-  private def md5Bands(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def md5Bands(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, numHashes: Int,
                        numBands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
+    // same multi-consumer checkpoints as jvmBands (r8 sf10 profile)
     val sh = df.select(col(idCol).as("id"),
         TextFns.tokens(col(textCol)).as("toks"))
       .select(col("id"), TextExprs.distinctShingles(col("toks"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val sig = sh
       .select(col("id"), explode(col("sh")).as("shingle"))
       .select(col("id"), baseHash32(col("shingle")).as("x"))
@@ -244,6 +253,7 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("mh")))),
         x => x.getField("mh").cast("string")), ",").as("bkey"))
+      .localCheckpoint(false)
     (sh, banded)
   }
 

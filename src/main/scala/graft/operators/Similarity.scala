@@ -115,16 +115,27 @@ object Similarity {
   /** [[assignCells]] keeping the winning cosine as `centroid_sim` —
     * SemDeDup's keeper policy ranks members by it, and cell-quality
     * diagnostics (how tight is this Voronoi cell?) read it directly.
-    * Same plan: one broadcast of the centroid table, one narrow pass. */
+    *
+    * The argmax is a `max_by` AGGREGATE, not a per-id window: after the
+    * broadcast crossjoin every (vector × centroid) row for one id sits in
+    * the same input partition, so partial aggregation collapses the n·k
+    * relation to ONE row per vector BEFORE the shuffle. The window form
+    * (the r8 sf10 sweep's d41 breakdown) shuffled all n·k rows — each
+    * carrying BOTH dense vectors — through a per-id sort: ~5·10⁹ wide
+    * rows at sf10 (k grows as n/50 there), terabytes at corpus scale.
+    * Tie-break matches the old window exactly: highest round(sim, 9),
+    * then LOWEST centroid_id (negated inside the max key). */
   def assignCellsSim(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("centroid_vec"))
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(c))
       .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
-    val w = Window.partitionBy("id").orderBy(round(col("sim"), 9).desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("centroid_id"), col("sim").as("centroid_sim"))
+    scored.groupBy("id")
+      .agg(max_by(struct(col("centroid_id"), col("sim"), col("v")),
+        struct(round(col("sim"), 9), (-col("centroid_id")).as("__nid"))).as("__w"))
+      .select(col("id"), col("__w.v").as("v"), col("__w.centroid_id").as("centroid_id"),
+        col("__w.sim").as("centroid_sim"))
   }
 
   /** IVF top-k: probe the `nProbe` closest cells per query, exact cosine

@@ -490,7 +490,10 @@ object Relational7 {
         .agg(approx_percentile(col("l_extendedprice"),
             array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ap"),
           count(lit(1)).as("n"))
-        .join(exact, Seq("l_returnflag"))
+        // LEFT join: a group whose values are all NULL is absent from the
+        // select's output but must keep its row (NULL exact quantiles),
+        // matching the old aggregate form and the oracle
+        .join(exact, Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("n"),
           col("p25_exact"), col("p50_exact"), col("p75_exact"),
           element_at(col("ap"), 1).as("a25"),

@@ -88,8 +88,12 @@ object TextVector7 {
           sum(col("n_chars")).as("sum_chars"),
           count(when(col("n_same") > 1, 1)).as("n_dup_docs"),
           count(when(col("n_toks") >= 50, 1)).as("n_ge50_tokens"))
+      // LEFT join (and null-safe keys): an all-NULL-token group is absent
+      // from the select's output but keeps its datacard row with a NULL
+      // median, matching the old percentile form and the oracle
       roll.join(broadcast(med),
-          col("source") <=> col("m_source") && col("lang") <=> col("m_lang"))
+          col("source") <=> col("m_source") && col("lang") <=> col("m_lang"),
+          "left")
         .withColumn("dup_rate_bp", expr("n_dup_docs * 10000 DIV n_docs"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("sum_chars"), col("median_tokens"), col("n_dup_docs"),
