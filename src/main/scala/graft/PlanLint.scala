@@ -38,7 +38,8 @@ object PlanLint {
     "q28_grid_asof_spend" -> (1, "customer keys x literal as-of date list - the B1 grid pattern"),
     "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),
     "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),
-    "m1_macro_pipeline" -> (1, "country series x literal year grid"))
+    "m1_macro_pipeline" -> (1, "country series x literal year grid"),
+    "d57_incremental_curation" -> (2, "the frozen classifier stage carries d48's 1-row doc-totals broadcast inside trainNbWeights; the lazy cls checkpoint usually truncates it from the visible plan, but the un-materialized form shows it once per cls consumer (<=2)"))
 
   /** query -> (allowed NAKED global-window count, justification). A
     * WindowExec with no partition spec moves ALL rows to one partition —

@@ -94,11 +94,15 @@ object Incremental {
     val surv2 = s2flag.filter(col("c4_pass"))
       .select(col("doc_id"), col("lang"), col("text"))
       .localCheckpoint(false)
-    val cls = state.clsWeights match {
+    // checkpointed: cls feeds the mixture-survivor chain AND the final
+    // verdict join — un-checkpointed, the whole frozen-apply scoring plan
+    // (including the weight-training subtree when the state carries a
+    // lazy weights frame) executes once per consumer
+    val cls = (state.clsWeights match {
       case Some(w) => Classifier.applyNbPareto(surv2, "doc_id", "text", w)
         .select(col("id").as("doc_id"), col("kept").as("cls_kept"))
       case None => surv2.select(col("doc_id"), lit(true).as("cls_kept"))
-    }
+    }).localCheckpoint(false)
     val surv3 = surv2.join(cls, Seq("doc_id")).filter(col("cls_kept"))
       .select(col("doc_id"), col("lang"))
     // frozen-rate mixture fate: md5(doc_id) % 10000 < rate_bp[lang]

