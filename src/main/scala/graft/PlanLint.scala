@@ -39,7 +39,8 @@ object PlanLint {
     "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),
     "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),
     "m1_macro_pipeline" -> (1, "country series x literal year grid"),
-    "d57_incremental_curation" -> (2, "the frozen classifier stage carries d48's 1-row doc-totals broadcast inside trainNbWeights; the lazy cls checkpoint usually truncates it from the visible plan, but the un-materialized form shows it once per cls consumer (<=2)"))
+    "d57_incremental_curation" -> (2, "the frozen classifier stage carries d48's 1-row doc-totals broadcast inside trainNbWeights; the lazy cls checkpoint usually truncates it from the visible plan, but the un-materialized form shows it once per cls consumer (<=2)"),
+    "e11_semdedup_ivf_assign" -> (3, "assignCellsApprox crosses centroids x broadcast(meta sample) and corpus x broadcast(meta sample); the exact twin crosses corpus x broadcast(anchor set) - all broadcast sides bounded by construction (the e2/e3 pattern)"))
 
   /** query -> (allowed NAKED global-window count, justification). A
     * WindowExec with no partition spec moves ALL rows to one partition —

@@ -138,6 +138,72 @@ object Similarity {
         col("__w.sim").as("centroid_sim"))
   }
 
+  /** Hierarchical (IVF-style) APPROXIMATE cell assignment — the
+    * production answer to exact assignment's n·k cost when the centroid
+    * count grows with the corpus (SemDeDup's k ≈ n/300; d41's fixture
+    * n/50, measured n²/50 at the sf10 sweep). Two-level search:
+    *
+    *   1. META cells = the centroids whose id ≡ 0 (mod `metaEvery`) — a
+    *      deterministic 1/metaEvery sample, so an independent engine can
+    *      replay the whole construction (MLlib meta-clustering would be
+    *      engine-internal);
+    *   2. every centroid joins its nearest meta (exact argmax over k/M
+    *      metas — k·k/M work, negligible);
+    *   3. every VECTOR finds its `nProbe` closest metas (n·k/M), then
+    *      exact argmax over ONLY the centroids of those meta cells
+    *      (n·nProbe·M expected).
+    *
+    * Total ≈ n·(k/M + nProbe·M) vs exact's n·k — with M ≈ √k the square-
+    * root speedup IVF always gives. Every per-vector reduction is a
+    * map-side aggregate over a broadcast join (the assignCellsSim rule:
+    * no n·k shuffle anywhere); the probe list is a bounded collect_list
+    * (≤ k/M entries) sliced to nProbe.
+    *
+    * APPROXIMATION CONTRACT: the true nearest centroid is missed iff it
+    * lives in an unprobed meta cell. On clustered real-world embeddings
+    * agreement is high at small nProbe; near-random vectors are the
+    * documented worst case (see [[measureRecall]]) — e11 judges the
+    * agreement rate against exact assignment rather than assuming it.
+    * Ties break exactly like [[assignCellsSim]]: (round(sim, 9) desc,
+    * id asc) at every level. */
+  def assignCellsApprox(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String,
+                        metaEvery: Int, nProbe: Int): DataFrame = {
+    require(metaEvery >= 1 && nProbe >= 1,
+      s"metaEvery/nProbe must be >= 1, got $metaEvery/$nProbe")
+    val c = centroids.select(col("centroid_id"), col("centroid_vec"))
+    val meta = c.filter(col("centroid_id") % metaEvery === 0)
+      .select(col("centroid_id").as("meta_id"), col("centroid_vec").as("meta_vec"))
+    // centroid -> its meta cell (exact argmax over the meta sample)
+    val c2m = c.crossJoin(broadcast(meta))
+      .withColumn("sim", VectorExprs.cosine(col("centroid_vec"), col("meta_vec")))
+      .groupBy("centroid_id")
+      .agg(max_by(struct(col("meta_id"), col("centroid_vec")),
+        struct(round(col("sim"), 9), (-col("meta_id")).as("__nid"))).as("__w"))
+      .select(col("__w.meta_id").as("meta_id"), col("centroid_id"),
+        col("__w.centroid_vec").as("centroid_vec"))
+    // vector -> nProbe nearest metas: bounded collect_list (<= |meta|)
+    // sorted by (-sim_r, meta_id) so slice(1..nProbe) is highest-sim-first
+    // with the id tie-break
+    val probes = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(meta))
+      .withColumn("sim", VectorExprs.cosine(col("v"), col("meta_vec")))
+      .groupBy("id")
+      .agg(any_value(col("v")).as("v"),
+        slice(array_sort(collect_list(struct(
+          (-round(col("sim"), 9)).as("nsim"), col("meta_id")))), 1, nProbe)
+          .as("__probes"))
+    // exact argmax over the probed cells' centroids only
+    probes.select(col("id"), col("v"), explode(col("__probes.meta_id")).as("meta_id"))
+      .join(broadcast(c2m), Seq("meta_id"))
+      .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
+      .groupBy("id")
+      .agg(max_by(struct(col("centroid_id"), col("sim")),
+        struct(round(col("sim"), 9), (-col("centroid_id")).as("__nid"))).as("__w"))
+      .select(col("id"), col("__w.centroid_id").as("centroid_id"),
+        col("__w.sim").as("centroid_sim"))
+  }
+
   /** IVF top-k: probe the `nProbe` closest cells per query, exact cosine
     * within probed cells. Recall < 1.0 by design (ANN); rank ties stable. */
   def ivfTopK(queries: DataFrame, corpusWithCells: DataFrame,

@@ -10,11 +10,80 @@ import graft.operators.{Mixture, Similarity}
   * verdict's evidence gaps — the production [[Similarity.pqTrain]]
   * KMeans path (e10), the line-level C4 rules the single-line corpus
   * could not judge (d56), the incremental skip-existing curation step
-  * (d57, [[graft.operators.Incremental]]), and C4's three-sentence-span
-  * global dedup (d58). */
+  * (d57, [[graft.operators.Incremental]]), C4's three-sentence-span
+  * global dedup (d58), and the hierarchical approximate cell assignment
+  * with its judged exact-agreement surface (e11,
+  * [[graft.operators.Similarity.assignCellsApprox]]). */
 object TextVector8 {
 
-  def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58)
+  def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58, e11)
+
+  /** Judged surface for [[Similarity.assignCellsApprox]] — the
+    * hierarchical (IVF-style) approximate cell assignment that replaces
+    * exact assignment's n·k cost when the centroid count grows with the
+    * corpus (the d41 contract: n²/50 at the sf10 sweep). The fixture is
+    * d41's (anchors = every 50th vec_id); metas = the anchors divisible
+    * by 150, nProbe = 1 — real approximation at every SF (4/4/14 metas).
+    * Judged PER VECTOR: the approx assignment (anchor + rounded cosine),
+    * the exact assignment, and the agreement flag — the whole two-level
+    * search is deterministic (id-sampled metas, exact cosines,
+    * (round(sim,9), id) ties), so DuckDB replays construction AND
+    * verdict; the aggregate agreement rate is then judged data, not a
+    * claim. Production tunes metaEvery so |metas| ≈ √k and nProbe for
+    * target agreement; near-random fixtures are the documented worst
+    * case (e7's recall note). */
+  val e11 = QueryDef("e11_semdedup_ivf_assign",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val approx = Similarity.assignCellsApprox(emb, anchors, "vec_id",
+          "embedding", metaEvery = 150, nProbe = 1)
+        .select(col("id").as("vec_id"),
+          col("centroid_id").as("approx_anchor"),
+          round(col("centroid_sim"), 6).as("approx_sim_r"))
+      val exact = Similarity.assignCellsSim(emb, anchors, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("centroid_id").as("exact_anchor"))
+      approx.join(exact, Seq("vec_id"))
+        .withColumn("agree", col("approx_anchor") === col("exact_anchor"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH a AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+      m AS (SELECT cid AS mid, cv AS mv FROM a WHERE cid % 150 = 0),
+      c2ms AS (SELECT a.cid, a.cv, m.mid,
+          ${QueryDef.cosSql64("a.cv", "m.mv")} AS sim
+        FROM a CROSS JOIN m),
+      c2m AS (SELECT cid, cv, mid FROM (
+          SELECT cid, cv, mid, row_number() OVER (PARTITION BY cid
+            ORDER BY round(sim, 9) DESC, mid ASC) AS rn FROM c2ms) t
+        WHERE rn = 1),
+      vps AS (SELECT e.vec_id, e.embedding, m.mid,
+          ${QueryDef.cosSql64("e.embedding", "m.mv")} AS sim
+        FROM embeddings e CROSS JOIN m),
+      probe AS (SELECT vec_id, embedding, mid FROM (
+          SELECT vec_id, embedding, mid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(sim, 9) DESC, mid ASC) AS rn FROM vps) t
+        WHERE rn = 1),
+      cands AS (SELECT p.vec_id, p.embedding, c.cid, c.cv FROM probe p
+        JOIN c2m c ON c.mid = p.mid),
+      ax AS (SELECT vec_id, cid AS approx_anchor, round(sim, 6) AS approx_sim_r
+        FROM (SELECT vec_id, cid,
+            ${QueryDef.cosSql64("embedding", "cv")} AS sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY
+              round(${QueryDef.cosSql64("embedding", "cv")}, 9) DESC, cid ASC) AS rn
+          FROM cands) t WHERE rn = 1),
+      exs AS (SELECT e.vec_id, a.cid,
+          ${QueryDef.cosSql64("e.embedding", "a.cv")} AS sim
+        FROM embeddings e CROSS JOIN a),
+      ex AS (SELECT vec_id, cid AS exact_anchor FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(sim, 9) DESC, cid ASC) AS rn FROM exs) t
+        WHERE rn = 1)
+      SELECT ax.vec_id, ax.approx_anchor, ax.approx_sim_r, ex.exact_anchor,
+        (ax.approx_anchor = ex.exact_anchor) AS agree
+      FROM ax JOIN ex USING (vec_id)
+      ORDER BY ax.vec_id"""))
 
   /** C4's span-level deduplication (Raffel et al. 2020 §2.2: "we
     * discarded all but one of any three-sentence span occurring more than

@@ -68,6 +68,25 @@ class TextVector8Spec extends SparkSpec {
     assert(out.values.exists(_ == "kept"), "some batch doc must survive to a shard")
   }
 
+  test("e11: approx assignment with every centroid a meta equals exact assignment") {
+    // metaEvery = 1 makes the meta level the full centroid set, so the
+    // probe stage IS the exact argmax — approx must equal exact row for
+    // row (anchor AND sim), pinning that the two-level search introduces
+    // no error beyond unprobed cells
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val approx = graft.operators.Similarity
+      .assignCellsApprox(emb, anchors, "vec_id", "embedding",
+        metaEvery = 1, nProbe = 1)
+      .select(col("id"), col("centroid_id"), round(col("centroid_sim"), 9).as("s"))
+    val exact = graft.operators.Similarity
+      .assignCellsSim(emb, anchors, "vec_id", "embedding")
+      .select(col("id"), col("centroid_id"), round(col("centroid_sim"), 9).as("s"))
+    assert(approx.except(exact).isEmpty && exact.except(approx).isEmpty,
+      "metaEvery=1 must reduce the two-level search to the exact argmax")
+  }
+
   test("d58: shared-tail span forms one corpus-wide cluster with a single keeper") {
     val out = graft.queries.TextVector8.d58.fn(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_idx"),
