@@ -123,6 +123,51 @@ object StageProfile {
         t("full judged d5 (fresh plan, count)") {
           println("  n=" + SparkEntry.queries("d5_minhash_dedup")(spark, dir).count())
         }
+      case "d41" =>
+        // semDeDup stage attribution (sf10 median 113 s while exact
+        // assignment alone is 2.3 s — where does the rest go?)
+        import org.apache.spark.sql.functions.col
+        val e = graft.core.Tables.embeddings(spark, dir)
+        val anchors = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+        val cells = t("assignCellsSim + checkpoint (count)") {
+          val c = graft.operators.Similarity
+            .assignCellsSim(e, anchors, "vec_id", "embedding")
+            .localCheckpoint(false)
+          println("  n=" + c.count()); c
+        }
+        val b = cells.select(col("centroid_id"), col("id").as("id_b"),
+          col("v").as("v_b"), col("centroid_sim").as("sim_b"))
+        val joined = cells.join(b, Seq("centroid_id"))
+          .filter(col("id") < col("id_b"))
+        t("in-cluster pair join (count)") { println("  n=" + joined.count()) }
+        val withCos = joined.filter(
+          graft.functions.VectorExprs.cosine(col("v"), col("v_b")) >= 0.25)
+        t("pair cosine filter (count)") { println("  n=" + withCos.count()) }
+        t("full d41 (count)") {
+          println("  n=" + SparkEntry.queries("d41_semdedup")(spark, dir).count())
+        }
+      case "e11" =>
+        // approx vs exact assignment cost on the d41 fixture (anchors =
+        // every 50th vec) — the evidence that the hierarchical path pays
+        // for growing centroid sets
+        import org.apache.spark.sql.functions.col
+        val emb = graft.core.Tables.embeddings(spark, dir)
+        val anchors = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("centroid_vec")).localCheckpoint(false)
+        println("  n_vec=" + emb.count() + " n_anchor=" + anchors.count())
+        t("exact assignCellsSim (count)") {
+          println("  n=" + graft.operators.Similarity
+            .assignCellsSim(emb, anchors, "vec_id", "embedding").count())
+        }
+        for (m <- Seq(150, 1500)) {
+          t(s"approx metaEvery=$m nProbe=1 (count)") {
+            println("  n=" + graft.operators.Similarity
+              .assignCellsApprox(emb, anchors, "vec_id", "embedding",
+                metaEvery = m, nProbe = 1).count())
+          }
+        }
       case "d23" =>
         val pairs = graft.operators.Dedup.blockedJaccardPairs(
           graft.core.Tables.documents(spark, dir), "doc_id", "text",
@@ -133,7 +178,7 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | e11")
     }
     spark.stop()
   }

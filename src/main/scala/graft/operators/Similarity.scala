@@ -112,30 +112,60 @@ object Similarity {
                   vecCol: String): DataFrame =
     assignCellsSim(corpus, centroids, idCol, vecCol).drop("centroid_sim")
 
+  /** Driver-side centroid collect for the [[graft.functions.NearestCells]]
+    * expression: (ascending ids, double matrix; a null mat row marks a
+    * null-element vector). The collect is bounded by the SAME contract
+    * every caller already assumed when broadcasting the centroid table. */
+  private def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col("centroid_id").cast(org.apache.spark.sql.types.LongType),
+        col("centroid_vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val mat: Array[Array[Double]] = rows.map { r =>
+      val s = r.getSeq[Any](1)
+      if (s == null || s.contains(null)) null
+      else s.map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case i: java.lang.Integer => i.toDouble
+        case l: java.lang.Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"unsupported centroid element $other")
+      }.toArray
+    }
+    (ids, mat)
+  }
+
   /** [[assignCells]] keeping the winning cosine as `centroid_sim` —
     * SemDeDup's keeper policy ranks members by it, and cell-quality
     * diagnostics (how tight is this Voronoi cell?) read it directly.
     *
-    * The argmax is a `max_by` AGGREGATE, not a per-id window: after the
-    * broadcast crossjoin every (vector × centroid) row for one id sits in
-    * the same input partition, so partial aggregation collapses the n·k
-    * relation to ONE row per vector BEFORE the shuffle. The window form
-    * (the r8 sf10 sweep's d41 breakdown) shuffled all n·k rows — each
-    * carrying BOTH dense vectors — through a per-id sort: ~5·10⁹ wide
-    * rows at sf10 (k grows as n/50 there), terabytes at corpus scale.
-    * Tie-break matches the old window exactly: highest round(sim, 9),
-    * then LOWEST centroid_id (negated inside the max key). */
+    * The argmax is the [[graft.functions.NearestCells]] EXPRESSION over
+    * the driver-collected centroid matrix — ONE narrow pass, no join.
+    * The earlier shapes both lost to row plumbing: the per-id window
+    * shuffled the n·k crossjoin (terabytes at corpus scale), and even
+    * the max_by aggregate form still MATERIALIZED every (vector ×
+    * centroid) pair as a nested-loop-join row first — 8·10⁸ UnsafeRow
+    * copies (99 s) around 2 s of arithmetic at the r8 sf10 probe. The
+    * expression's ordering replicates the judged window semantics
+    * exactly (round(sim, 9) desc nulls-last, centroid_id asc; NULL
+    * vectors keep their lowest-id null-sim row). */
   def assignCellsSim(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col("centroid_vec"))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(c))
-      .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
-    scored.groupBy("id")
-      .agg(max_by(struct(col("centroid_id"), col("sim"), col("v")),
-        struct(round(col("sim"), 9), (-col("centroid_id")).as("__nid"))).as("__w"))
-      .select(col("id"), col("__w.v").as("v"), col("__w.centroid_id").as("centroid_id"),
-        col("__w.sim").as("centroid_sim"))
+    val (ids, mat) = collectCentroids(centroids)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (ids.isEmpty)
+      // empty centroid table: the crossJoin form produced no rows
+      base.filter(lit(false))
+        .withColumn("centroid_id", lit(null).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("centroid_sim", lit(null).cast(org.apache.spark.sql.types.DoubleType))
+    else
+      base.withColumn("__w",
+          element_at(VectorExprs.nearestCells(col("v"), ids, mat, 1), 1))
+        .select(col("id"), col("v"), col("__w.centroid_id").as("centroid_id"),
+          col("__w.sim").as("centroid_sim"))
   }
 
   /** Hierarchical (IVF-style) APPROXIMATE cell assignment — the
@@ -154,10 +184,10 @@ object Similarity {
     *      (n·nProbe·M expected).
     *
     * Total ≈ n·(k/M + nProbe·M) vs exact's n·k — with M ≈ √k the square-
-    * root speedup IVF always gives. Every per-vector reduction is a
-    * map-side aggregate over a broadcast join (the assignCellsSim rule:
-    * no n·k shuffle anywhere); the probe list is a bounded collect_list
-    * (≤ k/M entries) sliced to nProbe.
+    * root speedup IVF always gives. Both meta searches run through the
+    * [[graft.functions.NearestCells]] expression (no pair rows exist);
+    * only the final candidate argmax is a join (hash, on meta_id) +
+    * map-side max_by, over the n·nProbe·(k/|meta|) candidate relation.
     *
     * APPROXIMATION CONTRACT: the true nearest centroid is missed iff it
     * lives in an unprobed meta cell. On clustered real-world embeddings
@@ -174,27 +204,27 @@ object Similarity {
     val c = centroids.select(col("centroid_id"), col("centroid_vec"))
     val meta = c.filter(col("centroid_id") % metaEvery === 0)
       .select(col("centroid_id").as("meta_id"), col("centroid_vec").as("meta_vec"))
-    // centroid -> its meta cell (exact argmax over the meta sample)
-    val c2m = c.crossJoin(broadcast(meta))
-      .withColumn("sim", VectorExprs.cosine(col("centroid_vec"), col("meta_vec")))
-      .groupBy("centroid_id")
-      .agg(max_by(struct(col("meta_id"), col("centroid_vec")),
-        struct(round(col("sim"), 9), (-col("meta_id")).as("__nid"))).as("__w"))
-      .select(col("__w.meta_id").as("meta_id"), col("centroid_id"),
-        col("__w.centroid_vec").as("centroid_vec"))
-    // vector -> nProbe nearest metas: bounded collect_list (<= |meta|)
-    // sorted by (-sim_r, meta_id) so slice(1..nProbe) is highest-sim-first
-    // with the id tie-break
-    val probes = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(meta))
-      .withColumn("sim", VectorExprs.cosine(col("v"), col("meta_vec")))
-      .groupBy("id")
-      .agg(any_value(col("v")).as("v"),
-        slice(array_sort(collect_list(struct(
-          (-round(col("sim"), 9)).as("nsim"), col("meta_id")))), 1, nProbe)
-          .as("__probes"))
-    // exact argmax over the probed cells' centroids only
-    probes.select(col("id"), col("v"), explode(col("__probes.meta_id")).as("meta_id"))
+    val (metaIds, metaMat) = collectCentroids(
+      meta.select(col("meta_id").as("centroid_id"), col("meta_vec").as("centroid_vec")))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (metaIds.isEmpty)
+      return base.filter(lit(false))
+        .withColumn("centroid_id", lit(null).cast(org.apache.spark.sql.types.LongType))
+        .drop("v")
+        .withColumn("centroid_sim", lit(null).cast(org.apache.spark.sql.types.DoubleType))
+    // centroid -> its meta cell: the same NearestCells expression over the
+    // meta matrix (k·k/M work; exact same comparator as every level)
+    val c2m = c.select(
+      element_at(VectorExprs.nearestCells(col("centroid_vec"), metaIds, metaMat, 1), 1)
+        .getField("centroid_id").as("meta_id"),
+      col("centroid_id"), col("centroid_vec"))
+    // vector -> nProbe nearest metas (one narrow pass), then the exact
+    // argmax over ONLY the probed cells' centroids (hash join on meta_id
+    // + map-side max_by — candidate sets are per-vector, so the matrix
+    // trick doesn't apply here, but the relation is n·nProbe·M, not n·k)
+    base.select(col("id"), col("v"),
+        explode(VectorExprs.nearestCells(col("v"), metaIds, metaMat, nProbe)
+          .getField("centroid_id")).as("meta_id"))
       .join(broadcast(c2m), Seq("meta_id"))
       .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
       .groupBy("id")
