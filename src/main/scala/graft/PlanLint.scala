@@ -28,7 +28,9 @@ object PlanLint {
   val allowedBnlj: Map[String, (Int, String)] = Map(
     "e2_knn_brute" -> (1, "corpus x broadcast(query sample) - the documented exact-ANN baseline"),
     "e3_knn_ivf" -> (2, "assignCells + ivfTopK each cross corpus/queries with broadcast(centroids), k<=10"),
-    "d41_semdedup" -> (2, "nearest-anchor assignment crosses corpus x broadcast(anchor set) - bounded by construction; the lazy cell checkpoint may hide it from the visible plan entirely"),
+    // d41 needs no entry since r8 wave 5: NearestCells replaced the
+    // assignment crossjoin, so its plan has zero BNLJ — an allowance
+    // would let a crossjoin regression through the gate silently
     "d43_dsir_weights" -> (1, "bucket model x broadcast(1-row totals) for the smoothing denominators - the d26 IDF pattern"),
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
@@ -39,8 +41,10 @@ object PlanLint {
     "q29_relative_return" -> (1, "per-ticker rows x 1-row market aggregate"),
     "q98_psi_drift" -> (1, "bucket counts x broadcast(1-row totals) for proportions"),
     "m1_macro_pipeline" -> (1, "country series x literal year grid"),
-    "d57_incremental_curation" -> (2, "the frozen classifier stage carries d48's 1-row doc-totals broadcast inside trainNbWeights; the lazy cls checkpoint usually truncates it from the visible plan, but the un-materialized form shows it once per cls consumer (<=2)"),
-    "e11_semdedup_ivf_assign" -> (3, "assignCellsApprox crosses centroids x broadcast(meta sample) and corpus x broadcast(meta sample); the exact twin crosses corpus x broadcast(anchor set) - all broadcast sides bounded by construction (the e2/e3 pattern)"))
+    "d57_incremental_curation" -> (2, "the frozen classifier stage carries d48's 1-row doc-totals broadcast inside trainNbWeights; the lazy cls checkpoint usually truncates it from the visible plan, but the un-materialized form shows it once per cls consumer (<=2)"))
+    // e11 likewise needs no entry: both meta searches and the exact twin
+    // run through NearestCells; the candidate join is a broadcast HASH
+    // join on meta_id
 
   /** query -> (allowed NAKED global-window count, justification). A
     * WindowExec with no partition spec moves ALL rows to one partition —

@@ -178,7 +178,7 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | e11")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | d41 | e11")
     }
     spark.stop()
   }

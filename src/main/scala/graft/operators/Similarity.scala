@@ -151,7 +151,14 @@ object Similarity {
     * copies (99 s) around 2 s of arithmetic at the r8 sf10 probe. The
     * expression's ordering replicates the judged window semantics
     * exactly (round(sim, 9) desc nulls-last, centroid_id asc; NULL
-    * vectors keep their lowest-id null-sim row). */
+    * vectors keep their lowest-id null-sim row).
+    *
+    * EAGER contract: the centroid table is collected when this function
+    * is CALLED, not when the returned frame first executes — plan-only
+    * tooling (PlanLint, .explain) pays the centroid scan. That trade is
+    * deliberate: the table is broadcast-bounded by the existing
+    * contract, and the kmeansCentroids callers (e3/e7) were already
+    * eager through the MLlib fit. */
   def assignCellsSim(corpus: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
     val (ids, mat) = collectCentroids(centroids)
@@ -195,7 +202,17 @@ object Similarity {
     * documented worst case (see [[measureRecall]]) — e11 judges the
     * agreement rate against exact assignment rather than assuming it.
     * Ties break exactly like [[assignCellsSim]]: (round(sim, 9) desc,
-    * id asc) at every level. */
+    * id asc) at every level. COVERAGE is structural: a meta centroid
+    * always heads its OWN cell (it could otherwise be stolen by a
+    * round-tied lower-id meta, leaving an empty cell whose probers
+    * would silently emit no row), so every probed cell is non-empty and
+    * the one-row-per-input contract of exact assignment holds here too
+    * (schema-identical: (id, v, centroid_id, centroid_sim), so the two
+    * are drop-in interchangeable for [[graft.operators.Dedup.semDeDup]]).
+    * Like [[assignCellsSim]], the meta sample is COLLECTED EAGERLY at
+    * construction time (the broadcast-boundedness contract); a non-empty
+    * centroid table whose ids never hit the metaEvery lattice is a loud
+    * error, not an empty result. */
   def assignCellsApprox(corpus: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String,
                         metaEvery: Int, nProbe: Int): DataFrame = {
@@ -207,16 +224,25 @@ object Similarity {
     val (metaIds, metaMat) = collectCentroids(
       meta.select(col("meta_id").as("centroid_id"), col("meta_vec").as("centroid_vec")))
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    if (metaIds.isEmpty)
+    if (metaIds.isEmpty) {
+      require(c.limit(1).count() == 0,
+        s"assignCellsApprox: no centroid_id divisible by metaEvery=$metaEvery " +
+          "— the meta sample is empty while the centroid table is not; " +
+          "pick a metaEvery aligned with the id lattice")
+      // empty centroid table: same empty relation as assignCellsSim
       return base.filter(lit(false))
         .withColumn("centroid_id", lit(null).cast(org.apache.spark.sql.types.LongType))
-        .drop("v")
         .withColumn("centroid_sim", lit(null).cast(org.apache.spark.sql.types.DoubleType))
-    // centroid -> its meta cell: the same NearestCells expression over the
-    // meta matrix (k·k/M work; exact same comparator as every level)
+    }
+    // centroid -> its meta cell: the same NearestCells expression over
+    // the meta matrix (k·k/M work; exact same comparator as every
+    // level). Metas self-assign — the structural coverage guarantee.
     val c2m = c.select(
-      element_at(VectorExprs.nearestCells(col("centroid_vec"), metaIds, metaMat, 1), 1)
-        .getField("centroid_id").as("meta_id"),
+      when(col("centroid_id") % metaEvery === 0,
+        col("centroid_id").cast(org.apache.spark.sql.types.LongType))
+        .otherwise(
+          element_at(VectorExprs.nearestCells(col("centroid_vec"), metaIds, metaMat, 1), 1)
+            .getField("centroid_id")).as("meta_id"),
       col("centroid_id"), col("centroid_vec"))
     // vector -> nProbe nearest metas (one narrow pass), then the exact
     // argmax over ONLY the probed cells' centroids (hash join on meta_id
@@ -228,9 +254,10 @@ object Similarity {
       .join(broadcast(c2m), Seq("meta_id"))
       .withColumn("sim", VectorExprs.cosine(col("v"), col("centroid_vec")))
       .groupBy("id")
-      .agg(max_by(struct(col("centroid_id"), col("sim")),
-        struct(round(col("sim"), 9), (-col("centroid_id")).as("__nid"))).as("__w"))
-      .select(col("id"), col("__w.centroid_id").as("centroid_id"),
+      .agg(any_value(col("v")).as("v"),
+        max_by(struct(col("centroid_id"), col("sim")),
+          struct(round(col("sim"), 9), (-col("centroid_id")).as("__nid"))).as("__w"))
+      .select(col("id"), col("v"), col("__w.centroid_id").as("centroid_id"),
         col("__w.sim").as("centroid_sim"))
   }
 

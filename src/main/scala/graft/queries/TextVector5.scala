@@ -35,8 +35,9 @@ object TextVector5 {
     * exercised. Judged per doc: cluster, anchor cosine, fate.
     * COST CONTRACT: anchors grow as n/50, so the exact assignment is
     * n²/50 cosines — the paper's own n×k bill with k tracking corpus
-    * size (112 s at sf10). The max_by argmax keeps it shuffle-free;
-    * production trades exactness for IVF/PQ-accelerated assignment. */
+    * size. The [[graft.functions.NearestCells]] expression runs it as a
+    * tight per-row loop (3 s at sf10 — no pair rows, no shuffle);
+    * e11 judges the IVF-accelerated approximate alternative. */
   val d41 = QueryDef("d41_semdedup",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)

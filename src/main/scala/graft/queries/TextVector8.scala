@@ -54,7 +54,9 @@ object TextVector8 {
       c2ms AS (SELECT a.cid, a.cv, m.mid,
           ${QueryDef.cosSql64("a.cv", "m.mv")} AS sim
         FROM a CROSS JOIN m),
-      c2m AS (SELECT cid, cv, mid FROM (
+      c2m AS (SELECT cid, cv,
+          CASE WHEN cid % 150 = 0 THEN cid ELSE mid END AS mid
+        FROM (
           SELECT cid, cv, mid, row_number() OVER (PARTITION BY cid
             ORDER BY round(sim, 9) DESC, mid ASC) AS rn FROM c2ms) t
         WHERE rn = 1),
