@@ -499,13 +499,28 @@ object Dedup {
     * (id, centroid_id, centroid_sim, dropped). One broadcast pass for
     * assignment, one shuffle on centroid_id for the pair join. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame, cosineThreshold: Double): DataFrame = {
-    // lazy checkpoint: the assignment pass (corpus x broadcast(centroids)
-    // + per-id window — the dominant stage at paper scale) is consumed by
-    // BOTH sides of the pair self-join and by the final verdict join;
-    // without truncation each consumer re-executes it
-    val cells = Similarity.assignCellsSim(df, centroids, idCol, vecCol)
-      .localCheckpoint(false)
+               centroids: DataFrame, cosineThreshold: Double): DataFrame =
+    semDeDupFromCells(
+      Similarity.assignCellsSim(df, centroids, idCol, vecCol), cosineThreshold)
+
+  /** [[semDeDup]] with the hierarchical APPROXIMATE assignment
+    * ([[Similarity.assignCellsApprox]]) — the production composition at
+    * growing centroid counts: same pairing and keeper policy, cells come
+    * from the two-level search. Fully deterministic, so the d59 oracle
+    * replays assignment AND dedup end-to-end. */
+  def semDeDupApprox(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cosineThreshold: Double,
+                     metaEvery: Int, nProbe: Int): DataFrame =
+    semDeDupFromCells(
+      Similarity.assignCellsApprox(df, centroids, idCol, vecCol, metaEvery, nProbe),
+      cosineThreshold)
+
+  private def semDeDupFromCells(cellsIn: DataFrame,
+                                cosineThreshold: Double): DataFrame = {
+    // lazy checkpoint: the assignment pass (the dominant stage at paper
+    // scale) is consumed by BOTH sides of the pair self-join and by the
+    // final verdict join; without truncation each consumer re-executes it
+    val cells = cellsIn.localCheckpoint(false)
     def key(sim: Column, id: Column): Column = struct(round(sim, 9), id)
     val b = cells.select(col("centroid_id"), col("id").as("id_b"),
       col("v").as("v_b"), col("centroid_sim").as("sim_b"))

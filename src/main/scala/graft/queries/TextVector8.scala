@@ -16,7 +16,7 @@ import graft.operators.{Mixture, Similarity}
   * [[graft.operators.Similarity.assignCellsApprox]]). */
 object TextVector8 {
 
-  def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58, e11)
+  def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58, e11, d59)
 
   /** Judged surface for [[Similarity.assignCellsApprox]] — the
     * hierarchical (IVF-style) approximate cell assignment that replaces
@@ -32,23 +32,11 @@ object TextVector8 {
     * claim. Production tunes metaEvery so |metas| ≈ √k and nProbe for
     * target agreement; near-random fixtures are the documented worst
     * case (e7's recall note). */
-  val e11 = QueryDef("e11_semdedup_ivf_assign",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val anchors = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-      val approx = Similarity.assignCellsApprox(emb, anchors, "vec_id",
-          "embedding", metaEvery = 150, nProbe = 1)
-        .select(col("id").as("vec_id"),
-          col("centroid_id").as("approx_anchor"),
-          round(col("centroid_sim"), 6).as("approx_sim_r"))
-      val exact = Similarity.assignCellsSim(emb, anchors, "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("centroid_id").as("exact_anchor"))
-      approx.join(exact, Seq("vec_id"))
-        .withColumn("agree", col("approx_anchor") === col("exact_anchor"))
-        .orderBy("vec_id")
-    },
-    Some(s"""WITH a AS (
+  /** Shared oracle CTE prefix replaying [[Similarity.assignCellsApprox]]
+    * on the d41 fixture (metas = anchors % 150, nProbe = 1, self-assigned
+    * metas): ends at `cands` = the probed cells' candidate centroids per
+    * vector. e11 and d59 both build on it — one formulation, no drift. */
+  private def approxAsgCtes: String = s"""a AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
       m AS (SELECT cid AS mid, cv AS mv FROM a WHERE cid % 150 = 0),
       c2ms AS (SELECT a.cid, a.cv, m.mid,
@@ -68,7 +56,65 @@ object TextVector8 {
             ORDER BY round(sim, 9) DESC, mid ASC) AS rn FROM vps) t
         WHERE rn = 1),
       cands AS (SELECT p.vec_id, p.embedding, c.cid, c.cv FROM probe p
-        JOIN c2m c ON c.mid = p.mid),
+        JOIN c2m c ON c.mid = p.mid)"""
+
+  /** The full SemDeDup pipeline on APPROXIMATE assignment
+    * ([[graft.operators.Dedup.semDeDupApprox]]) — the production
+    * composition once the centroid count grows: cells from the two-level
+    * search (e11's judged construction), then d41's exact pairing and
+    * paper keeper policy inside each approximate cell. Everything stays
+    * deterministic, so the oracle replays assignment AND dedup end to
+    * end; per-doc verdicts differ from d41 exactly where the cell
+    * differs, which is the judged point. */
+  val d59 = QueryDef("d59_semdedup_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      graft.operators.Dedup.semDeDupApprox(emb, "vec_id", "embedding",
+          anchors, cosineThreshold = 0.25, metaEvery = 150, nProbe = 1)
+        .select(col("id").as("vec_id"), col("centroid_id").as("anchor_id"),
+          round(col("centroid_sim"), 6).as("cos_anchor_r"), col("dropped"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $approxAsgCtes,
+      asg AS (SELECT vec_id, cid AS aid, sim FROM (
+          SELECT vec_id, cid,
+            ${QueryDef.cosSql64("embedding", "cv")} AS sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY
+              round(${QueryDef.cosSql64("embedding", "cv")}, 9) DESC, cid ASC) AS rn
+          FROM cands) t WHERE rn = 1),
+      losers AS (
+        SELECT DISTINCT
+          CASE WHEN (round(x.sim, 9), x.vec_id) < (round(y.sim, 9), y.vec_id)
+            THEN y.vec_id ELSE x.vec_id END AS id
+        FROM asg x
+        JOIN asg y ON x.aid = y.aid AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        WHERE ${QueryDef.cosSql64("ex.embedding", "ey.embedding")} >= 0.25)
+      SELECT g.vec_id, g.aid AS anchor_id, round(g.sim, 6) AS cos_anchor_r,
+        (l.id IS NOT NULL) AS dropped
+      FROM asg g LEFT JOIN losers l ON l.id = g.vec_id
+      ORDER BY g.vec_id"""))
+
+  val e11 = QueryDef("e11_semdedup_ivf_assign",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val approx = Similarity.assignCellsApprox(emb, anchors, "vec_id",
+          "embedding", metaEvery = 150, nProbe = 1)
+        .select(col("id").as("vec_id"),
+          col("centroid_id").as("approx_anchor"),
+          round(col("centroid_sim"), 6).as("approx_sim_r"))
+      val exact = Similarity.assignCellsSim(emb, anchors, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("centroid_id").as("exact_anchor"))
+      approx.join(exact, Seq("vec_id"))
+        .withColumn("agree", col("approx_anchor") === col("exact_anchor"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $approxAsgCtes,
       ax AS (SELECT vec_id, cid AS approx_anchor, round(sim, 6) AS approx_sim_r
         FROM (SELECT vec_id, cid,
             ${QueryDef.cosSql64("embedding", "cv")} AS sim,
