@@ -34,9 +34,10 @@ object TextVector3 {
     * the SHORTER string, so each pair is generated from its longer side),
     * the substrings of ℓ's segmentation grid whose start offset d from the
     * canonical position passes the shift filter |d| + |d−(len−ℓ)| ≤ k;
-    * the join key is (lang, ℓ, segIdx, content). Candidates → normalized
-    * distinct pairs → banded-DP verify (`levenshtein(a, b, k)`: O(n·k),
-    * -1 above the cap).
+    * the join key is (lang, ℓ, segIdx, content). The banded-DP verify
+    * (`levenshtein(a, b, k)`: O(n·k), -1 above the cap) runs INLINE in
+    * the join pipeline — candidates are never materialized — and the
+    * output-sized surviving pairs are normalized and deduped last.
     *
     * Per-doc key counts are bounded by (k+1)²·(k+1) — constant in
     * corpus size. No padding anywhere: an earlier padded-grid variant
@@ -65,12 +66,15 @@ object TextVector3 {
     val b = docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("p"))
       .withColumn("len", length(col("p")))
+    // both relations CARRY THEIR FULL PREFIX so the verify can run inline
+    // in the join's codegen pipeline (below) — +40 bytes on ~n·(k+1) and
+    // ~n·(k+1)² rows, nothing at all on the (block-quadratic) join output
     val segs = b.select(col("doc_id").as("b_id"), col("lang"),
-      col("len").as("l"),
+      col("len").as("l"), col("p").as("b_p"),
       explode(expr(s"""transform(sequence(0, $k), j ->
           struct(j AS j, substring(p, ${segStart("len", "j")} + 1,
             ${segLen("len", "j")}) AS s))""")).as("seg"))
-      .select(col("b_id"), col("lang"), col("l"),
+      .select(col("b_id"), col("lang"), col("l"), col("b_p"),
         col("seg.j").as("j"), col("seg.s").as("s"))
     // probe: ONE-DIRECTIONAL (l in [len-k, len] — the pigeonhole partitions
     // the shorter string, so every pair is found from its longer side;
@@ -84,6 +88,7 @@ object TextVector3 {
     // sequence(lo, hi) DESCENDS when hi < lo in Spark, so empty windows
     // must return array() explicitly.
     val subs = b.select(col("doc_id").as("a_id"), col("lang"),
+      col("p").as("a_p"),
       explode(expr(s"""flatten(flatten(
           transform(sequence(greatest(len - $k, 0), len), l ->
             transform(sequence(0, $k), j ->
@@ -97,19 +102,27 @@ object TextVector3 {
                 pos -> struct(l AS l, j AS j,
                   substring(p, pos + 1, ${segLen("l", "j")}) AS s))
               ELSE array() END))))""")).as("sub"))
-      .select(col("a_id"), col("lang"), col("sub.l").as("l"),
+      .select(col("a_id"), col("lang"), col("a_p"), col("sub.l").as("l"),
         col("sub.j").as("j"), col("sub.s").as("s"))
-    val cand = subs.join(segs, Seq("lang", "l", "j", "s"))
+    // VERIFY INLINE, DEDUP LAST (the lesson-4 shape): Zipf-frequent
+    // segments make the join output block-quadratic, and materializing it
+    // into a distinct shuffle is what died at the sf30 probe
+    // (SPILL_OUT_OF_MEMORY on ~10⁹ candidate rows). With both prefixes on
+    // the join inputs, the banded levenshtein runs INSIDE the join's
+    // whole-stage-codegen pipeline — candidate rows stream through the
+    // filter and never hit an exchange; only the OUTPUT-sized surviving
+    // pairs reach the distinct. Redundant verification of a pair matching
+    // several segments is bounded by the probe-window size (a small
+    // constant) and costs arithmetic, not memory.
+    subs.join(segs, Seq("lang", "l", "j", "s"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("lang"),
-        least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
-      .distinct()
-    val pa = b.select(col("doc_id").as("a_id"), col("p").as("a_p"))
-    val pb = b.select(col("doc_id").as("b_id"), col("p").as("b_p"))
-    cand.join(pa, Seq("a_id")).join(pb, Seq("b_id"))
       .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("lang"),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("dist"))
+      .distinct()
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
   }
 
