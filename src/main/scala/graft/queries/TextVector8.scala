@@ -18,20 +18,6 @@ object TextVector8 {
 
   def defs: Seq[QueryDef] = Seq(e10, d56, d57, d58, e11, d59)
 
-  /** Judged surface for [[Similarity.assignCellsApprox]] — the
-    * hierarchical (IVF-style) approximate cell assignment that replaces
-    * exact assignment's n·k cost when the centroid count grows with the
-    * corpus (the d41 contract: n²/50 at the sf10 sweep). The fixture is
-    * d41's (anchors = every 50th vec_id); metas = the anchors divisible
-    * by 150, nProbe = 1 — real approximation at every SF (4/4/14 metas).
-    * Judged PER VECTOR: the approx assignment (anchor + rounded cosine),
-    * the exact assignment, and the agreement flag — the whole two-level
-    * search is deterministic (id-sampled metas, exact cosines,
-    * (round(sim,9), id) ties), so DuckDB replays construction AND
-    * verdict; the aggregate agreement rate is then judged data, not a
-    * claim. Production tunes metaEvery so |metas| ≈ √k and nProbe for
-    * target agreement; near-random fixtures are the documented worst
-    * case (e7's recall note). */
   /** Shared oracle CTE prefix replaying [[Similarity.assignCellsApprox]]
     * on the d41 fixture (metas = anchors % 150, nProbe = 1, self-assigned
     * metas): ends at `cands` = the probed cells' candidate centroids per
@@ -79,11 +65,12 @@ object TextVector8 {
     },
     Some(s"""WITH $approxAsgCtes,
       asg AS (SELECT vec_id, cid AS aid, sim FROM (
-          SELECT vec_id, cid,
-            ${QueryDef.cosSql64("embedding", "cv")} AS sim,
+          SELECT vec_id, cid, sim,
             row_number() OVER (PARTITION BY vec_id ORDER BY
-              round(${QueryDef.cosSql64("embedding", "cv")}, 9) DESC, cid ASC) AS rn
-          FROM cands) t WHERE rn = 1),
+              round(sim, 9) DESC, cid ASC) AS rn
+          FROM (SELECT vec_id, cid,
+              ${QueryDef.cosSql64("embedding", "cv")} AS sim FROM cands) s) t
+        WHERE rn = 1),
       losers AS (
         SELECT DISTINCT
           CASE WHEN (round(x.sim, 9), x.vec_id) < (round(y.sim, 9), y.vec_id)
@@ -98,6 +85,20 @@ object TextVector8 {
       FROM asg g LEFT JOIN losers l ON l.id = g.vec_id
       ORDER BY g.vec_id"""))
 
+  /** Judged surface for [[Similarity.assignCellsApprox]] — the
+    * hierarchical (IVF-style) approximate cell assignment that replaces
+    * exact assignment's n·k cost when the centroid count grows with the
+    * corpus (the d41 contract: n²/50 at the sf10 sweep). The fixture is
+    * d41's (anchors = every 50th vec_id); metas = the anchors divisible
+    * by 150, nProbe = 1 — real approximation at every SF (4/4/14 metas).
+    * Judged PER VECTOR: the approx assignment (anchor + rounded cosine),
+    * the exact assignment, and the agreement flag — the whole two-level
+    * search is deterministic (id-sampled metas, exact cosines,
+    * (round(sim,9), id) ties), so DuckDB replays construction AND
+    * verdict; the aggregate agreement rate is then judged data, not a
+    * claim. Production tunes metaEvery so |metas| ≈ √k and nProbe for
+    * target agreement; near-random fixtures are the documented worst
+    * case (e7's recall note). */
   val e11 = QueryDef("e11_semdedup_ivf_assign",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -116,11 +117,12 @@ object TextVector8 {
     },
     Some(s"""WITH $approxAsgCtes,
       ax AS (SELECT vec_id, cid AS approx_anchor, round(sim, 6) AS approx_sim_r
-        FROM (SELECT vec_id, cid,
-            ${QueryDef.cosSql64("embedding", "cv")} AS sim,
+        FROM (SELECT vec_id, cid, sim,
             row_number() OVER (PARTITION BY vec_id ORDER BY
-              round(${QueryDef.cosSql64("embedding", "cv")}, 9) DESC, cid ASC) AS rn
-          FROM cands) t WHERE rn = 1),
+              round(sim, 9) DESC, cid ASC) AS rn
+          FROM (SELECT vec_id, cid,
+              ${QueryDef.cosSql64("embedding", "cv")} AS sim FROM cands) s) t
+        WHERE rn = 1),
       exs AS (SELECT e.vec_id, a.cid,
           ${QueryDef.cosSql64("e.embedding", "a.cv")} AS sim
         FROM embeddings e CROSS JOIN a),

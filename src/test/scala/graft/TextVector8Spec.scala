@@ -87,6 +87,25 @@ class TextVector8Spec extends SparkSpec {
       "metaEvery=1 must reduce the two-level search to the exact argmax")
   }
 
+  test("d59: semDeDupApprox with every centroid a meta equals exact semDeDup") {
+    // the drop-in contract end to end: with metaEvery = 1 the approximate
+    // assignment reduces to the exact argmax (pinned above), so the FULL
+    // pipeline — pairing, threshold, keeper policy — must produce
+    // identical verdicts through the shared semDeDupFromCells body
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val exact = graft.operators.Dedup
+      .semDeDup(emb, "vec_id", "embedding", anchors, cosineThreshold = 0.25)
+      .select($"id", $"centroid_id", round($"centroid_sim", 9).as("s"), $"dropped")
+    val approx = graft.operators.Dedup
+      .semDeDupApprox(emb, "vec_id", "embedding", anchors,
+        cosineThreshold = 0.25, metaEvery = 1, nProbe = 1)
+      .select($"id", $"centroid_id", round($"centroid_sim", 9).as("s"), $"dropped")
+    assert(approx.except(exact).isEmpty && exact.except(approx).isEmpty,
+      "metaEvery=1 must make the approximate pipeline verdict-identical")
+  }
+
   test("d58: shared-tail span forms one corpus-wide cluster with a single keeper") {
     val out = graft.queries.TextVector8.d58.fn(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_idx"),
