@@ -192,9 +192,17 @@ object Indexing {
     * `df` must be DETERMINISTIC (globalRowIds' contract): the histogram
     * action and the pick action each re-evaluate it, and the driver-
     * resolved rank targets are only valid if both passes see the same
-    * rows. */
+    * rows.
+    *
+    * `discrete = true` switches the rank rule to `percentile_disc` /
+    * ordered-set semantics: the result is the ACTUAL data value at
+    * 0-based order statistic max(ceil(q·n)−1, 0) — the smallest value
+    * whose cume_dist ≥ q — with no interpolation, so it is
+    * exact-comparable without rounding. Same three-pass selection shape;
+    * one pick per (group, q) instead of a lo/hi pair. */
   def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                     qs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
+                     qs: Seq[Double], nBuckets: Int = 1024,
+                     discrete: Boolean = false): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -233,9 +241,14 @@ object Indexing {
       val sorted = rs.sortBy(_.getAs[Int]("__bucket"))
       val n = sorted.map(_.getAs[Long]("__c")).sum
       qs.flatMap { q =>
-        val pos = q * (n - 1).toDouble
-        val lowHigh = Seq((math.floor(pos).toLong, true),
-          (math.ceil(pos).toLong, false))
+        val lowHigh =
+          if (discrete)
+            Seq((math.max(math.ceil(q * n.toDouble).toLong - 1L, 0L), true))
+          else {
+            val pos = q * (n - 1).toDouble
+            Seq((math.floor(pos).toLong, true),
+              (math.ceil(pos).toLong, false))
+          }
         lowHigh.map { case (rank, isLow) =>
           // walk the prefix sums to the bucket holding this rank
           var acc = 0L; var b = 0; var local = 0L
@@ -274,15 +287,21 @@ object Indexing {
       .groupBy(gCols :+ col("__q"): _*)
       .agg(max(when(col("__isLow"), col("__v"))).as("__vlo"),
         max(when(!col("__isLow"), col("__v"))).as("__vhi"))
-    // interpolate: v_lo + frac·(v_hi − v_lo). Groups whose values are all
-    // null never enter `rows`, so they are absent from the result — callers
-    // needing percentile's null-for-empty row restore it with a left join.
+    // continuous: interpolate v_lo + frac·(v_hi − v_lo); discrete: the
+    // single picked order statistic IS the answer (every target is isLow,
+    // so __vhi is null — interpolating would null the result). Groups whose
+    // values are all null never enter `rows`, so they are absent from the
+    // result — callers needing percentile's null-for-empty row restore it
+    // with a left join.
     val nByGroup = bounds.select(gCols :+ col("__n"): _*)
-    nullSafeJoin(nByGroup, broadcast(picked), groupCols)
-      .withColumn("__pos", col("__q") * (col("__n") - 1).cast(DoubleType))
-      .withColumn("__quantile",
-        col("__vlo") + (col("__pos") - floor(col("__pos"))) *
-          (col("__vhi") - col("__vlo")))
-      .select(gCols ++ Seq(col("__q"), col("__quantile")): _*)
+    val joined = nullSafeJoin(nByGroup, broadcast(picked), groupCols)
+    val result =
+      if (discrete) joined.withColumn("__quantile", col("__vlo"))
+      else joined
+        .withColumn("__pos", col("__q") * (col("__n") - 1).cast(DoubleType))
+        .withColumn("__quantile",
+          col("__vlo") + (col("__pos") - floor(col("__pos"))) *
+            (col("__vhi") - col("__vlo")))
+    result.select(gCols ++ Seq(col("__q"), col("__quantile")): _*)
   }
 }

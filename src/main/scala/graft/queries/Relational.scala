@@ -207,13 +207,30 @@ object Relational {
       ORDER BY l_partkey, l_orderkey, l_linenumber, l_suppkey, ship_date"""))
 
   /** A2: exact median / interpolated percentile (reference uses Polars
-    * median; `percentile` is the exact form, not approx). */
+    * median). Computed via [[graft.core.Indexing.groupQuantiles]] — the
+    * distributed order-statistic SELECT — not the `percentile` aggregate,
+    * whose buffer holds EVERY group member and merges single-threaded per
+    * group (the corpus-scale bomb d34 measured at 23×/decade on the sf10
+    * tiling). Same HF7 interpolation in the same double arithmetic, so the
+    * swap is hash-identical unrounded; one select per value column, both
+    * group-bounded. */
   val q10 = QueryDef("q10_median",
-    (s, dir) => Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
-      .orderBy("l_returnflag"),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      def med(valueCol: String, out: String) = graft.core.Indexing
+        .groupQuantiles(li, Seq("l_returnflag"), valueCol, Seq(0.5))
+        .groupBy("l_returnflag")
+        .agg(max(col("__quantile")).as(out))
+      // LEFT joins from the group list: an all-NULL group keeps its row
+      // (NULL median) as under the aggregate form — the d34/d53 restore
+      li.select("l_returnflag").distinct()
+        .join(broadcast(med("l_quantity", "median_qty")),
+          Seq("l_returnflag"), "left")
+        .join(broadcast(med("l_extendedprice", "median_price")),
+          Seq("l_returnflag"), "left")
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
       quantile_cont(l_quantity, 0.5) AS median_qty,
       quantile_cont(l_extendedprice, 0.5) AS median_price

@@ -239,17 +239,35 @@ object Relational7 {
       FROM a JOIN b USING (l_returnflag)
       ORDER BY a.l_returnflag"""))
 
-  /** Discrete percentiles via the WITHIN GROUP ordered-set syntax: the cut
-    * is an ACTUAL data value (first value whose cume_dist ≥ p), so unlike
-    * interpolated quantiles it's exact-comparable without rounding. */
+  /** Discrete percentiles (`percentile_disc` WITHIN GROUP semantics): the
+    * cut is an ACTUAL data value — the order statistic at
+    * max(ceil(p·n)−1, 0), the smallest value whose cume_dist ≥ p — so
+    * unlike interpolated quantiles it's exact-comparable without rounding.
+    *
+    * Computed via [[graft.core.Indexing.groupQuantiles]]'s discrete mode
+    * (the distributed order-statistic SELECT), not the ordered-set
+    * aggregate: `percentile_disc`'s buffer holds EVERY group member and
+    * merges single-threaded per group — the same corpus-scale bomb the
+    * continuous family hit at 23×/decade on the sf10 tiling (d34). The
+    * select's state is a driver-bounded histogram + a bucket-filtered
+    * pick; Coverage7Spec pins rule equality on ties / tiny / constant /
+    * null-keyed groups. l_extendedprice is double, so the select's
+    * double-cast path returns the input value bit-for-bit. */
   val q92 = QueryDef("q92_percentile_disc",
     (s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("li92_v")
-      s.sql("""SELECT l_returnflag,
-          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
-          percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
-          percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
-        FROM li92_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_extendedprice")
+      def q(p: Double) = max(when(col("__q") === p, col("__quantile")))
+      val cuts = graft.core.Indexing
+        .groupQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75), discrete = true)
+        .groupBy("l_returnflag")
+        .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.75).as("p75"))
+      // LEFT join from the group list: an all-NULL group is absent from the
+      // select's output but keeps its row (NULL cuts) under the aggregate
+      // form this replaces — same restore as d34/d53
+      li.select("l_returnflag").distinct()
+        .join(broadcast(cuts), Seq("l_returnflag"), "left")
+        .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
         percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,

@@ -337,14 +337,29 @@ object ScaleOps {
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Multi-quantile aggregation (exact interpolated percentiles, the A2
-    * family widened): p25/p50/p75 in ONE aggregation pass. */
+    * family widened): p25/p50/p75 from ONE pass of
+    * [[graft.core.Indexing.groupQuantiles]] — the distributed
+    * order-statistic SELECT. The `percentile` aggregate this replaces
+    * holds a group-sized value map merged single-threaded per group
+    * (23×/decade measured on the sf10 tiling, d34); the select's state is
+    * a driver-bounded histogram + a bucket-filtered pick, hash-identical
+    * at 6 decimals (same HF7 rule; Coverage7Spec pins tie/tiny/constant/
+    * null-key equality). */
   val q60 = QueryDef("q60_quantile_trio",
-    (s, dir) => Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"))
-      .orderBy("l_returnflag"),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_extendedprice")
+      def q(p: Double) = round(max(when(col("__q") === p, col("__quantile"))), 6)
+      val cuts = graft.core.Indexing
+        .groupQuantiles(li, Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+        .groupBy("l_returnflag")
+        .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.75).as("p75"))
+      // LEFT join from the group list: an all-NULL group keeps its row
+      // (NULL quantiles) as under the aggregate form — the d34/d53 restore
+      li.select("l_returnflag").distinct()
+        .join(broadcast(cuts), Seq("l_returnflag"), "left")
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
         ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

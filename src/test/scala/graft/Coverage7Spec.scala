@@ -181,6 +181,32 @@ class Coverage7Spec extends SparkSpec {
       "bucketed order-statistic select must equal the aggregate form")
   }
 
+  test("groupQuantiles discrete mode equals percentile_disc: ties, tiny, constant, q=0/1") {
+    // same torture fixture as the continuous test; the discrete rule is the
+    // ordered-set one — the ACTUAL value at order statistic
+    // max(ceil(q*n)-1, 0), no interpolation — so results must be exact
+    // data values (no rounding needed), including q=0 (first value) and
+    // q=1 (last value), and a null value ignored like the aggregate
+    val df = (Seq.tabulate(103)(i => ("a", Some(i % 7 * 1.5))) ++
+      Seq(("b", Some(42.0))) ++
+      Seq.tabulate(10)(_ => ("c", Some(3.0))) ++
+      Seq(("a", Option.empty[Double])))
+      .toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = graft.core.Indexing
+      .groupQuantiles(df, Seq("g"), "v", qs, nBuckets = 8, discrete = true)
+      .select($"g", $"__q", $"__quantile".as("r"))
+    df.createOrReplaceTempView("gq_disc_v")
+    val want = qs.map { q =>
+      spark.sql(
+        s"""SELECT g, CAST($q AS DOUBLE) AS __q,
+            percentile_disc($q) WITHIN GROUP (ORDER BY v) AS r
+          FROM gq_disc_v GROUP BY g""")
+    }.reduce(_ unionAll _)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "discrete order-statistic select must equal percentile_disc")
+  }
+
   test("globalRowIds: NaN and infinity keys keep window order, never poison buckets") {
     import org.apache.spark.sql.expressions.Window
     // NaN must not poison the max-bound (Spark max treats NaN > any double),
