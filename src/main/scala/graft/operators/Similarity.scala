@@ -319,11 +319,14 @@ object Similarity {
   }
 
   /** Encode every corpus vector to its m nearest-codeword indices.
-    * Output: (id, codes array<int>). One codegen'd narrow pass: the
-    * codebook is a literal, so Catalyst sees constant arrays and the
-    * scan never shuffles or joins. */
+    * Output: (id, keep..., codes array<int>). One codegen'd narrow pass:
+    * the codebook is a literal, so Catalyst sees constant arrays and the
+    * scan never shuffles or joins. `keep` carries extra columns through
+    * (ivfAdcTopK rides the cell id alongside the codes — the inverted
+    * file IS (cell, id, codes)). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+               codebooks: Array[Array[Array[Double]]],
+               keep: Seq[String] = Nil): DataFrame = {
     val sub = codebooks(0)(0).length
     val codes = array(codebooks.indices.map { s =>
       val subv = slice(col(vecCol), s * sub + 1, sub)
@@ -332,8 +335,29 @@ object Similarity {
       // first position of the exact minimum = argmin with lowest-index ties
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    corpus.select(col(idCol).as("id"), codes.as("codes"))
+    corpus.select((col(idCol).as("id") +: keep.map(col)) :+ codes.as("codes"): _*)
   }
+
+  /** The per-query ADC lookup table: m×k exact subspace distances from
+    * `vec` to every codeword, as one literal-coded array<array<double>>
+    * expression. Tabulated ONCE per (query[, probed cell]) row BEFORE any
+    * join — the pair scan then never touches the raw vector. */
+  private def pqLut(vec: org.apache.spark.sql.Column,
+                    codebooks: Array[Array[Array[Double]]]) = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.indices.map { s =>
+      val subv = slice(vec, s * sub + 1, sub)
+      array(codebooks(s).map(cw =>
+        VectorFns.sqDist(subv, typedLit(cw.toSeq))): _*)
+    }: _*)
+  }
+
+  /** Σ_s lut[s][code_s]: zip_with pairs subspace tables with codes in
+    * index order; the fold is the same sequential s-order sum the oracle
+    * replays with list_sum(list(d ORDER BY s)). */
+  private def pqAdcSum = aggregate(
+    zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+    lit(0.0), (acc, v) => acc + v)
 
   /** ADC top-k: per query one lookup table (m×k exact subspace distances,
     * computed in the query-side projection BEFORE the join), then each
@@ -343,27 +367,73 @@ object Similarity {
     * re-rank the top-k exactly downstream when recall matters. */
   def pqAdcTopK(queries: DataFrame, encoded: DataFrame,
                 codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val sub = codebooks(0)(0).length
-    val lut = array(codebooks.indices.map { s =>
-      val subv = slice(col("qv"), s * sub + 1, sub)
-      array(codebooks(s).map(cw =>
-        VectorFns.sqDist(subv, typedLit(cw.toSeq))): _*)
-    }: _*)
     val q = queries.select(col("query_id"), col("qv"))
-      .withColumn("lut", lut).drop("qv")
-    // Σ_s lut[s][code_s]: zip_with pairs subspace tables with codes in
-    // index order; the fold is the same sequential s-order sum the oracle
-    // replays with list_sum(list(d ORDER BY s)).
-    val adc = aggregate(
-      zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
-      lit(0.0), (acc, v) => acc + v)
+      .withColumn("lut", pqLut(col("qv"), codebooks)).drop("qv")
     val pairs = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", pqAdcSum)
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("adc"), 9).asc, col("id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  /** IVFADC (Jégou, Douze & Schmid 2011 §IV — "inverted file with
+    * asymmetric distance computation"): the composition the paper actually
+    * ships, and the 100 TB serving shape. [[pqAdcTopK]] alone still scans
+    * every code per query; IVFADC restricts the ADC scan to the `nProbe`
+    * probed coarse cells, and quantizes RESIDUALS r = x − c(x) (the
+    * energy left after the coarse step — codewords spend their 4 bits on
+    * local structure instead of re-describing cell position).
+    *
+    *   - corpus side: one broadcast join attaches each vector's own cell
+    *     centroid, residual + encode are a single codegen'd narrow pass →
+    *     the inverted file (cell, id, codes) — 8 bytes/vector of scan I/O;
+    *   - query side: nProbe nearest cells via the
+    *     [[graft.functions.NearestCells]] expression (no pair rows), then
+    *     ONE residual LUT per (query, probed cell) — |q|·nProbe bounded
+    *     rows, tabulated before any join touches the corpus;
+    *   - candidates: a hash join on the cell id — expected n·nProbe/k_c
+    *     codes scanned per query instead of n, each costing m lookups+adds.
+    *
+    * Everything is deterministic (exact IEEE folds, argmin ties to the
+    * lowest codeword index, rank ties (round(adc,9) asc, id asc)), so an
+    * independent engine replays construction AND search (e12). Recall is
+    * governed by nProbe exactly as in [[ivfTopK]]; re-rank the returned
+    * top-k with exact distance when it matters (the paper's IVFADC+R). */
+  def ivfAdcTopK(queries: DataFrame, corpusCells: DataFrame,
+                 centroids: DataFrame,
+                 codebooks: Array[Array[Array[Double]]],
+                 k: Int, nProbe: Int): DataFrame = {
+    val (ids, mat) = collectCentroids(centroids)
+    require(ids.nonEmpty, "ivfAdcTopK needs a non-empty centroid table")
+    val cvec = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("__cv"))
+    def residual(vec: org.apache.spark.sql.Column) =
+      zip_with(vec.cast("array<double>"), col("__cv"), (a, b) => a - b)
+    // inverted file: (centroid_id, id, codes) — residual encode in one
+    // narrow pass behind a broadcast centroid-vector join
+    val encoded = pqEncode(
+      corpusCells.join(broadcast(cvec), Seq("centroid_id"))
+        .withColumn("__res", residual(col("v"))),
+      "id", "__res", codebooks, keep = Seq("centroid_id"))
+    // query probes: top-nProbe cells from the expression (same
+    // (round(sim,9) desc, id asc) comparator as assignment), then the
+    // residual LUT per probed cell
+    val probed = queries.select(col("query_id"), col("qv"),
+        explode(VectorExprs.nearestCells(col("qv"), ids, mat, nProbe)
+          .getField("centroid_id")).as("centroid_id"))
+      .join(broadcast(cvec), Seq("centroid_id"))
+      .withColumn("lut", pqLut(residual(col("qv")), codebooks))
+      .select(col("query_id"), col("centroid_id"), col("lut"))
+    val pairs = encoded.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc", pqAdcSum)
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("adc"), 9).asc, col("id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("centroid_id"), col("id").as("neighbor_id"),
+        col("adc"), col("rank"))
   }
 
   /** Measured recall@k of an IVF configuration against the exact

@@ -198,6 +198,48 @@ class TextVector6Spec extends SparkSpec {
     assert(top(2) == (2L, 4.0)) // differs in both subspaces
   }
 
+  test("ivfAdcTopK: one coarse cell reduces exactly to pqAdcTopK on centered " +
+    "vectors; multi-cell search returns neighbors only from probed cells") {
+    val corpus = Seq(
+      (1L, Seq(0.2f, 0.1f, 2.2f, 2.1f)),
+      (2L, Seq(1.1f, 0.9f, 3.0f, 3.2f)),
+      (3L, Seq(0.9f, 1.2f, 2.0f, 1.8f)),
+      (4L, Seq(0.0f, 0.4f, 2.9f, 3.1f))).toDF("id", "vec")
+    val q = Seq((99L, Seq(0.1f, 0.2f, 2.1f, 2.0f))).toDF("query_id", "qv")
+    val center = Seq(1.0, 1.0, 1.0, 1.0)
+    val c1 = Seq((0L, center)).toDF("centroid_id", "centroid_vec")
+    val cells1 = Similarity.assignCells(corpus, c1, "id", "vec")
+    val got = Similarity.ivfAdcTopK(q, cells1, c1, tinyCb, k = 4, nProbe = 1)
+      .select("query_id", "neighbor_id", "adc", "rank")
+    // the same search with the coarse step factored out by hand: residuals
+    // are (v - center) in the identical float->double-then-subtract
+    // arithmetic, so codes, LUT, and ADC folds must agree BIT-FOR-BIT
+    def shift(vc: org.apache.spark.sql.Column) =
+      zip_with(vc.cast("array<double>"), typedLit(center), (a, b) => a - b)
+    val want = Similarity.pqAdcTopK(
+      q.select(col("query_id"), shift(col("qv")).as("qv")),
+      Similarity.pqEncode(
+        corpus.select(col("id"), shift(col("vec")).as("vec")), "id", "vec", tinyCb),
+      tinyCb, 4)
+      .select("query_id", "neighbor_id", "adc", "rank")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "single-cell IVFADC must equal plain ADC over centered vectors")
+    // structural restriction: with two cells and nProbe = 1, every returned
+    // neighbor must come from the query's single probed (nearest) cell
+    val c2 = Seq((0L, Seq(0.0, 0.0, 2.0, 2.0)), (1L, Seq(1.0, 1.0, 3.0, 3.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val cells2 = Similarity.assignCells(corpus, c2, "id", "vec")
+    val multi = Similarity.ivfAdcTopK(q, cells2, c2, tinyCb, k = 4, nProbe = 1)
+    val probedCells = multi.select("centroid_id").distinct().as[Long].collect()
+    assert(probedCells.length == 1,
+      "nProbe=1 must restrict all neighbors to one coarse cell")
+    val members = cells2.filter(col("centroid_id") === probedCells.head)
+      .select("id").as[Long].collect().toSet
+    val returned = multi.select("neighbor_id").as[Long].collect().toSet
+    assert(returned.nonEmpty && returned.subsetOf(members),
+      "every returned neighbor must live in the probed cell")
+  }
+
   test("kmeansCentroids: an all-identical corpus (1 distinct point) returns " +
     "that single vector instead of crashing MLlib's k>1 trainer") {
     val corpus = (1 to 20).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
