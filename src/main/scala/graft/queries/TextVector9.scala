@@ -8,13 +8,143 @@ import graft.operators.Similarity
 /** Twelfth coverage batch (round 8, continued): the IVFADC search
   * composition — [[graft.operators.Similarity.ivfAdcTopK]], Jégou, Douze
   * & Schmid 2011 §IV ("Product Quantization for Nearest Neighbor
-  * Search", IEEE TPAMI 33(1)) — judged end to end. e8 judged the ADC
-  * scan, e9 the codes, e11 the coarse (IVF) assignment; e12 judges what
-  * the paper actually ships: coarse cells + RESIDUAL product codes +
-  * per-probed-cell ADC, one query. */
+  * Search", IEEE TPAMI 33(1)) — judged end to end (e8 judged the ADC
+  * scan, e9 the codes, e11 the coarse assignment; e12 judges what the
+  * paper actually ships: coarse cells + RESIDUAL product codes +
+  * per-probed-cell ADC); the leakage-safe dedup-cluster-atomic
+  * train/val/test split (d60, [[graft.operators.Splits]]); and the
+  * data-constrained epoch-allocation rule (d61, Muennighoff et al.
+  * 2023). */
 object TextVector9 {
 
-  def defs: Seq[QueryDef] = Seq(e12)
+  def defs: Seq[QueryDef] = Seq(e12, d60, d61)
+
+  /** Leakage-safe (dedup-cluster-atomic) train/val/test split —
+    * [[graft.operators.Splits.leakageSafeSplit]] keyed by d51's CCNet
+    * normalization hash: a per-DOCUMENT random split puts trivial
+    * variants of one text on both sides of the train/test fence and the
+    * eval measures memorization; routing the CLUSTER key makes straddling
+    * impossible by construction (GroupShuffleSplit semantics, split =
+    * f(md5(cluster||salt)) mod 100 → 80/10/10). Injected twins (every
+    * doc_id % 10 doc re-appears under id+3e9 with identical text) create
+    * multi-member clusters at every SF, so the judged surface carries the
+    * hazard the operator neutralizes, not just singletons. Judged per
+    * doc: cluster hash, cluster size, bucket, split. Scale shape: the
+    * normalize+md5 is one narrow pass (checkpointed — it feeds the
+    * cluster counts, the join-back, and the final orderBy's sampling
+    * pass); one hash shuffle for cluster sizes; the split itself is
+    * stateless routing, so an incremental batch can never move an
+    * earlier doc's split (the d52/Incremental property). */
+  val d60 = QueryDef("d60_leakage_safe_split",
+    (s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000000L).as("doc_id"), col("text")))
+      val h = docs
+        .select(col("doc_id"),
+          md5(graft.functions.TextFns.ccnetNormalize(col("text"))).as("grp_h"))
+        .localCheckpoint(false)
+      val clusters = h.groupBy("grp_h").agg(count(lit(1)).as("n_in_group"))
+      graft.operators.Splits.leakageSafeSplit(
+          h.join(clusters, Seq("grp_h")), col("grp_h"))
+        .select(col("doc_id"), col("grp_h"), col("n_in_group").cast(LongType)
+          .as("n_in_group"), col("split_bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000000, text FROM documents WHERE doc_id % 10 = 0),
+      n AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          translate(lower(text), '${graft.functions.TextFns.accentFrom}',
+            '${graft.functions.TextFns.accentTo}'),
+          '[0-9]', '0', 'g'), '[^a-z0 \\t\\n\\r\\f]', '', 'g'),
+          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm
+        FROM base),
+      h AS (SELECT doc_id, md5(norm) AS grp_h FROM n),
+      c AS (SELECT grp_h, count(*) AS n_in_group FROM h GROUP BY 1),
+      b AS (SELECT doc_id, grp_h, n_in_group,
+          CAST(CAST(CONCAT('0x', SUBSTR(md5(grp_h || '|split'), 1, 8)) AS BIGINT)
+            % 100 AS INT) AS split_bucket
+        FROM h JOIN c USING (grp_h))
+      SELECT doc_id, grp_h, n_in_group, split_bucket,
+        CASE WHEN split_bucket < 80 THEN 'train'
+             WHEN split_bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
+  /** Epoch allocation under a token budget (Muennighoff et al. 2023,
+    * arXiv:2305.16264 "Scaling Data-Constrained Language Models": repeated
+    * data is nearly as good as fresh for ~4 epochs, then decays — so a
+    * budgeted pipeline REPEATS small sources up to 4× before giving up
+    * the shortfall). Per source: unique token mass (after d1-style exact
+    * dedup within the source), an equal share of the global budget
+    * (1.5× total unique mass), epochs = min(4, ceil(target/unique)),
+    * allocated = min(target, epochs·unique), shortfall — ALL exact
+    * integer arithmetic (DIV, never `/`), the d47 budget rule. The
+    * fixture heavy-tails the per-source mass deterministically (source
+    * srcN keeps doc_id % (N+1) == 0) so every polarity is non-empty at
+    * every SF: 1-epoch big sources, multi-epoch middles, 4-capped tails
+    * with real shortfall — the near-uniform synthetic sources would
+    * otherwise all land on one epoch count. (The generator assigns
+    * doc_id ≡ N (mod 20) within srcN, so the filter is UNSATISFIABLE for
+    * the N where gcd-incompatible — only ~8 sources survive; that is the
+    * point: the survivors' masses span ~20× where the raw sources span
+    * 1.4×, and a vanished source is identical on both engines.) Scale
+    * shape: one (source,
+    * hash) dedup shuffle + one source rollup; the budget scalar is a
+    * bounded driver reduction over ≤|sources| rows (checkpointed — it
+    * feeds the scalar collect and the final projection). */
+  val d61 = QueryDef("d61_epoch_allocation",
+    (s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val srcN = substring(col("source"), 4, 10).cast("int")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % (srcN + 1) === 0)
+        .select(col("source"), md5(col("text")).as("h"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast(LongType).as("n_toks"))
+      val uniq = docs.groupBy("source", "h").agg(max("n_toks").as("n_toks"))
+      val perSource = uniq.groupBy("source")
+        .agg(count(lit(1)).as("unique_docs"), sum("n_toks").as("unique_tokens"))
+        .localCheckpoint(false)
+      val Array(tot) = perSource
+        .agg(sum("unique_tokens").as("t"), count(lit(1)).as("ns")).collect()
+      val target = tot.getLong(0) * 3L / 2L / tot.getLong(1)
+      perSource
+        .withColumn("target_tokens", lit(target))
+        .withColumn("epochs",
+          least(lit(4L), expr(s"($target + unique_tokens - 1) div unique_tokens")))
+        .withColumn("allocated_tokens",
+          least(col("target_tokens"), col("epochs") * col("unique_tokens")))
+        .withColumn("shortfall_tokens",
+          col("target_tokens") - col("allocated_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, md5(text) AS h,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents
+        WHERE doc_id % (CAST(substr(source, 4) AS INT) + 1) = 0),
+      u AS (SELECT source, h, max(n_toks) AS n_toks FROM d GROUP BY 1, 2),
+      ps AS (SELECT source, count(*) AS unique_docs,
+          CAST(sum(n_toks) AS BIGINT) AS unique_tokens
+        FROM u GROUP BY 1),
+      tot AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS t,
+          count(*) AS ns FROM ps),
+      tgt AS (SELECT CAST(t * 3 // 2 // ns AS BIGINT) AS target FROM tot)
+      SELECT source, unique_docs, unique_tokens,
+        target AS target_tokens,
+        CAST(least(4, (target + unique_tokens - 1) // unique_tokens) AS BIGINT)
+          AS epochs,
+        CAST(least(target,
+          least(4, (target + unique_tokens - 1) // unique_tokens)
+            * unique_tokens) AS BIGINT) AS allocated_tokens,
+        CAST(target - least(target,
+          least(4, (target + unique_tokens - 1) // unique_tokens)
+            * unique_tokens) AS BIGINT) AS shortfall_tokens
+      FROM ps CROSS JOIN tgt ORDER BY source"""))
 
   /** Residual codebook stand-in for the judged query, derived exactly the
     * way e8/e9 derive their raw-space codebooks (anchor slices; the dense
