@@ -44,15 +44,21 @@ object Indexing {
     * cannot distinguish land in the same bucket and the override alone
     * decides their relative ids. Used by globalNtile's descending path to
     * sort by the EXACT original key while bucketing by its negated double. */
-  def globalRowIds(df: DataFrame, key: String, idCol: String,
-                   nBuckets: Int = 1024, tieBreak: Seq[String] = Nil,
-                   withinOrder: Seq[Column] = Nil): DataFrame = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+  /** Monotone bucket expression for `key` over `df` — the shared first
+    * pass of the two-pass builders below. Collects finite min/max (one
+    * narrow scan: NaN would poison hi — Spark's max ranks NaN above any
+    * double — and a single ±Infinity would drive width to Infinity,
+    * collapsing every finite key into bucket 0, the single-task window
+    * this module exists to avoid), then buckets monotone and clamped.
+    * Reserved buckets mirror Spark's double ordering: null FIRST (-1),
+    * then -Inf (edge of bucket 0 — within-bucket sort keeps it ahead of
+    * the finite keys sharing the bucket), finite, +Inf (edge of the last
+    * real bucket), NaN LAST (nBuckets). So double keys containing
+    * NaN/±Inf keep the documented "none dropped, none shifted" contract
+    * instead of vanishing on the bucket equi-join or degenerating to one
+    * bucket. */
+  private def monotoneBucket(df: DataFrame, key: String, nBuckets: Int): Column = {
     val k = col(key).cast(DoubleType)
-    // narrow scan 1: bounds over FINITE keys only. NaN would poison hi
-    // (Spark's max ranks NaN above any double) and a single ±Infinity
-    // would drive width to Infinity, collapsing every finite key into
-    // bucket 0 — the single-task window this function exists to avoid.
     val finite = !isnan(k) && k > Double.NegativeInfinity && k < Double.PositiveInfinity
     val Array(bounds) = df.agg(
       min(when(finite, k)).as("lo"),
@@ -60,28 +66,25 @@ object Indexing {
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0.0, 0.0) // no finite keys: one real bucket, unused
       else (bounds.getDouble(0), bounds.getDouble(1))
-    // monotone, clamped; reserved buckets mirror Spark's double ordering:
-    // null FIRST (-1), then -Inf (edge of bucket 0 — within-bucket sort
-    // keeps it ahead of the finite keys sharing the bucket), finite,
-    // +Inf (edge of the last real bucket), NaN LAST (nBuckets). So double
-    // keys containing NaN/±Inf keep the documented "none dropped, none
-    // shifted" contract instead of vanishing on the bucket equi-join or
-    // degenerating to one bucket.
     val width = (hi - lo) / nBuckets.toDouble
     val realBucket = if (width == 0.0) lit(0)
       else least(floor((k - lit(lo)) / lit(width)).cast(IntegerType), lit(nBuckets - 1))
-    def bucketOf(keyCol: Column): Column = {
-      val kk = keyCol.cast(DoubleType)
-      when(keyCol.isNull, lit(-1))
-        .when(isnan(kk), lit(nBuckets))
-        .when(kk === Double.NegativeInfinity, lit(0))
-        .when(kk === Double.PositiveInfinity, lit(nBuckets - 1))
-        .otherwise(realBucket)
-    }
+    when(col(key).isNull, lit(-1))
+      .when(isnan(k), lit(nBuckets))
+      .when(k === Double.NegativeInfinity, lit(0))
+      .when(k === Double.PositiveInfinity, lit(nBuckets - 1))
+      .otherwise(realBucket)
+  }
+
+  def globalRowIds(df: DataFrame, key: String, idCol: String,
+                   nBuckets: Int = 1024, tieBreak: Seq[String] = Nil,
+                   withinOrder: Seq[Column] = Nil): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bucketCol = monotoneBucket(df, key, nBuckets)
     // narrow scan 2: the bucket histogram → exclusive prefix sum. The
     // window runs over ≤ nBuckets+1 rows (the REDUCED set), then ships to
     // every task as a broadcast.
-    val counts = df.select(bucketOf(col(key)).as("__bucket"))
+    val counts = df.select(bucketCol.as("__bucket"))
       .groupBy("__bucket").agg(count(lit(1)).as("__n"))
     val offsets = counts
       .withColumn("__offset",
@@ -95,9 +98,48 @@ object Indexing {
       else (col(key).asc_nulls_first +: tieBreak.map(col(_).asc))
     val local = row_number().over(
       Window.partitionBy("__bucket").orderBy(order: _*))
-    df.withColumn("__bucket", bucketOf(col(key)))
+    df.withColumn("__bucket", bucketCol)
       .join(broadcast(offsets), Seq("__bucket"))
       .withColumn(idCol, col("__offset") + local - 1)
+      .drop("__bucket", "__offset")
+  }
+
+  /** Append the EXCLUSIVE running sum of `weight` ordered by (key ASC
+    * NULLS FIRST, tieBreak...) — the weighted generalization of
+    * [[globalRowIds]] (weight ≡ 1 recovers id = exclusive prefix count).
+    * Built for the training-layout step: global token offsets for
+    * sequence packing (d62), byte offsets for shard manifests.
+    *
+    * Same two distributed passes: per-bucket weight totals → exclusive
+    * bucket offsets (a window over ≤ nBuckets+1 rows, then a broadcast of
+    * that many longs), plus a per-bucket exclusive window cumsum — the
+    * naive `sum(w).over(Window.orderBy(key))` moves every row to one
+    * task. The weight is cast to LONG (exact integer prefix sums — the
+    * repo's DIV-not-`/` rule; doubles would silently lose exactness past
+    * 2^53); null weights contribute 0 on both passes (SUM semantics).
+    * (key, tieBreak) must totally order rows — globalRowIds' contract —
+    * otherwise rows the order cannot separate would receive arbitrary
+    * relative offsets. */
+  def globalPrefixSum(df: DataFrame, key: String, weight: String, outCol: String,
+                      nBuckets: Int = 1024, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = col(weight).cast(LongType)
+    val bucketCol = monotoneBucket(df, key, nBuckets)
+    val sums = df.select(bucketCol.as("__bucket"), w.as("__w"))
+      .groupBy("__bucket").agg(sum("__w").as("__bw"))
+    val offsets = sums
+      .withColumn("__offset",
+        coalesce(sum(col("__bw")).over(
+          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bucket", "__offset")
+    val order = col(key).asc_nulls_first +: tieBreak.map(col(_).asc)
+    val local = coalesce(sum(w).over(
+      Window.partitionBy("__bucket").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.withColumn("__bucket", bucketCol)
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, col("__offset") + local)
       .drop("__bucket", "__offset")
   }
 

@@ -214,4 +214,59 @@ object Mixture {
       .filter(col("__bucket") < col("rate_bp"))
       .drop("__bucket", "__grp")
   }
+
+  /** UniMax epoch-capped uniform allocation (Chung et al. 2023,
+    * arXiv:2304.09151 "UniMax: Fairer and More Effective Language
+    * Sampling for Large-Scale Multilingual Pretraining"): distribute a
+    * global token budget as UNIFORMLY as possible across groups, except
+    * that no group may repeat past `epochCap` epochs — small groups
+    * saturate at their cap, the leftover spreads evenly over the rest.
+    * The d61 rule answers "how many epochs per source given an equal
+    * share"; UniMax answers the dual: "what share per group given an
+    * epoch ceiling". The paper's procedure is the classic water-filling,
+    * which has a CLOSED sorted-prefix form — no iteration:
+    *
+    * sort groups by cap ascending (group key breaks ties); group j
+    * (0-based, r = k−j groups remaining, S = capped mass so far) is
+    * CAPPED iff cap_j · r ≤ B − S. Once one group is uncapped, every
+    * later (larger-cap) one is too — its equal share only grows — so the
+    * capped set is a prefix. Uncapped groups then split the leftover
+    * exactly: q = (B − S_m) div n_u each, with the first (B − S_m) mod
+    * n_u of them (in the same cap-then-key order) taking one extra
+    * token. ALL exact integer arithmetic (the d47/d61 DIV rule) so an
+    * independent engine replays it bit-for-bit; cap_j · r stays far from
+    * Long overflow at any real scale (1e14 tokens × 1e4 groups).
+    *
+    * Driver math over |groups| entries — groups are languages / domains /
+    * sources, bounded, never data-scale (the [[temperatureRates]]
+    * contract; this also keeps judged plans free of global windows).
+    * Returns (group, tokens, cap, capped, alloc, budgetLeft) in
+    * (cap, group) order; `budgetLeft` is the surplus when EVERY group
+    * caps (B ≥ Σcap — reported, not silently vanished), else 0 — the
+    * div/mod split allocates the whole remainder by construction. */
+  def unimaxAllocation(counts: Seq[(String, Long)], budget: Long,
+                       epochCap: Int = 4): Seq[(String, Long, Long, Boolean, Long, Long)] = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
+    require(counts.forall(_._2 >= 0L), "group token masses must be >= 0")
+    val sorted = counts.map { case (g, n) => (g, n, n * epochCap) }
+      .sortBy { case (g, _, cap) => (cap, g) }
+    val k = sorted.size
+    // the capped prefix: walk caps ascending while the equal share of the
+    // remaining budget still covers the cap
+    var s = 0L
+    var m = 0
+    while (m < k && sorted(m)._3 * (k - m) <= budget - s) {
+      s += sorted(m)._3; m += 1
+    }
+    val nu = k - m
+    val q = if (nu > 0) (budget - s) / nu else 0L
+    val rem = if (nu > 0) (budget - s) % nu else 0L
+    val budgetLeft = if (nu > 0) 0L else budget - s
+    sorted.zipWithIndex.map { case ((g, n, cap), i) =>
+      val capped = i < m
+      val alloc = if (capped) cap else q + (if (i - m < rem) 1L else 0L)
+      (g, n, cap, capped, alloc, budgetLeft)
+    }
+  }
 }

@@ -12,12 +12,141 @@ import graft.operators.Similarity
   * scan, e9 the codes, e11 the coarse assignment; e12 judges what the
   * paper actually ships: coarse cells + RESIDUAL product codes +
   * per-probed-cell ADC); the leakage-safe dedup-cluster-atomic
-  * train/val/test split (d60, [[graft.operators.Splits]]); and the
+  * train/val/test split (d60, [[graft.operators.Splits]]); the
   * data-constrained epoch-allocation rule (d61, Muennighoff et al.
-  * 2023). */
+  * 2023); GPT-style sequence packing over the weighted global prefix sum
+  * (d62, [[graft.core.Indexing.globalPrefixSum]]); and UniMax
+  * epoch-capped water-filling (d63, Chung et al. 2023). */
 object TextVector9 {
 
-  def defs: Seq[QueryDef] = Seq(e12, d60, d61)
+  def defs: Seq[QueryDef] = Seq(e12, d60, d61, d62, d63)
+
+  /** GPT-style sequence packing (concat-and-chunk): shuffle the corpus
+    * deterministically (d52's md5 order), lay documents end to end, and
+    * cut the token stream into fixed-length training sequences (L = 128)
+    * — each doc's placement is its global token offset, from
+    * [[graft.core.Indexing.globalPrefixSum]] (the weighted twin of d52's
+    * globalRowIds: bucketed two-pass, no single-partition window). Judged
+    * per doc: offset, first/last sequence touched, sequences spanned —
+    * the packing manifest a trainer consumes. Corpus mean doc length
+    * (~55 tokens) vs L=128 keeps both polarities rich at every SF (docs
+    * within one sequence AND docs straddling a boundary). The keyed
+    * frame is checkpointed: it feeds the prefix-sum's bounds scan,
+    * histogram scan, output scan, and the final orderBy's sampling pass
+    * (the multi-consumer rule — without it the tokenize re-runs four
+    * times). tok_offset ≥ 0 so `div` matches the oracle's floor `//`. */
+  val d62 = QueryDef("d62_sequence_packing",
+    (s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType).as("hkey"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast(LongType)
+            .as("n_toks"))
+        .localCheckpoint(false)
+      graft.core.Indexing.globalPrefixSum(keyed, "hkey", "n_toks",
+          "tok_offset", tieBreak = Seq("doc_id"))
+        .withColumn("seq_start", expr("tok_offset div 128"))
+        .withColumn("seq_end", expr("(tok_offset + n_toks - 1) div 128"))
+        .withColumn("n_seqs", col("seq_end") - col("seq_start") + 1L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH k AS (SELECT doc_id,
+        CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          AS hkey,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      p AS (SELECT doc_id, hkey, n_toks,
+          CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hkey ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS tok_offset
+        FROM k)
+      SELECT doc_id, hkey, n_toks, tok_offset,
+        tok_offset // 128 AS seq_start,
+        (tok_offset + n_toks - 1) // 128 AS seq_end,
+        (tok_offset + n_toks - 1) // 128 - tok_offset // 128 + 1 AS n_seqs
+      FROM p ORDER BY doc_id"""))
+
+  /** UniMax epoch-capped allocation
+    * ([[graft.operators.Mixture.unimaxAllocation]], Chung et al. 2023):
+    * spread the global budget uniformly across sources except that no
+    * source repeats past 4 epochs — the dual of d61's equal-share rule,
+    * via the water-filling closed form in exact integer arithmetic. Same
+    * deterministic heavy-tail fixture as d61 (srcN keeps doc_id % (N+1)
+    * == 0 — ~8 surviving sources spanning ~20× mass), budget = 2×total
+    * unique mass + 3: small sources cap (alloc = 4×unique), the largest
+    * two split the leftover, and the +3 makes the remainder nonzero so
+    * the one-extra-token rule is judged at every SF. Scale shape: one
+    * (source, hash) dedup shuffle + one source rollup + ONE bounded
+    * collect; the allocation itself is driver math over ≤|sources| rows
+    * (the temperatureRates contract), so the plan carries no global
+    * window and no second corpus scan. */
+  val d63 = QueryDef("d63_unimax_allocation",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val srcN = substring(col("source"), 4, 10).cast("int")
+      val perSource = Tables.documents(s, dir)
+        .filter(col("doc_id") % (srcN + 1) === 0)
+        .select(col("source"), md5(col("text")).as("h"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast(LongType)
+            .as("n_toks"))
+        .groupBy("source", "h").agg(max("n_toks").as("n_toks"))
+        .groupBy("source").agg(sum("n_toks").as("unique_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val budget = perSource.map(_._2).sum * 2L + 3L
+      graft.operators.Mixture.unimaxAllocation(perSource, budget, 4)
+        .toDF("source", "unique_tokens", "cap_tokens", "capped",
+          "alloc_tokens", "budget_left")
+        .withColumn("budget", lit(budget))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, md5(text) AS h,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents
+        WHERE doc_id % (CAST(substr(source, 4) AS INT) + 1) = 0),
+      u AS (SELECT source, h, max(n_toks) AS n_toks FROM d GROUP BY 1, 2),
+      ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS unique_tokens
+        FROM u GROUP BY 1),
+      tot AS (SELECT CAST(sum(unique_tokens) * 2 + 3 AS BIGINT) AS b,
+          count(*) AS k FROM ps),
+      s AS (SELECT source, unique_tokens,
+          CAST(unique_tokens * 4 AS BIGINT) AS cap_tokens,
+          CAST(row_number() OVER (ORDER BY unique_tokens * 4 ASC, source ASC)
+            AS BIGINT) AS j,
+          CAST(COALESCE(SUM(unique_tokens * 4) OVER (
+            ORDER BY unique_tokens * 4 ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS s_prev
+        FROM ps),
+      f AS (SELECT s.*, b, k,
+          (cap_tokens * (k - j + 1) <= b - s_prev) AS flag
+        FROM s CROSS JOIN tot),
+      c AS (SELECT f.*,
+          (MIN(CASE WHEN flag THEN 1 ELSE 0 END) OVER (
+            ORDER BY cap_tokens ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS capped
+        FROM f),
+      a2 AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END), 0)
+            AS BIGINT) AS s_m,
+          CAST(COALESCE(SUM(CASE WHEN NOT capped THEN 1 END), 0) AS BIGINT)
+            AS nu
+        FROM c),
+      r AS (SELECT c.*, s_m, nu,
+          CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (
+            ORDER BY cap_tokens ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ru
+        FROM c CROSS JOIN a2)
+      SELECT source, unique_tokens, cap_tokens, capped,
+        CAST(CASE WHEN capped THEN cap_tokens
+          ELSE (b - s_m) // nu
+            + CASE WHEN ru <= (b - s_m) % nu THEN 1 ELSE 0 END END AS BIGINT)
+          AS alloc_tokens,
+        CAST(CASE WHEN nu > 0 THEN 0 ELSE b - s_m END AS BIGINT)
+          AS budget_left,
+        b AS budget
+      FROM r ORDER BY source"""))
 
   /** Leakage-safe (dedup-cluster-atomic) train/val/test split —
     * [[graft.operators.Splits.leakageSafeSplit]] keyed by d51's CCNet
