@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+import graft.operators.Bpe
+
+/** Thirteenth coverage batch: the BPE subword tokenizer
+  * ([[graft.operators.Bpe]], Sennrich et al. 2016) judged end to end —
+  * d64 the trained merge table, d65 its application (per-doc subword
+  * counts). The DuckDB oracles replay the full iterative training loop
+  * through [[graft.operators.Bpe.oracleMergeChain]]'s generated CTE
+  * chain, so every merge decision (pair counts, argmax tie-breaks, the
+  * greedy replace) is judged, not assumed. */
+object TextVector10 {
+
+  def defs: Seq[QueryDef] = Seq(d64, d65)
+
+  private val K = 6
+
+  /** The shared oracle prefix: word counts from `documents`, then K
+    * chained merge iterations. */
+  private def chain: String = Bpe.oracleMergeChain(
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
+      |            FROM documents)
+      |      WHERE word <> '' AND strpos(word, chr(31)) = 0
+      |      GROUP BY 1""".stripMargin, K)
+
+  /** BPE merge-table training (the learn_bpe run): the 6 most frequent
+    * adjacent symbol pairs, merged greedily in order, each judged with
+    * its weighted pair count. Scale shape per the operator scaladoc: one
+    * corpus-scale word-count shuffle, then constant-many bounded
+    * iterations (pair explode over the Heaps-bounded distinct-word
+    * table, argmax via TakeOrdered). The result is driver-sized by
+    * construction (K rows). */
+  val d64 = QueryDef("d64_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val words = Bpe.wordCounts(Tables.documents(s, dir), "text")
+      val (merges, _) = Bpe.trainMerges(words, K)
+      merges.map(m => (m.step.toLong, m.left, m.right, m.n))
+        .toDF("step", "lhs", "rhs", "pair_count")
+        .orderBy("step")
+    },
+    Some {
+      val rows = (1 to K).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, n AS pair_count FROM b$i")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $chain
+      SELECT step, lhs, rhs, pair_count FROM (
+      $rows)
+      ORDER BY step"""
+    })
+
+  /** BPE application: every document's word stream tokenized with the
+    * trained merges — per doc, the word count and the resulting subword
+    * count (a word's subword count = its final symbol count, `</w>`
+    * marker included). The apply is a join of the exploded corpus
+    * against the trained word→rep table on the word key — the published
+    * serving shape (the vocabulary rides the join, the corpus streams) —
+    * then one per-doc rollup. Inner-join semantics on both engines: a
+    * doc whose every token is filtered (empty corpus contract) drops
+    * out identically. */
+  val d65 = QueryDef("d65_bpe_tokenize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, trained) = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), K)
+      val nSyms = trained.select(col("word"),
+        (size(split(col("rep"), Bpe.US)) - 1).cast(LongType).as("n_syms"))
+      docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "" && !col("word").contains(Bpe.US))
+        .join(nSyms, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $chain,
+      dw AS (SELECT doc_id, word
+        FROM (SELECT doc_id,
+            UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS word
+          FROM documents)
+        WHERE word <> '' AND strpos(word, chr(31)) = 0),
+      nn AS (SELECT word,
+          CAST(len(string_split(rep, chr(31))) - 1 AS BIGINT) AS n_syms
+        FROM w$K)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN nn USING (word)
+      GROUP BY 1 ORDER BY doc_id"""))
+}
