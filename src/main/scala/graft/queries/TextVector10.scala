@@ -11,10 +11,13 @@ import graft.operators.Bpe
   * counts). The DuckDB oracles replay the full iterative training loop
   * through [[graft.operators.Bpe.oracleMergeChain]]'s generated CTE
   * chain, so every merge decision (pair counts, argmax tie-breaks, the
-  * greedy replace) is judged, not assumed. */
+  * greedy replace) is judged, not assumed — plus template-hub centrality
+  * (d66, [[graft.operators.Centrality]]): integer fixed-point PageRank
+  * over the d55 shared-shingle candidate graph, all five power
+  * iterations oracle-replayed. */
 object TextVector10 {
 
-  def defs: Seq[QueryDef] = Seq(d64, d65)
+  def defs: Seq[QueryDef] = Seq(d64, d65, d66)
 
   private val K = 6
 
@@ -90,4 +93,63 @@ object TextVector10 {
         CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
       FROM dw JOIN nn USING (word)
       GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Template-hub centrality ([[graft.operators.Centrality]]): integer
+    * fixed-point PageRank over the shared-shingle candidate graph —
+    * nodes = d55's corpus (even half + injected excerpt twins, so hub
+    * structure exists at every SF), edges = pairs sharing ≥ 2 informative
+    * shingles (d55's blocking WITHOUT the containment verdict: the graph
+    * wants all near-dup candidacy, not just 0.8-containment). A doc that
+    * accumulates score across 5 rounds is a boilerplate-family hub. The
+    * DuckDB oracle replays the d55 CTE prefix (kept textually in sync
+    * with d55's — same docs/tok/sh/kept blocks) plus ALL FIVE power
+    * iterations via [[graft.operators.Centrality.oracleRankChain]].
+    * Scale: the edge list is bounded by the stop-shingle cut (d55's
+    * contract) and each round is one edge shuffle — the textbook
+    * distributed PageRank shape. */
+  val d66 = QueryDef("d66_template_pagerank",
+    (s, dir) => {
+      val kept = TextVector7.d55Kept(
+          TextVector7.d55Shingles(TextVector7.d55Docs(s, dir)))
+        .localCheckpoint(false)
+      val pairs = kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .agg(count(lit(1)).as("n_int"))
+        .filter(col("n_int") >= 2)
+        .select("src", "dst")
+      val nodes = TextVector7.d55Docs(s, dir).select("doc_id")
+      graft.operators.Centrality.integerPageRank(nodes, pairs, 5)
+        .select(col("id").as("doc_id"), col("degree"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val chain = graft.operators.Centrality.oracleRankChain(
+        "SELECT doc_id AS id FROM docs", "SELECT src, dst FROM pr", 5)
+      s"""WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 4000000000, array_to_string(t[1:10], ' ') AS text
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE doc_id % 40 = 0 AND len(t) >= 15),
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM docs),
+      sh AS (SELECT DISTINCT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT) AS sh
+        FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+      kept AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n
+        FROM (SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) t
+          WHERE df <= 20) u),
+      pr AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      $chain
+      SELECT s5.id AS doc_id, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+        s5.s AS score
+      FROM s5 LEFT JOIN deg USING (id) ORDER BY doc_id"""
+    })
 }

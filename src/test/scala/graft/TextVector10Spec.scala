@@ -47,6 +47,32 @@ class TextVector10Spec extends SparkSpec {
       "at least one merge must build on a previously merged symbol")
   }
 
+  test("integerPageRank: hand-computed path graph a-b-c + isolated d, " +
+    "two rounds exact") {
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = graft.operators.Centrality.integerPageRank(nodes, edges, 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: in(a)=500000, in(b)=2e6, in(c)=500000
+    // round 2: in(a)=925000, in(b)=1150000, in(c)=925000 -> worked by hand
+    assert(out("a") == (1L, 936250L))
+    assert(out("b") == (2L, 1127500L))
+    assert(out("c") == (1L, 936250L))
+    assert(out("d") == (0L, 150000L), "isolated nodes keep the base share")
+  }
+
+  test("d66: hub polarity — template hubs accumulate past the initial " +
+    "share, isolated docs sit at the base") {
+    val rows = graft.queries.TextVector10.d66.fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.exists { case (deg, s) => deg > 0L && s > 1000000L },
+      "some connected doc must accumulate score past one initial share")
+    assert(rows.exists { case (deg, s) => deg == 0L && s == 150000L },
+      "isolated docs must decay to exactly the base share")
+    // mass never grows: floor division only leaks
+    assert(rows.map(_._2).sum <= 1000000L * rows.length)
+  }
+
   test("d65: per-doc subword counts sit between word count and initial " +
     "symbol count") {
     val out = graft.queries.TextVector10.d65.fn(spark, dir)
