@@ -178,7 +178,74 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | d41 | e11")
+      case "d67" =>
+        // per-round attribution for the prefix-doubling build: which
+        // doubling round dominates, and inside a round, how much is the
+        // positional self-join vs the global pair ordering vs the
+        // group-min window. Mirrors SuffixRanks.suffixRanks (kept in
+        // sync by hand — the loop internals are private by design).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val base = graft.core.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 20 === 0 && length(col("text")) >= 1)
+          .select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 60 === 0)
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+        val docs = base.unionByName(twins)
+        val maxLen = t("maxLen scan") {
+          val m = docs.agg(max(length(col("text")))).head().getInt(0)
+          println("  maxLen=" + m); m
+        }
+        val positions = docs
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), col("n"))).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr("substring(text, pos, 1)").as("ch"))
+        val charRanks = positions.groupBy("ch").agg(count(lit(1)).as("cnt"))
+          .withColumn("r", coalesce(sum("cnt").over(
+            Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)) + 1L)
+          .select("ch", "r")
+        var ranks = t("positions + char ranks + checkpoint") {
+          val r0 = positions.join(broadcast(charRanks), Seq("ch"))
+            .select(col("doc_id"), col("pos"), col("r")).localCheckpoint(false)
+          println("  n_pos=" + r0.count()); r0
+        }
+        var off = 1L
+        var round = 0
+        var converged = false
+        while (off < maxLen && !converged) {
+          round += 1
+          val paired = t(s"round $round off=$off: lead shift + checkpoint") {
+            val p = ranks.withColumn("r2", coalesce(
+                lead(col("r"), off.toInt).over(
+                  Window.partitionBy("doc_id").orderBy("pos")),
+                lit(0L)))
+              .localCheckpoint(false)
+            p.count(); p
+          }
+          val ided = t(s"round $round: globalRowIds") {
+            val i = graft.core.Indexing.globalRowIds(paired, "r", "__rid",
+              withinOrder = Seq(col("r").asc, col("r2").asc))
+              .localCheckpoint(false)
+            i.count(); i
+          }
+          ranks = t(s"round $round: group-min window + checkpoint") {
+            val rr = ided.withColumn("__r_new", min(col("__rid")).over(
+                Window.partitionBy("r", "r2")) + 1L)
+              .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
+                col("__r_new").as("r")).localCheckpoint(false)
+            rr.count(); rr
+          }
+          converged = t(s"round $round: convergence scan") {
+            ranks.filter(col("r") =!= col("__r_old")).isEmpty
+          }
+          ranks = ranks.select("doc_id", "pos", "r")
+          off *= 2L
+        }
+        println(s"  rounds=$round converged=$converged")
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | d41 | e11 | d67")
     }
     spark.stop()
   }

@@ -14,10 +14,48 @@ import graft.operators.Bpe
   * greedy replace) is judged, not assumed — plus template-hub centrality
   * (d66, [[graft.operators.Centrality]]): integer fixed-point PageRank
   * over the d55 shared-shingle candidate graph, all five power
-  * iterations oracle-replayed. */
+  * iterations oracle-replayed — and distributed suffix-array ranks by
+  * prefix doubling (d67, [[graft.operators.SuffixRanks]], the Lee et
+  * al. dedup index built the Manber-Myers way, judged against DuckDB's
+  * direct suffix-string sort). */
 object TextVector10 {
 
-  def defs: Seq[QueryDef] = Seq(d64, d65, d66)
+  def defs: Seq[QueryDef] = Seq(d64, d65, d66, d67)
+
+  /** Corpus-wide suffix ranks ([[graft.operators.SuffixRanks]], prefix
+    * doubling — the Lee et al. 2021 suffix-array index, built
+    * distributed). Judged per (doc, pos): the suffix's `rank()` in the
+    * corpus-wide binary order of ALL suffixes — DuckDB re-derives it by
+    * literally sorting the suffix STRINGS (the O(n²)-memory form its
+    * judged SF can afford), while the Spark side never compares anything
+    * longer than one character across its log(maxLen) doubling rounds;
+    * agreement of the two is precisely the Manber-Myers invariant.
+    * Fixture: every 60th doc re-appears under id+5e9 with identical
+    * text, so TIED ranks (identical suffixes — the duplicated-substring
+    * signal a suffix array exists to expose) are non-empty at every SF;
+    * the 1-in-20 subsample bounds the oracle's quadratic string sort. */
+  val d67 = QueryDef("d67_suffix_ranks",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0 && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 60 === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      graft.operators.SuffixRanks.suffixRanks(base.unionByName(twins))
+        .select(col("doc_id"), col("pos"), col("rank").as("suffix_rank"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 20 = 0 AND len(text) >= 1),
+      d AS (SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 5000000000, text FROM base WHERE doc_id % 60 = 0),
+      s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i) AS suf
+        FROM d, UNNEST(generate_series(1, len(text))) AS u(i))
+      SELECT doc_id, pos,
+        CAST(rank() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+      FROM s ORDER BY doc_id, pos"""))
 
   private val K = 6
 

@@ -73,6 +73,38 @@ class TextVector10Spec extends SparkSpec {
     assert(rows.map(_._2).sum <= 1000000L * rows.length)
   }
 
+  test("suffixRanks: prefix doubling equals brute-force suffix sorting " +
+    "(rank() semantics) including cross-doc ties and shorter-first") {
+    val fixture = Seq((1L, "banana"), (2L, "ana"), (3L, "banana"), (4L, "z"),
+      (5L, "ban"))
+    val got = graft.operators.SuffixRanks.suffixRanks(fixture.toDF("doc_id", "text"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sufs = for ((id, t) <- fixture; p <- 1 to t.length)
+      yield ((id, p.toLong), t.substring(p - 1))
+    val sorted = sufs.map(_._2).sorted
+    val expected = sufs.map { case (k, s) =>
+      k -> (sorted.indexWhere(_ == s) + 1).toLong }.toMap
+    assert(got == expected)
+    // the duplicated-substring signal: doc1 and doc3 tie at every position
+    (1 to 6).foreach(p =>
+      assert(got((1L, p.toLong)) == got((3L, p.toLong))))
+    // "ban" < "banana": the shorter suffix ranks strictly first
+    assert(got((5L, 1L)) < got((1L, 1L)))
+  }
+
+  test("d67: injected identical twins tie their originals' ranks " +
+    "row-for-row") {
+    val rows = graft.queries.TextVector10.d67.fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val byKey = rows.toMap
+    val twins = rows.filter(_._1._1 >= 5000000000L)
+    assert(twins.nonEmpty, "twin injection must produce rows")
+    twins.foreach { case ((id, pos), rk) =>
+      assert(byKey((id - 5000000000L, pos)) == rk,
+        s"twin $id pos $pos must share its original's suffix rank")
+    }
+  }
+
   test("d65: per-doc subword counts sit between word count and initial " +
     "symbol count") {
     val out = graft.queries.TextVector10.d65.fn(spark, dir)
