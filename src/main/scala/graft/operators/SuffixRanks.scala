@@ -41,8 +41,20 @@ import org.apache.spark.sql.types.LongType
 object SuffixRanks {
 
   /** `docs`: (doc_id, text), empty texts excluded by the caller. Returns
-    * (doc_id, pos, rank) with 1-based character positions. */
-  def suffixRanks(docs: DataFrame): DataFrame = {
+    * (doc_id, pos, rank) with 1-based character positions.
+    *
+    * `maxPrefix` (a power of two) caps the doubling: the returned ranks
+    * then order suffixes by their first `maxPrefix` characters only —
+    * rank-of-L-prefix, the L-gram index. Two full-length windows tie iff
+    * their L-char substrings are byte-identical, so duplicated-span
+    * detection (Lee et al.'s use of the array) needs only log2(L) rounds
+    * instead of log2(maxDocLen), and never hashes or shuffles the L-char
+    * strings themselves — the shuffled key stays 8 bytes no matter how
+    * long the span, where the d44-style window-hash pays O(L) bytes per
+    * position to build its key. Convergence-before-cap is safe: an early
+    * fixed point means rank-of-2^k = rank-of-full-suffix, and
+    * rank-of-L-prefix is pinched between them. */
+  def suffixRanks(docs: DataFrame, maxPrefix: Long = Long.MaxValue): DataFrame = {
     val maxLen = docs.agg(max(length(col("text")))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
@@ -111,7 +123,8 @@ object SuffixRanks {
     // tie forever, so real corpora exit in O(log_sigma n) rounds rather
     // than log2(maxDocLen).
     var converged = false
-    while (off < maxLen && !converged) {
+    val effMax = math.min(maxLen.toLong, maxPrefix)
+    while (off < effMax && !converged) {
       // the +off lookup is a POSITIONAL SHIFT within a document, so it is
       // lead(r, off) over the per-doc window (positions are dense 1..n) —
       // never a positional self-join: the 15M×15M sort-merge join version

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core.Tables
@@ -17,10 +18,78 @@ import graft.operators.Bpe
   * iterations oracle-replayed — and distributed suffix-array ranks by
   * prefix doubling (d67, [[graft.operators.SuffixRanks]], the Lee et
   * al. dedup index built the Manber-Myers way, judged against DuckDB's
-  * direct suffix-string sort). */
+  * direct suffix-string sort) and its payoff query d68 (duplicated
+  * L-char spans as rank ties in the CAPPED index — span dedup with
+  * 8-byte shuffle keys at any span length). */
 object TextVector10 {
 
-  def defs: Seq[QueryDef] = Seq(d64, d65, d66, d67)
+  def defs: Seq[QueryDef] = Seq(d64, d65, d66, d67, d68)
+
+  /** Duplicated-span detection FROM the suffix-rank index (Lee et al.
+    * 2021 §4 — what the suffix array is actually built for): rank every
+    * suffix by its first L=16 characters only (capped prefix doubling,
+    * log2(L)=4 rounds), then a duplicated L-char span is precisely a
+    * rank TIE among suffixes long enough to carry a full window. Judged
+    * per duplicated occurrence: (doc, pos, the L-prefix rank, group
+    * multiplicity, first-occurrence keeper flag — Lee et al.'s
+    * remove-all-but-first election). Contrast with d44's window-hash
+    * formulation: d44 shuffles an md5 over the L-token window text
+    * (key construction pays O(L) bytes per position, and a longer span
+    * threshold costs proportionally more), while the rank index shuffles
+    * 8-byte integer ranks regardless of L, needs only log2(L) rounds, and
+    * the ORDER it produces also serves d67's full sort — one index, many
+    * span lengths. The DuckDB oracle takes the quadratic-memory shortcut
+    * (rank() directly over substr(text, pos, 16)); agreement of the two is
+    * the capped Manber-Myers invariant, incl. the shorter-suffix-first
+    * sentinel rule for positions within L of the doc end. Fixture: every
+    * 15th doc re-appears under id+5e9 (guaranteed cross-doc span groups);
+    * natural 16-char repeats inside the corpus supply the rest. */
+  val d68 = QueryDef("d68_dup_span_index",
+    (s, dir) => {
+      val L = 16
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      val docs = base.unionByName(twins)
+      val ranks = graft.operators.SuffixRanks.suffixRanks(docs, maxPrefix = L)
+      val lens = docs.select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n"))
+      // rank computed over ALL positions (the lead() shift needs dense
+      // per-doc positions), full-window filter applied after — group
+      // structure among full windows is unaffected (a <L-char suffix can
+      // never tie a full L-window: sentinel vs real rank).
+      val full = ranks.join(lens, Seq("doc_id"))
+        .filter(col("pos") + (L - 1) <= col("n"))
+      val grp = Window.partitionBy("rank")
+      full
+        .withColumn("n_occ", count(lit(1)).over(grp).cast(LongType))
+        .withColumn("rn",
+          row_number().over(grp.orderBy(col("doc_id"), col("pos"))))
+        .filter(col("n_occ") >= 2)
+        .select(col("doc_id"), col("pos"), col("rank").as("span_rank"),
+          col("n_occ"), (col("rn") === 1).as("keep"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0 AND len(text) >= 1),
+      d AS (SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 5000000000, text FROM base WHERE doc_id % 15 = 0),
+      s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          substr(text, i, 16) AS g, CAST(len(text) AS BIGINT) AS n
+        FROM d, UNNEST(generate_series(1, len(text))) AS u(i)),
+      r AS (SELECT doc_id, pos, n,
+          CAST(rank() OVER (ORDER BY g) AS BIGINT) AS span_rank FROM s),
+      f AS (SELECT doc_id, pos, span_rank FROM r WHERE pos + 15 <= n),
+      g AS (SELECT doc_id, pos, span_rank,
+          CAST(count(*) OVER (PARTITION BY span_rank) AS BIGINT) AS n_occ,
+          rank() OVER (PARTITION BY span_rank ORDER BY doc_id, pos) AS rn
+        FROM f)
+      SELECT doc_id, pos, span_rank, n_occ, (rn = 1) AS keep
+      FROM g WHERE n_occ >= 2 ORDER BY doc_id, pos"""))
 
   /** Corpus-wide suffix ranks ([[graft.operators.SuffixRanks]], prefix
     * doubling — the Lee et al. 2021 suffix-array index, built

@@ -105,6 +105,53 @@ class TextVector10Spec extends SparkSpec {
     }
   }
 
+  test("capped suffixRanks: rank ties among full windows == direct " +
+    "L-gram grouping, and the cap never merges short-suffix groups") {
+    val L = 4L
+    val docs = Seq((1L, "abcdefg"), (2L, "xxabcdzz"), (3L, "abcd"),
+      (4L, "ab"), (5L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.SuffixRanks.suffixRanks(docs, maxPrefix = L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // brute-force: rank by the L-char prefix string of each suffix
+    val fixture = Seq((1L, "abcdefg"), (2L, "xxabcdzz"), (3L, "abcd"),
+      (4L, "ab"), (5L, "ab"))
+    val sufs = for ((id, t) <- fixture; p <- 1 to t.length)
+      yield ((id, p.toLong), t.substring(p - 1).take(L.toInt))
+    val sorted = sufs.map(_._2).sorted
+    val expected = sufs.map { case (k, s) =>
+      k -> (sorted.indexWhere(_ == s) + 1).toLong }.toMap
+    val m = got.toMap
+    assert(m == expected)
+    // "abcd" occurs at (1,1), (2,3), (3,1): one rank tie of size 3
+    val abcd = Set((1L, 1L), (2L, 3L), (3L, 1L))
+    val tied = got.filter { case (k, _) => abcd(k) }.map(_._2).distinct
+    assert(tied.size == 1, "full-window duplicates must tie under the cap")
+    // short identical suffixes still tie ("ab" docs 4/5), but never with
+    // a full window starting "ab..." (sentinel rule)
+    assert(m((4L, 1L)) == m((5L, 1L)))
+    assert(m((4L, 1L)) != m((1L, 1L)))
+  }
+
+  test("d68: keeper election is first-occurrence and every group keeps " +
+    "exactly one; twins guarantee cross-doc groups") {
+    val rows = graft.queries.TextVector10.d68.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byRank = rows.groupBy(_._3)
+    byRank.foreach { case (rk, g) =>
+      assert(g.count(_._5) == 1, s"group $rk must elect exactly one keeper")
+      assert(g.map(_._4).distinct.toSeq == Seq(g.length.toLong),
+        s"group $rk n_occ must equal the group size")
+      val keeper = g.find(_._5).get
+      assert(g.forall(o =>
+        keeper._1 < o._1 || (keeper._1 == o._1 && keeper._2 <= o._2)),
+        s"group $rk keeper must be the minimal (doc_id, pos)")
+    }
+    assert(rows.exists(r => r._1 >= 5000000000L && !r._5),
+      "an injected twin occurrence must be marked removable")
+  }
+
   test("d65: per-doc subword counts sit between word count and initial " +
     "symbol count") {
     val out = graft.queries.TextVector10.d65.fn(spark, dir)
