@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ListBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -54,17 +56,140 @@ object SuffixRanks {
     * position to build its key. Convergence-before-cap is safe: an early
     * fixed point means rank-of-2^k = rank-of-full-suffix, and
     * rank-of-L-prefix is pinched between them. */
-  def suffixRanks(docs: DataFrame, maxPrefix: Long = Long.MaxValue): DataFrame = {
+  def suffixRanks(docs: DataFrame, maxPrefix: Long = Long.MaxValue): DataFrame =
+    buildRanks(docs, maxPrefix, retain = false) match {
+      case None => emptyRanks(docs, "rank")
+      case Some(b) =>
+        b.ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("r").cast(LongType).as("rank"))
+    }
+
+  /** Per-suffix longest duplicated prefix: for every (doc, pos), the
+    * length of the longest prefix of that suffix that occurs at ANY other
+    * position in the corpus — i.e. the length of the longest duplicated
+    * substring STARTING here. Equals max(LCP with the previous suffix,
+    * LCP with the next suffix) in suffix order (the classic suffix-array
+    * property: the nearest neighbors in sorted order realize the maximal
+    * common prefix), which is what Lee et al.'s dedup actually reads off
+    * the array.
+    *
+    * LCP itself is computed the index-native way (Flick & Aluru SC'15's
+    * LCP phase): a descent over the RETAINED doubling rounds — at level
+    * 2^t, two suffixes' next 2^t characters are equal iff their round-t
+    * ranks at the current offset are equal, so each adjacent pair
+    * resolves its LCP in ceil(log2 maxLen) integer-equality steps (two
+    * hash joins per level over the pair relation), never comparing a
+    * character. Levels above the retained maximum reuse the deepest
+    * round: past the convergence fixed point rank-of-2^t equals
+    * rank-of-full for every larger t, so the substitution is exact, and
+    * ties that run past a document's end (identical whole suffixes) are
+    * capped by min(suffix lengths) — also exact, because a rank tie
+    * involving a sentinel forces both remainders identical. Memory: the
+    * retained rounds are ceil(log2 maxLen) position-sized relations (the
+    * documented Flick-Aluru space/time tradeoff); all but the deepest are
+    * freed as soon as the descent completes. */
+  def suffixLcp(docs: DataFrame): DataFrame =
+    buildRanks(docs, Long.MaxValue, retain = true) match {
+      case None => emptyRanks(docs, "lcp")
+      case Some(b) =>
+        val sc = docs.sparkSession.sparkContext
+        def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+        var descentIds: Set[Int] = Set.empty
+        def step(df: DataFrame): DataFrame = {
+          val before = persistedIds
+          val out = df.localCheckpoint(true) // materialize-then-free rule
+          val fresh = persistedIds -- before
+          descentIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          descentIds = fresh
+          out
+        }
+        // global suffix order -> adjacent pairs (sid, sid+1). The order is
+        // (rank, doc_id, pos); the tie-break never affects an LCP value
+        // (members of a tied group are identical suffixes).
+        // checkpointed: BOTH pair sides consume it (the multi-consumer rule)
+        val sel = step(graft.core.Indexing.globalRowIds(b.ranks, "r", "__sid",
+            withinOrder = Seq(col("r").asc, col("doc_id").asc, col("pos").asc))
+          .select(col("doc_id"), col("pos"), col("__sid")))
+        val lens = docs.select(col("doc_id").as("__ld"),
+          length(col("text")).as("__n"))
+        var pairs = sel.select(col("doc_id").as("a_doc"),
+            col("pos").as("a_pos"), col("__sid"))
+          .join(sel.select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+            (col("__sid") - 1L).as("__sid")), Seq("__sid"))
+          .join(lens, col("a_doc") === col("__ld"))
+          .withColumn("a_len", col("__n") - col("a_pos") + 1)
+          .drop("__ld", "__n")
+          .join(lens, col("b_doc") === col("__ld"))
+          .withColumn("b_len", col("__n") - col("b_pos") + 1)
+          .drop("__ld", "__n", "__sid")
+          .withColumn("__acc", lit(0L))
+        // smallest T with 2^T >= maxLen; levels above the deepest retained
+        // round substitute it (exact past the fixed point, see scaladoc)
+        val T = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, b.maxLen.toLong - 1L)).toInt
+        for (t <- T to 0 by -1) {
+          val p = 1L << t
+          val rt = b.rounds(math.min(t, b.rounds.length - 1))
+          pairs = step(pairs
+            .join(rt.select(col("doc_id").as("__da"), col("pos").as("__pa"),
+                col("r").as("__ra")),
+              col("__da") === col("a_doc") &&
+                col("__pa") === (col("a_pos") + col("__acc")), "left")
+            .join(rt.select(col("doc_id").as("__db"), col("pos").as("__pb"),
+                col("r").as("__rb")),
+              col("__db") === col("b_doc") &&
+                col("__pb") === (col("b_pos") + col("__acc")), "left")
+            .withColumn("__acc",
+              when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+                col("__acc") + p).otherwise(col("__acc")))
+            .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb"))
+        }
+        // the descent is done: every retained round except the deepest
+        // (which underlies b.ranks and the final join) can be freed now
+        b.roundIds.dropRight(1).flatten
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        val lcpPair = pairs.withColumn("__lcp",
+          least(col("__acc"), col("a_len").cast(LongType),
+            col("b_len").cast(LongType)))
+        // each pair contributes to BOTH endpoints; suffixes with a single
+        // neighbor (global first/last) appear once, a 1-suffix corpus not
+        // at all -> left join back onto the full position set
+        val contrib = lcpPair
+          .select(col("a_doc").as("doc_id"), col("a_pos").as("pos"), col("__lcp"))
+          .unionByName(lcpPair.select(col("b_doc").as("doc_id"),
+            col("b_pos").as("pos"), col("__lcp")))
+          .groupBy("doc_id", "pos").agg(max("__lcp").as("__m"))
+        b.ranks.select("doc_id", "pos")
+          .join(contrib, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+            coalesce(col("__m"), lit(0L)).as("lcp"))
+    }
+
+  private def emptyRanks(docs: DataFrame, valueCol: String): DataFrame =
+    docs.select(col("doc_id"), lit(0L).as("pos"), lit(0L).as(valueCol))
+      .limit(0)
+
+  /** Internal build result: final ranks (pos Int, r Long), the retained
+    * rounds (index t = rank-of-2^t-prefix; empty unless retained), their
+    * persisted RDD ids per round, and the corpus max doc length. */
+  private case class Build(ranks: DataFrame, rounds: IndexedSeq[DataFrame],
+                           roundIds: IndexedSeq[Set[Int]], maxLen: Int)
+
+  /** The doubling loop shared by [[suffixRanks]] (retain = false: only
+    * the last two rounds stay persisted — the round hygiene) and
+    * [[suffixLcp]] (retain = true: every round's rank relation is kept
+    * for the LCP descent). None = degenerate corpus (no docs, or only
+    * empty/null texts): there are no suffixes to rank — the empty
+    * relation, not a crash (the PathologicalCorpusSpec contract; this
+    * gate caught exactly this). */
+  private def buildRanks(docs: DataFrame, maxPrefix: Long,
+                         retain: Boolean): Option[Build] = {
     val maxLen = docs.agg(max(length(col("text")))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
-    // degenerate corpus (no docs, or only empty/null texts): there are no
-    // suffixes to rank — the empty relation, not a crash (the
-    // PathologicalCorpusSpec contract; this gate caught exactly this)
-    if (maxLen < 1)
-      return docs.select(col("doc_id"), lit(0L).as("pos"), lit(0L).as("rank"))
-        .limit(0)
+    if (maxLen < 1) return None
     // position relation: (doc_id, pos, ch) — the only text-bearing pass
     val positions = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
@@ -88,10 +213,14 @@ object SuffixRanks {
     // memory to literal zero mid-build. Track the RDD ids THIS loop
     // persists (set-diff against pre-existing ids, so a caller's
     // checkpoints are never touched) and free a round as soon as its
-    // successor is materialized: live storage is bounded by two rounds.
+    // successor is materialized: live storage is bounded by two rounds —
+    // unless `retain`, where every round is kept (the LCP descent needs
+    // them) and freeing is the CALLER's duty via the returned ids.
     val sc = docs.sparkSession.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     var prevIds: Set[Int] = Set.empty
+    val rounds = ListBuffer.empty[DataFrame]
+    val roundIds = ListBuffer.empty[Set[Int]]
     def checkpointTracked(df: DataFrame): DataFrame = {
       val before = persistedIds
       // EAGER checkpoint, deliberately: a lazy localCheckpoint(false)
@@ -102,13 +231,16 @@ object SuffixRanks {
       // while Verify happened to win it). Materialize first, free second.
       val out = df.localCheckpoint(true)
       val newIds = persistedIds -- before
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      if (!retain)
+        prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       prevIds = newIds
+      roundIds += newIds
       out
     }
-    var ranks = checkpointTracked(positions
+    def record(df: DataFrame): DataFrame = { rounds += df; df }
+    var ranks = record(checkpointTracked(positions
       .join(broadcast(charRanks), Seq("ch"))
-      .select(col("doc_id"), col("pos"), col("r")))
+      .select(col("doc_id"), col("pos"), col("r"))))
     var off = 1L
     // convergence early-exit: if a doubling round splits no group, no
     // longer round can either (an unsplit group's members have
@@ -139,16 +271,15 @@ object SuffixRanks {
           lit(0L)))
       val ided = graft.core.Indexing.globalRowIds(paired, "r", "__rid",
         withinOrder = Seq(col("r").asc, col("r2").asc))
-      ranks = checkpointTracked(ided
+      val next = checkpointTracked(ided
         .withColumn("__r_new", min(col("__rid")).over(
           Window.partitionBy("r", "r2")) + 1L)
         .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
           col("__r_new").as("r")))
-      converged = ranks.filter(col("r") =!= col("__r_old")).isEmpty
-      ranks = ranks.select("doc_id", "pos", "r")
+      converged = next.filter(col("r") =!= col("__r_old")).isEmpty
+      ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L
     }
-    ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-      col("r").cast(LongType).as("rank"))
+    Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen))
   }
 }

@@ -23,7 +23,56 @@ import graft.operators.Bpe
   * 8-byte shuffle keys at any span length). */
 object TextVector10 {
 
-  def defs: Seq[QueryDef] = Seq(d64, d65, d66, d67, d68)
+  def defs: Seq[QueryDef] = Seq(d64, d65, d66, d67, d68, d69)
+
+  /** Per-doc longest duplicated substring, read off the suffix-array
+    * index ([[graft.operators.SuffixRanks.suffixLcp]]): for each doc, the
+    * max over its suffixes of the LCP with the neighboring suffixes in
+    * corpus-wide suffix order — the classic array property Lee et al.'s
+    * dedup exploits (sorted neighbors realize the maximal common prefix,
+    * so no pair beyond adjacent ever needs checking). The Spark side
+    * resolves every LCP through the retained doubling rounds (integer
+    * rank equality at descending power-of-two levels — ceil(log2 maxLen)
+    * hash-join steps, no character comparison); DuckDB re-derives it by
+    * sorting the suffix STRINGS and scanning characters to the first
+    * mismatch. Twins (d67's fixture) make whole-doc duplicates: their
+    * max_dup_len is the full doc length; natural boilerplate repeats
+    * supply the mid-range. */
+  val d69 = QueryDef("d69_longest_dup_span",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0 && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 60 === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      graft.operators.SuffixRanks.suffixLcp(base.unionByName(twins))
+        .groupBy("doc_id").agg(max("lcp").as("max_dup_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 20 = 0 AND len(text) >= 1),
+      d AS (SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 5000000000, text FROM base WHERE doc_id % 60 = 0),
+      s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i) AS suf
+        FROM d, UNNEST(generate_series(1, len(text))) AS u(i)),
+      o AS (SELECT doc_id, pos, suf,
+          lag(suf) OVER (ORDER BY suf, doc_id, pos) AS prv,
+          lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nxt
+        FROM s),
+      lp AS (SELECT doc_id, pos,
+          min(k) FILTER (WHERE k > len(suf) OR prv IS NULL OR k > len(prv)
+            OR substr(suf, CAST(k AS INT), 1) <> substr(prv, CAST(k AS INT), 1)
+            ) - 1 AS lcp_prv,
+          min(k) FILTER (WHERE k > len(suf) OR nxt IS NULL OR k > len(nxt)
+            OR substr(suf, CAST(k AS INT), 1) <> substr(nxt, CAST(k AS INT), 1)
+            ) - 1 AS lcp_nxt
+        FROM o, UNNEST(generate_series(1, len(suf) + 1)) AS g(k)
+        GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(max(greatest(lcp_prv, lcp_nxt)) AS BIGINT) AS max_dup_len
+      FROM lp GROUP BY 1 ORDER BY doc_id"""))
 
   /** Duplicated-span detection FROM the suffix-rank index (Lee et al.
     * 2021 §4 — what the suffix array is actually built for): rank every

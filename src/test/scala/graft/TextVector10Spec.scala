@@ -152,6 +152,41 @@ class TextVector10Spec extends SparkSpec {
       "an injected twin occurrence must be marked removable")
   }
 
+  test("suffixLcp: descent over retained rounds equals brute-force " +
+    "max-common-prefix against ALL other suffixes (adjacency property " +
+    "included), with end-of-doc ties capped exactly") {
+    val fixture = Seq((1L, "banana"), (2L, "bandana"), (3L, "aaa"),
+      (4L, "ana"), (5L, "ana"), (6L, "z"))
+    val got = graft.operators.SuffixRanks
+      .suffixLcp(fixture.toDF("doc_id", "text"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sufs = for ((id, t) <- fixture; p <- 1 to t.length)
+      yield ((id, p.toLong), t.substring(p - 1))
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val expected = sufs.map { case (k, s) =>
+      k -> sufs.filter(_._1 != k).map(o => lcp(s, o._2)).max
+    }.toMap
+    assert(got == expected)
+    // the twins realize their full suffix lengths ("ana" docs 4/5)
+    assert(got((4L, 1L)) == 3L && got((5L, 1L)) == 3L)
+    // the lone 'z' shares nothing
+    assert(got((6L, 1L)) == 0L)
+  }
+
+  test("suffixLcp: single-suffix and degenerate corpora") {
+    import org.apache.spark.sql.types._
+    val one = Seq((1L, "q")).toDF("doc_id", "text")
+    val r1 = graft.operators.SuffixRanks.suffixLcp(one).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 0L)), "a 1-suffix corpus has nothing to share")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    assert(graft.operators.SuffixRanks.suffixLcp(empty).count() == 0L)
+  }
+
   test("d65: per-doc subword counts sit between word count and initial " +
     "symbol count") {
     val out = graft.queries.TextVector10.d65.fn(spark, dir)
