@@ -27,6 +27,7 @@ object PlanLint {
     * a constant-size array, the intended shape. */
   val allowedBnlj: Map[String, (Int, String)] = Map(
     "e2_knn_brute" -> (1, "corpus x broadcast(query sample) - the documented exact-ANN baseline"),
+    "e13_mips_transform" -> (1, "corpus x broadcast(query sample) - e2's exact-baseline shape; the transform itself is narrow"),
     "e3_knn_ivf" -> (2, "assignCells + ivfTopK each cross corpus/queries with broadcast(centroids), k<=10"),
     // d41 needs no entry since r8 wave 5: NearestCells replaced the
     // assignment crossjoin, so its plan has zero BNLJ — an allowance

@@ -57,15 +57,17 @@ object Indexing {
     * NaN/±Inf keep the documented "none dropped, none shifted" contract
     * instead of vanishing on the bucket equi-join or degenerating to one
     * bucket. */
-  private def monotoneBucket(df: DataFrame, key: String, nBuckets: Int): Column = {
+  private def monotoneBucket(df: DataFrame, key: String, nBuckets: Int,
+                             knownBounds: Option[(Double, Double)]): Column = {
     val k = col(key).cast(DoubleType)
     val finite = !isnan(k) && k > Double.NegativeInfinity && k < Double.PositiveInfinity
-    val Array(bounds) = df.agg(
-      min(when(finite, k)).as("lo"),
-      max(when(finite, k)).as("hi")).collect()
-    val (lo, hi) =
+    val (lo, hi) = knownBounds.getOrElse {
+      val Array(bounds) = df.agg(
+        min(when(finite, k)).as("lo"),
+        max(when(finite, k)).as("hi")).collect()
       if (bounds.isNullAt(0)) (0.0, 0.0) // no finite keys: one real bucket, unused
       else (bounds.getDouble(0), bounds.getDouble(1))
+    }
     val width = (hi - lo) / nBuckets.toDouble
     val realBucket = if (width == 0.0) lit(0)
       else least(floor((k - lit(lo)) / lit(width)).cast(IntegerType), lit(nBuckets - 1))
@@ -78,9 +80,18 @@ object Indexing {
 
   def globalRowIds(df: DataFrame, key: String, idCol: String,
                    nBuckets: Int = 1024, tieBreak: Seq[String] = Nil,
-                   withinOrder: Seq[Column] = Nil): DataFrame = {
+                   withinOrder: Seq[Column] = Nil,
+                   knownBounds: Option[(Double, Double)] = None): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val bucketCol = monotoneBucket(df, key, nBuckets)
+    // knownBounds skips the min/max pre-scan when the caller can bound the
+    // finite key range a priori (e.g. rank values are counts in [1, N]).
+    // Correctness only needs hi >= max and lo <= min — the least()/floor()
+    // clamps keep out-of-range keys in real buckets; looser bounds cost
+    // only balance. Callers with possible NaN/±Inf keys still get the
+    // reserved buckets (those branch before the range math). An iterative
+    // caller (the suffix-array build: one globalRowIds per doubling round)
+    // saves a full input scan per round.
+    val bucketCol = monotoneBucket(df, key, nBuckets, knownBounds)
     // narrow scan 2: the bucket histogram → exclusive prefix sum. The
     // window runs over ≤ nBuckets+1 rows (the REDUCED set), then ships to
     // every task as a broadcast.
@@ -124,7 +135,7 @@ object Indexing {
                       nBuckets: Int = 1024, tieBreak: Seq[String] = Nil): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val w = col(weight).cast(LongType)
-    val bucketCol = monotoneBucket(df, key, nBuckets)
+    val bucketCol = monotoneBucket(df, key, nBuckets, None)
     val sums = df.select(bucketCol.as("__bucket"), w.as("__w"))
       .groupBy("__bucket").agg(sum("__w").as("__bw"))
     val offsets = sums

@@ -79,11 +79,10 @@ object SuffixRanks {
     * ranks at the current offset are equal, so each adjacent pair
     * resolves its LCP in ceil(log2 maxLen) integer-equality steps (two
     * hash joins per level over the pair relation), never comparing a
-    * character. Levels above the retained maximum reuse the deepest
-    * round: past the convergence fixed point rank-of-2^t equals
-    * rank-of-full for every larger t, so the substitution is exact, and
-    * ties that run past a document's end (identical whole suffixes) are
-    * capped by min(suffix lengths) — also exact, because a rank tie
+    * character. Levels at or above the deepest retained round collapse
+    * into a single full-rank check (see the descent comment), and ties
+    * that run past a document's end (identical whole suffixes) are
+    * capped by min(suffix lengths) — exact, because a rank tie
     * involving a sentinel forces both remainders identical. Memory: the
     * retained rounds are ceil(log2 maxLen) position-sized relations (the
     * documented Flick-Aluru space/time tradeoff); all but the deepest are
@@ -109,7 +108,8 @@ object SuffixRanks {
         // (members of a tied group are identical suffixes).
         // checkpointed: BOTH pair sides consume it (the multi-consumer rule)
         val sel = step(graft.core.Indexing.globalRowIds(b.ranks, "r", "__sid",
-            withinOrder = Seq(col("r").asc, col("doc_id").asc, col("pos").asc))
+            withinOrder = Seq(col("r").asc, col("doc_id").asc, col("pos").asc),
+            knownBounds = Some((1.0, math.max(1L, b.nPos).toDouble)))
           .select(col("doc_id"), col("pos"), col("__sid")))
         val lens = docs.select(col("doc_id").as("__ld"),
           length(col("text")).as("__n"))
@@ -124,14 +124,24 @@ object SuffixRanks {
           .withColumn("b_len", col("__n") - col("b_pos") + 1)
           .drop("__ld", "__n", "__sid")
           .withColumn("__acc", lit(0L))
-        // smallest T with 2^T >= maxLen; levels above the deepest retained
-        // round substitute it (exact past the fixed point, see scaladoc)
-        val T = 64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(1L, b.maxLen.toLong - 1L)).toInt
-        for (t <- T to 0 by -1) {
-          val p = 1L << t
-          val rt = b.rounds(math.min(t, b.rounds.length - 1))
-          pairs = step(pairs
+        // Descent levels. All power-of-two levels at or above the deepest
+        // round COLLAPSE into one check: the deepest round is always the
+        // full-suffix rank (either the convergence fixed point, or
+        // 2^K >= maxLen), and full-rank equality at the current offset
+        // means the remainders are identical — resolved exactly by the
+        // min-length cap (add maxLen, the cap trims it) — while
+        // inequality repeated at the next such level would re-run the
+        // SAME lookup at the SAME offset. A non-identical adjacent pair's
+        // LCP is always < 2^(deepest), so the remaining true rounds'
+        // binary representation covers it. This cuts 2·(T-K) hash joins
+        // on late-converging corpora; checkpointing every OTHER level
+        // halves the materialization actions (plan depth stays bounded
+        // at 4 joins).
+        val levels: Seq[(Long, DataFrame)] =
+          (b.maxLen.toLong, b.rounds.last) +:
+            (b.rounds.length - 2 to 0 by -1).map(t => (1L << t, b.rounds(t)))
+        for (((p, rt), i) <- levels.zipWithIndex) {
+          val joined = pairs
             .join(rt.select(col("doc_id").as("__da"), col("pos").as("__pa"),
                 col("r").as("__ra")),
               col("__da") === col("a_doc") &&
@@ -143,7 +153,9 @@ object SuffixRanks {
             .withColumn("__acc",
               when(col("__ra").isNotNull && col("__ra") === col("__rb"),
                 col("__acc") + p).otherwise(col("__acc")))
-            .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb"))
+            .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+          pairs = if (i % 2 == 1 || i == levels.length - 1) step(joined)
+                  else joined
         }
         // the descent is done: every retained round except the deepest
         // (which underlies b.ranks and the final join) can be freed now
@@ -174,7 +186,8 @@ object SuffixRanks {
     * rounds (index t = rank-of-2^t-prefix; empty unless retained), their
     * persisted RDD ids per round, and the corpus max doc length. */
   private case class Build(ranks: DataFrame, rounds: IndexedSeq[DataFrame],
-                           roundIds: IndexedSeq[Set[Int]], maxLen: Int)
+                           roundIds: IndexedSeq[Set[Int]], maxLen: Int,
+                           nPos: Long)
 
   /** The doubling loop shared by [[suffixRanks]] (retain = false: only
     * the last two rounds stay persisted — the round hygiene) and
@@ -241,6 +254,12 @@ object SuffixRanks {
     var ranks = record(checkpointTracked(positions
       .join(broadcast(charRanks), Seq("ch"))
       .select(col("doc_id"), col("pos"), col("r"))))
+    // rank values are strictly-smaller COUNTS + 1, so every round's ranks
+    // live in [1, nPositions] — known bounds let each round's globalRowIds
+    // skip its min/max pre-scan (one full pass saved per doubling round);
+    // the count itself reads the just-materialized checkpoint blocks once
+    val nPos = ranks.count()
+    val rankBounds = Some((1.0, math.max(1L, nPos).toDouble))
     var off = 1L
     // convergence early-exit: if a doubling round splits no group, no
     // longer round can either (an unsplit group's members have
@@ -270,7 +289,8 @@ object SuffixRanks {
             Window.partitionBy("doc_id").orderBy("pos")),
           lit(0L)))
       val ided = graft.core.Indexing.globalRowIds(paired, "r", "__rid",
-        withinOrder = Seq(col("r").asc, col("r2").asc))
+        withinOrder = Seq(col("r").asc, col("r2").asc),
+        knownBounds = rankBounds)
       val next = checkpointTracked(ided
         .withColumn("__r_new", min(col("__rid")).over(
           Window.partitionBy("r", "r2")) + 1L)
@@ -280,6 +300,6 @@ object SuffixRanks {
       ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L
     }
-    Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen))
+    Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen, nPos))
   }
 }
