@@ -75,6 +75,15 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // SHUFFLE files (not just blocks) also accumulate: the ContextCleaner
+      // deletes a shuffle's spill files only after the ShuffleDependency is
+      // garbage-collected, and a round over shuffle-heavy queries (the
+      // suffix-array builds write several GB each at sf10) can fill the
+      // disk before any full GC happens naturally — a 3-query sf10 probe
+      // leaked 61 GB of blockmgr files and died on ENOSPC. One explicit GC
+      // per round bounds on-disk shuffle state to roughly one round's
+      // worth.
+      System.gc()
       named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         try {

@@ -154,6 +154,51 @@ object Indexing {
       .drop("__bucket", "__offset")
   }
 
+  /** Global SQL `rank()` over the total order (key ASC, order...) where
+    * rows compare equal iff their `groupCols` tuple is equal — computed
+    * with ONE bucket-partitioned sort instead of globalRowIds + a second
+    * (group-partitioned) window. Built for iterative rank upgrades (the
+    * suffix-array doubling round ranks (r, r2) pairs once per round; at
+    * 40M positions the saved shuffle+sort per round is a third of the
+    * build): rank = exclusive-bucket-offset + row_number of the FIRST row
+    * of the row's group within its bucket, detected by a lag() over the
+    * same window spec and propagated by a running max — all three window
+    * functions share one (partition, order) so Catalyst plans a single
+    * exchange + sort.
+    *
+    * Contract: `groupCols` must be a refinement constant within equal
+    * (key, order) positions AND determine them (rows with equal
+    * groupCols tuples must sort adjacently — true when `order` orders BY
+    * the group columns), and every group must lie inside one bucket
+    * (true when key is one of the group columns, since bucket = f(key)). */
+  def globalGroupRank(df: DataFrame, key: String, order: Seq[Column],
+                      groupCols: Seq[Column], outCol: String,
+                      nBuckets: Int = 1024,
+                      knownBounds: Option[(Double, Double)] = None): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bucketCol = monotoneBucket(df, key, nBuckets, knownBounds)
+    val counts = df.select(bucketCol.as("__bucket"))
+      .groupBy("__bucket").agg(count(lit(1)).as("__n"))
+    val offsets = counts
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bucket", "__offset")
+    val w = Window.partitionBy("__bucket").orderBy(order: _*)
+    val g = struct(groupCols: _*)
+    val rn = row_number().over(w)
+    // first row of its group within the bucket: no predecessor, or the
+    // predecessor belongs to a different group
+    val isStart = coalesce(lag(g, 1).over(w) =!= g, lit(true))
+    val startRn = max(when(isStart, rn)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__bucket", bucketCol)
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, col("__offset") + startRn)
+      .drop("__bucket", "__offset")
+  }
+
   /** Exact distributed ntile over (key, tieBreak) ordering — the scale-safe
     * form of `ntile(n).over(Window.orderBy(...))`, which moves EVERY row to
     * one task. Global row ids come from the bucketed two-pass above; the

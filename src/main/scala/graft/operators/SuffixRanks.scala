@@ -94,6 +94,7 @@ object SuffixRanks {
         val sc = docs.sparkSession.sparkContext
         def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
         var descentIds: Set[Int] = Set.empty
+        var nSteps = 0
         def step(df: DataFrame): DataFrame = {
           val before = persistedIds
           val out = df.localCheckpoint(true) // materialize-then-free rule
@@ -101,6 +102,12 @@ object SuffixRanks {
           descentIds.foreach(id =>
             sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
           descentIds = fresh
+          nSteps += 1
+          // superseded levels' SHUFFLE files are deleted only after their
+          // ShuffleDependency is GC'd — without a nudge a single sf10
+          // descent accumulates tens of GB of spill on disk (the build
+          // observed ENOSPC). A GC every few levels bounds it.
+          if (nSteps % 4 == 0) System.gc()
           out
         }
         // global suffix order -> adjacent pairs (sid, sid+1). The order is
@@ -232,6 +239,7 @@ object SuffixRanks {
     val sc = docs.sparkSession.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     var prevIds: Set[Int] = Set.empty
+    var nCheckpoints = 0
     val rounds = ListBuffer.empty[DataFrame]
     val roundIds = ListBuffer.empty[Set[Int]]
     def checkpointTracked(df: DataFrame): DataFrame = {
@@ -248,6 +256,11 @@ object SuffixRanks {
         prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       prevIds = newIds
       roundIds += newIds
+      nCheckpoints += 1
+      // bound on-disk shuffle state: superseded rounds' shuffle files are
+      // only deleted after a GC notices their dependencies are unreachable
+      // (see the step() note in suffixLcp — an sf10 build hit ENOSPC)
+      if (nCheckpoints % 4 == 0) System.gc()
       out
     }
     def record(df: DataFrame): DataFrame = { rounds += df; df }
@@ -288,12 +301,13 @@ object SuffixRanks {
           lead(col("r"), off.toInt).over(
             Window.partitionBy("doc_id").orderBy("pos")),
           lit(0L)))
-      val ided = graft.core.Indexing.globalRowIds(paired, "r", "__rid",
-        withinOrder = Seq(col("r").asc, col("r2").asc),
-        knownBounds = rankBounds)
-      val next = checkpointTracked(ided
-        .withColumn("__r_new", min(col("__rid")).over(
-          Window.partitionBy("r", "r2")) + 1L)
+      // rank() of the (r, r2) pair in ONE bucket-partitioned sort: the
+      // fused helper replaces globalRowIds + a second (r,r2)-partitioned
+      // group-min window — the bucket is f(r) so every pair group lies in
+      // one bucket, and the within-bucket order IS the group order.
+      val next = checkpointTracked(graft.core.Indexing.globalGroupRank(
+          paired, "r", Seq(col("r").asc, col("r2").asc),
+          Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
         .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
           col("__r_new").as("r")))
       converged = next.filter(col("r") =!= col("__r_old")).isEmpty
