@@ -8,6 +8,14 @@ object TimeQ {
     val spark = Verify.makeSession("32")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     for (i <- 1 to args.drop(2).headOption.map(_.toInt).getOrElse(1)) {
+      // Bench's round-isolation hygiene, or runs leak each other's
+      // checkpointed blocks/shuffle files and legs differ 2-6x.
+      queries.Pipeline.clearMaterialized()
+      queries.DynamicRow.clearMaterialized()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s, rows=$n")

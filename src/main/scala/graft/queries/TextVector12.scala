@@ -40,23 +40,28 @@ object TextVector12 {
     * global window) — with this corpus's 31-term vocabulary a df band
     * would be empty at some SFs, and "rarest terms" is what retrieval
     * queries look like anyway. Scale: one explode + (term,doc) shuffle
-    * for tf, one term shuffle for df, the ≤8-term query set broadcast
-    * back, top-5 per term as a term-partitioned window. The tokenized
-    * frame is checkpointed — it feeds tf, dl, and the 1-row stats scan
-    * (the multi-consumer rule). */
+    * builds the posting relation; dl, df, the stats scan, and the scored
+    * join all derive from it (checkpointed — four consumers), so nothing
+    * token-array-sized is ever materialized; top-5 per term is a
+    * term-partitioned window. */
   val d71 = QueryDef("d71_bm25_topk",
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      // Everything derives from the POSTING relation (term, doc, tf) — one
+      // tokenize+explode+shuffle, checkpointed for its four consumers.
+      // dl = Σ_term tf (every token is counted, so the sum IS the doc
+      // length) and N = |distinct doc| — deriving them here instead of
+      // from a materialized token-array table is the sf10 lesson: the
+      // array checkpoint was GBs and 16×/decade; the posting relation is
+      // three flat columns. The oracle defines dl/N the same way.
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
         .localCheckpoint(false)
-      val dl = toks.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
       val nDocs = statsRow.getLong(0)
       val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
       val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs
-      val tf = toks
-        .select(col("doc_id"), explode(col("t")).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qTerms = df.orderBy(col("df").asc, col("term").asc).limit(8)
       val scored = tf
@@ -74,12 +79,12 @@ object TextVector12 {
           round(col("score"), 4).as("score_r"))
         .orderBy("term", "rank")
     },
-    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents),
-      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    Some("""WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
       stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-      tf AS (SELECT term, doc_id, COUNT(*) AS tf
-        FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       qt AS (SELECT term, df FROM df ORDER BY df ASC, term ASC LIMIT 8),
       scored AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
@@ -154,12 +159,19 @@ object TextVector12 {
       val injected = base.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 5000000000L).as("doc_id"),
           lit("new_york city new_york city new_york city").as("text"))
+      // No token-array checkpoint (the d71/d74 sf10 lesson — materialized
+      // arrays are GBs): the unigram and bigram rollups are two cheap
+      // tokenize scans, and N_tokens derives from the Heaps-bounded
+      // unigram table instead of a third corpus pass.
       val toks = base.unionByName(injected)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        .localCheckpoint(false)
       val uni = toks.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val nTok = toks.select(explode(col("t")).as("w")).count()
+        .localCheckpoint(false) // nTok scan AND the two verdict joins
+      val nTok = {
+        val r = uni.agg(sum(col("c"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       val big = toks.filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
@@ -208,35 +220,50 @@ object TextVector12 {
     * as a 1-row driver scalar); the float expression trees are mirrored
     * operation-for-operation and the per-doc mean is rounded at 6 dp
     * (the d24-proven parity recipe). Every observed bigram has c12 ≥ 1
-    * so max(c12−D,0) ≥ 0.25 and the log is always defined. Scale: the
-    * d24 join shape — bigram-keyed and w1/w2-keyed shuffles, no
-    * broadcast of the vocabulary-sized tables (the d49 lesson). */
+    * so max(c12−D,0) ≥ 0.25 and the log is always defined. Scale: two
+    * corpus-scale shuffles (c12 build, probability join-back); the whole
+    * smoothing model assembles at TYPE granularity from the
+    * Heaps²-bounded c12 table, and nothing vocabulary-sized broadcasts
+    * (the d49 lesson). */
   val d74 = QueryDef("d74_kneser_ney",
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
+      // The corpus-scale bigram stream is shuffled exactly TWICE: once to
+      // build c12, once to join the finished per-TYPE probability back.
+      // Everything else (context totals c1 = Σ_w2 c12, continuation
+      // counts, B) derives from the Heaps²-bounded c12 table — the sf10
+      // lesson: the first cut joined the stream against three model
+      // tables separately (3 corpus shuffles, 11-19×/decade). The stream
+      // itself is deliberately NOT checkpointed: materializing 27M
+      // deserialized rows costs ~10 s at sf10 while re-deriving it
+      // (tokenize+explode, ~2.5 s) twice is cheap — the multi-consumer
+      // checkpoint rule is for subtrees that are expensive RELATIVE to
+      // their materialized size, and a flat corpus-sized stream with a
+      // two-scan derivation is the counterexample (probed: 16 s with the
+      // checkpoint, 6-7 s without).
+      def big = Tables.documents(s, dir)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
-        .localCheckpoint(false)
-      val big = toks
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
         .select(col("doc_id"),
           element_at(col("t"), col("i")).as("w1"),
           element_at(col("t"), col("i") + 1).as("w2"))
-      val types = big.select("w1", "w2").distinct().localCheckpoint(false)
-      val bTypes = types.count()
       val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val left = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-        .join(types.groupBy("w1").agg(count(lit(1)).as("n1f")), Seq("w1"))
-      val right = types.groupBy("w2").agg(count(lit(1)).as("n1r"))
-      big
-        .join(c12, Seq("w1", "w2"))
+        .localCheckpoint(false) // bTypes, left, right, typeP all consume it
+      val bTypes = c12.count()
+      val left = c12.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val right = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val typeP = c12
         .join(left, Seq("w1"))
         .join(right, Seq("w2"))
         .withColumn("p",
           (greatest(col("c12") - lit(0.75), lit(0.0)) +
             lit(0.75) * col("n1f") * (col("n1r").cast(DoubleType) / lit(bTypes.toDouble))) /
             col("c1"))
+        .select("w1", "w2", "p")
+      big
+        .join(typeP, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("p"))), 6).as("avg_logp_kn"))

@@ -154,7 +154,13 @@ object TextVector14 {
       val norms = w.groupBy("doc_id")
         .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
         .localCheckpoint(false)
-      val qw = w.filter(col("doc_id") % 100 === 0)
+      // BOUNDED query batch (the e2 contract, in sparse form): the id cap
+      // keeps the batch at ≤25 queries at ANY corpus size — without it the
+      // query count grows with the corpus and the candidate aggregation
+      // goes quadratic (the d35 constant-cardinality-block lesson: on this
+      // 31-term vocabulary every doc is a candidate for every query, so
+      // the only linear knob is the query side). sf1 probe: 25 s → 1.4 s.
+      val qw = w.filter(col("doc_id") % 100 === 0 && col("doc_id") < 2500)
         .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
       val scored = w
         .join(broadcast(qw), Seq("term"))
@@ -186,7 +192,7 @@ object TextVector14 {
         FROM tf JOIN df USING (term)),
       norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY 1),
       qw AS (SELECT doc_id AS query_id, term, w AS qw FROM w
-        WHERE doc_id % 100 = 0),
+        WHERE doc_id % 100 = 0 AND doc_id < 2500),
       dots AS (SELECT qw.query_id, w.doc_id, SUM(w.w * qw.qw) AS dot
         FROM w JOIN qw USING (term) WHERE w.doc_id <> qw.query_id
         GROUP BY 1, 2),
