@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Eighteenth coverage batch: measuring the pipeline's own decisions —
+  *
+  *  - d80: MinHash-LSH precision/recall against exact-Jaccard ground
+  *    truth on a bounded eval set — the dedup-quality audit (Broder
+  *    1997's resemblance vs its sketch; the "measure your LSH, don't
+  *    trust the s-curve" step every production dedup runs).
+  *  - d81: one DoReMi-style mixture-reweighting step (Xie et al. 2023,
+  *    arXiv:2305.10429): per-source excess LM loss → exponentiated-
+  *    gradient domain-weight update — the data-mixture complement to
+  *    d42/d47's temperature and budget mixing.
+  */
+object TextVector15 {
+
+  def defs: Seq[QueryDef] = Seq(d80, d81)
+
+  /** LSH candidate quality vs exact ground truth, per pair: the judged
+    * relation is every eval-set pair sharing ≥ 2 shingles OR surfaced by
+    * the 16-hash/4-band md5 family (d5/d21's construction), with the
+    * exact intersection, the J ≥ 0.5 truth verdict in EXACT integers
+    * (3·n_int ≥ n_a+n_b ⟺ J ≥ 0.5), and the LSH prediction — TP, FN and
+    * FP rows all visible (precision/recall are one aggregation away,
+    * but the pair surface is what a tuning engineer reads). Twins make
+    * the truth polarity deterministic at every SF: strong (last-5-tokens
+    * dropped, J ≈ 0.8 → dup) and weak (40 %-prefix, J ≈ 0.4 → non-dup,
+    * but shingle-sharing so it stays in the surface). The eval set is
+    * BOUNDED (≤ 250 docs at any SF — doc_id % 20 = 0 AND < 5000): dedup
+    * EVALUATION is an O(k²) measurement on a fixed panel by design; the
+    * production dedup itself stays d5's banded-linear shape. */
+  val d80 = QueryDef("d80_lsh_pr_eval",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id"), col("text"))
+      val toked = base
+        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 15)
+      val strong = toked.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 6000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("t"), lit(1), size(col("t")) - 5)).as("text"))
+      val weak = toked.filter(col("doc_id") % 40 =!= 0)
+        .select((col("doc_id") + 7000000000L).as("doc_id"),
+          concat_ws(" ", slice(col("t"), lit(1),
+            greatest((size(col("t")) * 2 / 5).cast("int"), lit(3)))).as("text"))
+      val docs = base.unionByName(strong).unionByName(weak)
+      val (sh, banded) = Dedup.md5Bands(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4)
+      val predicted = Dedup.pairCandidates(banded, Seq("band", "bkey"))
+        .withColumn("predicted", lit(true))
+      val sizes = sh.select(col("id"), size(col("sh")).cast(LongType).as("n"))
+      val inter = sh.select(col("id"), explode(col("sh")).as("shingle"))
+        .alias("a")
+        .join(sh.select(col("id"), explode(col("sh")).as("shingle")).alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_int"))
+      val surface = inter.filter(col("n_int") >= 2).select("id_a", "id_b")
+        .unionByName(predicted.select("id_a", "id_b")).distinct()
+      surface
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(predicted, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("n_int"), lit(0L)).as("n_int"),
+          col("n_a"), col("n_b"),
+          (coalesce(col("n_int"), lit(0L)) * 3 >= col("n_a") + col("n_b"))
+            .as("is_dup"),
+          coalesce(col("predicted"), lit(false)).as("predicted"),
+          round(coalesce(col("n_int"), lit(0L)).cast(DoubleType) /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
+            .as("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 20 = 0 AND doc_id < 5000),
+      toked AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM base),
+      long_docs AS (SELECT * FROM toked WHERE len(t) >= 15),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 6000000000, array_to_string(t[1:len(t)-5], ' ')
+        FROM long_docs WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT doc_id + 7000000000,
+          array_to_string(t[1:greatest(len(t)*2//5, 3)], ' ')
+        FROM long_docs WHERE doc_id % 40 <> 0),
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM docs),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(COUNT(*) AS BIGINT) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      seeds(seed, a, b) AS (VALUES ${Dedup.affineSeedsSqlValues(16)}),
+      xv AS (SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x
+        FROM sh),
+      sig AS (SELECT doc_id, seed,
+          MIN((CAST(a AS BIGINT) * x + b) % 4294967311) AS mh
+        FROM xv CROSS JOIN seeds GROUP BY 1, 2),
+      banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+          array_to_string(list(CAST(mh AS VARCHAR) ORDER BY seed), ',') AS bkey
+        FROM sig GROUP BY 1, 2),
+      pred AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      surface AS (
+        SELECT id_a, id_b FROM inter WHERE n_int >= 2
+        UNION
+        SELECT id_a, id_b FROM pred)
+      SELECT s.id_a, s.id_b,
+        coalesce(i.n_int, 0) AS n_int, na.n AS n_a, nb.n AS n_b,
+        coalesce(i.n_int, 0) * 3 >= na.n + nb.n AS is_dup,
+        (p.id_a IS NOT NULL) AS predicted,
+        ROUND(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+          / (na.n + nb.n - coalesce(i.n_int, 0)), 6) AS jaccard_r
+      FROM surface s
+      LEFT JOIN inter i USING (id_a, id_b)
+      LEFT JOIN pred p USING (id_a, id_b)
+      JOIN sizes na ON na.doc_id = s.id_a
+      JOIN sizes nb ON nb.doc_id = s.id_b
+      ORDER BY s.id_a, s.id_b"""))
+
+  /** One DoReMi exponentiated-gradient step over the per-source LM loss:
+    * loss_h = −mean log P_MLE(bigram) within source h (d24's corpus-
+    * trained model, assembled at TYPE granularity per the d74 lesson),
+    * excess_h = loss_h − min_h loss_h, and the domain-weight update
+    * w'_h ∝ w_h·exp(η·excess_h) with η = 1 and w_h = the source's bigram
+    * share — hard (high-excess-loss) domains get UPWEIGHTED, the DoReMi
+    * direction. All cross-source reductions (min, the two normalizing
+    * sums) are windows over the ≤|sources| aggregate rollup — never raw
+    * rows. The emitted step is exactly what a mixture scheduler feeds
+    * back into d42/d47's samplers. */
+  val d81 = QueryDef("d81_doremi_step",
+    (s, dir) => {
+      def big = Tables.documents(s, dir)
+        .select(col("source"), TextFns.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("source"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false) // c1 rollup AND the logp join consume it
+      val typeP = c12
+        .join(c12.groupBy("w1").agg(sum(col("c12")).as("c1")), Seq("w1"))
+        .select(col("w1"), col("w2"),
+          log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
+            .as("logp"))
+      val rollup = big
+        .join(typeP, Seq("w1", "w2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (lit(0.0) - avg(col("logp"))).as("loss"))
+      val all = Window.partitionBy()
+      rollup
+        .withColumn("excess", col("loss") - min(col("loss")).over(all))
+        .withColumn("w_old",
+          col("n_bigrams").cast(DoubleType) / sum(col("n_bigrams")).over(all))
+        .withColumn("unnorm", col("w_old") * exp(col("excess")))
+        .withColumn("w_new", col("unnorm") / sum(col("unnorm")).over(all))
+        .select(col("source"), col("n_bigrams"),
+          round(col("loss"), 6).as("loss_r"),
+          round(col("excess"), 6).as("excess_r"),
+          round(col("w_old"), 6).as("w_old_r"),
+          round(col("w_new"), 6).as("w_new_r"))
+        .orderBy("source")
+    },
+    Some("""WITH big AS (SELECT source, t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+          UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      tp AS (SELECT w1, w2,
+          ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
+        FROM c2 JOIN c1 USING (w1)),
+      rollup AS (SELECT source, COUNT(*) AS n_bigrams,
+          0.0 - AVG(logp) AS loss
+        FROM big JOIN tp USING (w1, w2) GROUP BY 1),
+      stepped AS (SELECT source, n_bigrams, loss,
+          loss - MIN(loss) OVER () AS excess,
+          CAST(n_bigrams AS DOUBLE) / SUM(n_bigrams) OVER () AS w_old
+        FROM rollup),
+      unnormed AS (SELECT *, w_old * exp(excess) AS unnorm FROM stepped)
+      SELECT source, n_bigrams,
+        ROUND(loss, 6) AS loss_r, ROUND(excess, 6) AS excess_r,
+        ROUND(w_old, 6) AS w_old_r,
+        ROUND(unnorm / SUM(unnorm) OVER (), 6) AS w_new_r
+      FROM unnormed ORDER BY source"""))
+}
