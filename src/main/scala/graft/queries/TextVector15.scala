@@ -20,7 +20,7 @@ import graft.operators.Dedup
   */
 object TextVector15 {
 
-  def defs: Seq[QueryDef] = Seq(d80, d81)
+  def defs: Seq[QueryDef] = Seq(d80, d81, d82)
 
   /** LSH candidate quality vs exact ground truth, per pair: the judged
     * relation is every eval-set pair sharing ≥ 2 shingles OR surfaced by
@@ -35,33 +35,48 @@ object TextVector15 {
     * BOUNDED (≤ 250 docs at any SF — doc_id % 20 = 0 AND < 5000): dedup
     * EVALUATION is an O(k²) measurement on a fixed panel by design; the
     * production dedup itself stays d5's banded-linear shape. */
+  /** The d80/d82 shared eval panel: bounded base sample + strong
+    * (J ≈ 0.8) and weak (J ≈ 0.4) twins. */
+  private[graft] def d80Docs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id"), col("text"))
+    val toked = base
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 15)
+    val strong = toked.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 6000000000L).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1), size(col("t")) - 5)).as("text"))
+    val weak = toked.filter(col("doc_id") % 40 =!= 0)
+      .select((col("doc_id") + 7000000000L).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1),
+          greatest((size(col("t")) * 2 / 5).cast("int"), lit(3)))).as("text"))
+    base.unionByName(strong).unionByName(weak)
+  }
+
+  /** (sizes, exact pair intersections, LSH-predicted pairs) over the
+    * panel — the three relations both d80 and d82 consume. */
+  private[graft] def d80Relations(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val (sh, banded) = Dedup.md5Bands(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 16, numBands = 4)
+    val predicted = Dedup.pairCandidates(banded, Seq("band", "bkey"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast(LongType).as("n"))
+    val inter = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      .alias("a")
+      .join(sh.select(col("id"), explode(col("sh")).as("shingle")).alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_int"))
+    (sizes, inter, predicted)
+  }
+
   val d80 = QueryDef("d80_lsh_pr_eval",
     (s, dir) => {
-      val base = Tables.documents(s, dir)
-        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000)
-        .select(col("doc_id"), col("text"))
-      val toked = base
-        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 15)
-      val strong = toked.filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 6000000000L).as("doc_id"),
-          concat_ws(" ", slice(col("t"), lit(1), size(col("t")) - 5)).as("text"))
-      val weak = toked.filter(col("doc_id") % 40 =!= 0)
-        .select((col("doc_id") + 7000000000L).as("doc_id"),
-          concat_ws(" ", slice(col("t"), lit(1),
-            greatest((size(col("t")) * 2 / 5).cast("int"), lit(3)))).as("text"))
-      val docs = base.unionByName(strong).unionByName(weak)
-      val (sh, banded) = Dedup.md5Bands(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 16, numBands = 4)
-      val predicted = Dedup.pairCandidates(banded, Seq("band", "bkey"))
-        .withColumn("predicted", lit(true))
-      val sizes = sh.select(col("id"), size(col("sh")).cast(LongType).as("n"))
-      val inter = sh.select(col("id"), explode(col("sh")).as("shingle"))
-        .alias("a")
-        .join(sh.select(col("id"), explode(col("sh")).as("shingle")).alias("b"),
-          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_int"))
+      val (sizes, inter, predicted0) = d80Relations(d80Docs(s, dir))
+      val predicted = predicted0.withColumn("predicted", lit(true))
       val surface = inter.filter(col("n_int") >= 2).select("id_a", "id_b")
         .unionByName(predicted.select("id_a", "id_b")).distinct()
       surface
@@ -204,4 +219,137 @@ object TextVector15 {
         ROUND(w_old, 6) AS w_old_r,
         ROUND(unnorm / SUM(unnorm) OVER (), 6) AS w_new_r
       FROM unnormed ORDER BY source"""))
+
+  /** Pair-counting Rand index between the LSH clustering and the truth
+    * clustering on the d80 panel (Rand 1971; the pair-level
+    * precision/recall view Hubert & Arabie's ARI builds on): connected
+    * components over the predicted pairs vs components over the J ≥ 0.5
+    * truth pairs, agreement counted THROUGH CLUSTER SIZES in exact
+    * integers — pair_tp = Σ_ij C(n_ij,2) over the contingency cells,
+    * never by materializing pairs (the standard trick that keeps
+    * clustering evaluation linear in nodes even though it counts C(n,2)
+    * pair decisions). Completes the d80 story: d80 judges candidate
+    * PAIRS, d82 judges the CLUSTERING those pairs induce — transitive
+    * merge errors (one bad edge gluing two real clusters) only show at
+    * this level. Singletons keep their own id as label (coalesce), so
+    * isolated docs count as agreeing negatives. The DuckDB oracle
+    * re-derives both clusterings with recursive CTEs (the d23 idiom)
+    * and replays every sum. */
+  val d82 = QueryDef("d82_rand_index",
+    (s, dir) => {
+      val (sizes, inter, predicted) = d80Relations(d80Docs(s, dir))
+      val truth = inter
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .filter(col("n_int") * 3 >= col("n_a") + col("n_b"))
+        .select("id_a", "id_b")
+      val nodes = sizes.select(col("id")).localCheckpoint(false)
+      def labels(pairs: org.apache.spark.sql.DataFrame, out: String) =
+        nodes.join(
+          Dedup.connectedComponents(pairs, "id_a", "id_b")
+            .select(col("node").as("id"), col("component")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as(out))
+      val lab = labels(truth, "ct").join(labels(predicted, "cp"), Seq("id"))
+        .localCheckpoint(false) // three contingency rollups consume it
+      def pairSum(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long = {
+        val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1) / 2)).head()
+        if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+      }
+      val nDocs = lab.count()
+      val nPairs = nDocs * (nDocs - 1) / 2
+      val tp = pairSum(lab, Seq("ct", "cp"))
+      val inTruth = pairSum(lab, Seq("ct"))
+      val inPred = pairSum(lab, Seq("cp"))
+      val agree = nPairs - inTruth - inPred + 2 * tp
+      // degenerate panels (pathological corpora) have zero denominators:
+      // emit NaN like the oracle's x/0 double division, never crash
+      def r6(num: Long, den: Long): Double =
+        if (den == 0) Double.NaN
+        else BigDecimal(num.toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sess = s
+      import sess.implicits._
+      Seq((nDocs, nPairs, tp, inPred - tp, inTruth - tp,
+        r6(agree, nPairs), r6(tp, inPred), r6(tp, inTruth)))
+        .toDF("n_docs", "n_pairs", "pair_tp", "pair_fp", "pair_fn",
+          "rand_r", "precision_r", "recall_r")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 20 = 0 AND doc_id < 5000),
+      toked AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM base),
+      long_docs AS (SELECT * FROM toked WHERE len(t) >= 15),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 6000000000, array_to_string(t[1:len(t)-5], ' ')
+        FROM long_docs WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT doc_id + 7000000000,
+          array_to_string(t[1:greatest(len(t)*2//5, 3)], ' ')
+        FROM long_docs WHERE doc_id % 40 <> 0),
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM docs),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(generate_series(1, len(toks)-2)) AS t(i)
+        WHERE len(toks) >= 3),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(COUNT(*) AS BIGINT) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      seeds(seed, a, b) AS (VALUES ${Dedup.affineSeedsSqlValues(16)}),
+      xv AS (SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 8)) AS BIGINT) AS x
+        FROM sh),
+      sig AS (SELECT doc_id, seed,
+          MIN((CAST(a AS BIGINT) * x + b) % 4294967311) AS mh
+        FROM xv CROSS JOIN seeds GROUP BY 1, 2),
+      banded AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+          array_to_string(list(CAST(mh AS VARCHAR) ORDER BY seed), ',') AS bkey
+        FROM sig GROUP BY 1, 2),
+      pred AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      truth AS (SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE i.n_int * 3 >= na.n + nb.n),
+      tedges AS (SELECT id_a AS a, id_b AS b FROM truth
+        UNION SELECT id_b, id_a FROM truth),
+      treach AS (SELECT a, b FROM tedges
+        UNION SELECT r.a, e.b FROM treach r JOIN tedges e ON r.b = e.a),
+      tlab AS (SELECT a AS doc_id, LEAST(MIN(b), a) AS c
+        FROM treach GROUP BY a),
+      pedges AS (SELECT id_a AS a, id_b AS b FROM pred
+        UNION SELECT id_b, id_a FROM pred),
+      preach AS (SELECT a, b FROM pedges
+        UNION SELECT r.a, e.b FROM preach r JOIN pedges e ON r.b = e.a),
+      plab AS (SELECT a AS doc_id, LEAST(MIN(b), a) AS c
+        FROM preach GROUP BY a),
+      lab AS (SELECT s.doc_id,
+          coalesce(tl.c, s.doc_id) AS ct, coalesce(pl.c, s.doc_id) AS cp
+        FROM sizes s
+        LEFT JOIN tlab tl ON tl.doc_id = s.doc_id
+        LEFT JOIN plab pl ON pl.doc_id = s.doc_id),
+      sums AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n_docs,
+        (SELECT CAST(coalesce(SUM(n*(n-1)//2), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS n FROM lab GROUP BY ct, cp)) AS tp,
+        (SELECT CAST(coalesce(SUM(n*(n-1)//2), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS n FROM lab GROUP BY ct)) AS in_truth,
+        (SELECT CAST(coalesce(SUM(n*(n-1)//2), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS n FROM lab GROUP BY cp)) AS in_pred)
+      SELECT n_docs, n_docs*(n_docs-1)//2 AS n_pairs, tp AS pair_tp,
+        in_pred - tp AS pair_fp, in_truth - tp AS pair_fn,
+        ROUND(CAST(n_docs*(n_docs-1)//2 - in_truth - in_pred + 2*tp AS DOUBLE)
+          / (n_docs*(n_docs-1)//2), 6) AS rand_r,
+        ROUND(CAST(tp AS DOUBLE) / in_pred, 6) AS precision_r,
+        ROUND(CAST(tp AS DOUBLE) / in_truth, 6) AS recall_r
+      FROM sums"""))
 }
+
