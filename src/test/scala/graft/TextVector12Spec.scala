@@ -73,6 +73,27 @@ class TextVector12Spec extends SparkSpec {
     assert(got == expect, "A-ES selection must be a pure function of (id, w)")
   }
 
+  test("d72: min-k selection is a semilattice merge — top30(A ∪ B) == " +
+    "top30(top30(A) ∪ top30(B)) on any split (the distributed/streaming shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, nc: Long): (Double, Long) = {
+      val w = math.max(nc, 1L)
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      ((0.0 - math.log(u)) / w, id)
+    }
+    def top30(xs: Seq[(Double, Long)]) = xs.sorted.take(30)
+    val keyed = docs.map { case (id, nc) => key(id, nc) }.toSeq
+    val (a, b) = keyed.partition(_._2 % 2 == 0)
+    assert(top30(keyed) == top30(top30(a) ++ top30(b)),
+      "partial top-30s must merge losslessly — the property that makes " +
+        "A-ES a one-pass distributed/streaming sampler")
+  }
+
   test("d73: hand counts on the fixture — (a,b) is a phrase, (e,f) is not") {
     // fixture tokens: doc0 a,b×5 (10) + doc1 20 noise + doc2 e,f×5,e×40 (50)
     // + injection (doc 0 only: id%25==0): new_york city ×3 (6). Ntok=86.

@@ -79,6 +79,21 @@ class TextVector15Spec extends SparkSpec {
       s"fp/fn mismatch: ${(r.getLong(3), r.getLong(4))} vs ${(inP - tp, inT - tp)}")
   }
 
+  test("d84: an identical pair agrees on all 16 one-bit rows (Jhat = 1), " +
+    "and the estimator tracks the truth ordering on the twins") {
+    val rows = TextVector15.d84.fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ident = rows((0L, 20L))
+    assert(ident == ((1.0, 16L, 1.0)),
+      s"J=1 pair must agree on every one-bit row: $ident")
+    // strong twin (J~0.64) must agree on at least as many bits as the
+    // weak twin (J~0.29) — the monotone-in-expectation sanity the
+    // 16-seed family realizes deterministically on this fixture
+    assert(rows((0L, 6000000000L))._2 >= rows((20L, 7000000020L))._2,
+      s"bit agreement must track resemblance: $rows")
+  }
+
   test("d81: weights stay a distribution, excess is floored at zero, and " +
     "the update direction upweights exactly the high-excess sources") {
     val rows = TextVector15.d81.fn(spark, "/root/testdata/sf0.001").collect()
