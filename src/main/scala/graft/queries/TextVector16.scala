@@ -20,7 +20,7 @@ import graft.operators.Classifier
   */
 object TextVector16 {
 
-  def defs: Seq[QueryDef] = Seq(e16, d83)
+  def defs: Seq[QueryDef] = Seq(e16, d83, d85)
 
   private val ITERS = 5
 
@@ -175,4 +175,52 @@ object TextVector16 {
         ROUND(gap, 6) AS gap_r,
         ROUND(SUM(n * gap) OVER () / SUM(n) OVER (), 6) AS ece_r
       FROM gapped ORDER BY bin"""))
+
+  /** Eval-side decontamination verdict (the GPT-3/PaLM protocol, Brown
+    * et al. 2020 App. C / Chowdhery et al. 2022 App. — d15's complement:
+    * d15 reports which TRAINING docs touch the benchmark; d85 judges
+    * each BENCHMARK doc): the fraction of an eval doc's distinct word
+    * 8-grams that occur anywhere in the training corpus, and the
+    * keep/drop verdict at PaLM's 70 % threshold in EXACT integer
+    * cross-multiplication (10·n_hit ≥ 7·n_8grams). Scale: the train
+    * side collapses to a DISTINCT 8-gram set (one corpus shuffle, key
+    * cardinality grows with the corpus — at 100 TB the key is a 64-bit
+    * hash); the bench side is the bounded eval suite broadcast into a
+    * left semi-ish join, one aggregation. */
+  val d85 = QueryDef("d85_decontamination_verdict",
+    (s, dir) => {
+      val sh8 = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.distinctShingles(
+            graft.functions.TextFns.tokens(col("text")), 8)).as("g"))
+      val train = sh8.filter(col("doc_id") >= 20).select("g").distinct()
+        .withColumn("hit", lit(1L))
+      sh8.filter(col("doc_id") < 20)
+        .join(train, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_8grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_8grams"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / col("n_8grams"), 6)
+            .as("hit_frac_r"),
+          (col("n_hit") * 10 >= col("n_8grams") * 7).as("dirty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, greatest(len(t) - 6, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+            || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 8),
+      train AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 20)
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_8grams,
+        CAST(count(*) FILTER (WHERE t.g IS NOT NULL) AS BIGINT) AS n_hit,
+        ROUND(CAST(count(*) FILTER (WHERE t.g IS NOT NULL) AS DOUBLE)
+          / COUNT(*), 6) AS hit_frac_r,
+        count(*) FILTER (WHERE t.g IS NOT NULL) * 10 >= COUNT(*) * 7 AS dirty
+      FROM sh s LEFT JOIN train t ON s.g = t.g
+      WHERE s.doc_id < 20
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
 }
+

@@ -51,6 +51,29 @@ class TextVector16Spec extends SparkSpec {
       s"lambda must be ~20, got ${rows.head._4}")
   }
 
+  test("d85: a leaked eval doc is dirty at hit fraction 1.0; a " +
+    "unique-vocabulary eval doc is clean at 0.0") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("tv16b").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings")) {
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(s"$d/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val leaked = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, leaked, "en", "srcA", 50L),                              // eval, leaked
+      (1L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "srcA", 50L), // eval, clean
+      (30L, "pad " + leaked + " tail tok", "en", "srcB", 70L)       // train superset
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.queries.TextVector16.d85.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows(0L) == ((5L, 5L, true)),
+      s"all 5 of the leaked doc's 8-grams occur in the train doc: ${rows(0L)}")
+    assert(rows(1L) == ((5L, 0L, false)), s"clean doc must have zero hits: ${rows(1L)}")
+  }
+
   test("d83: deciles are equal-mass, confidence is monotone across bins, " +
     "and the emitted ECE is the row-weighted gap mean") {
     val rows = TextVector16.d83.fn(spark, "/root/testdata/sf0.001").collect()
