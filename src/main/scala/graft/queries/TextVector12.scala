@@ -152,7 +152,17 @@ object TextVector12 {
     * judged surface is bigrams with c12 ≥ 5 (bounded by the vocabulary²,
     * not the corpus). Scale: two term-keyed shuffles (bigram counts,
     * unigram counts) + one 1-row total captured on the driver; the
-    * tokenized frame is checkpointed (three consumers). */
+    * tokenized frame is checkpointed (three consumers).
+    *
+    * Exact-integer validity bound (advisor r8): `2·c1·c2` fits a BIGINT
+    * only while c1·c2 < 2^62; since c1,c2 ≤ nTok the form is provably
+    * safe for nTok ≤ 2^31−1 (~2.1e9 tokens — every judged SF by orders
+    * of magnitude). Beyond that Spark would wrap silently while DuckDB
+    * raises, so the driver guard below fails LOUDLY instead; the
+    * production form past the bound is the rounded-double score with an
+    * epsilon band (score_r is already emitted), traded consciously
+    * because a float at the decision boundary breaks cross-engine
+    * replay. */
   val d73 = QueryDef("d73_phrase_detect",
     (s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -172,6 +182,9 @@ object TextVector12 {
         val r = uni.agg(sum(col("c"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+      require(nTok <= Int.MaxValue.toLong,
+        s"d73 exact-integer verdict is BIGINT-safe only for nTok <= 2^31-1 " +
+          s"(got $nTok); switch to the epsilon-banded double score past this bound")
       val big = toks.filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("t"),
           explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
@@ -337,8 +350,13 @@ object TextVector12 {
       val reranked = short.withColumn("hrank", row_number().over(wh))
         .filter(col("hrank") <= 20)
         .withColumn("cos", VectorExprs.cosine(col("qv"), col("cv")))
+      // Null-pin (e15's rule): cosine is NULL for zero-norm vectors and the
+      // engines' default DESC null order diverges (Spark nulls-last, DuckDB
+      // nulls-first) — coalesce(-2) sorts them below every real cosine on
+      // BOTH engines.
       val wc = Window.partitionBy("query_id")
-        .orderBy(round(col("cos"), 9).desc, col("neighbor_id").asc)
+        .orderBy(round(coalesce(col("cos"), lit(-2.0)), 9).desc,
+          col("neighbor_id").asc)
       reranked.withColumn("rank", row_number().over(wc)).filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"),
           round(col("cos"), 4).as("cos_r"))
@@ -357,7 +375,7 @@ object TextVector12 {
         ${QueryDef.cosSql64("qv", "cv")} AS cos
         FROM short WHERE hrank <= 20),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY round(cos, 9) DESC, neighbor_id ASC) AS rank FROM reranked)
+          ORDER BY round(coalesce(cos, -2.0), 9) DESC, neighbor_id ASC) AS rank FROM reranked)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming,
         ROUND(cos, 4) AS cos_r
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))

@@ -74,12 +74,18 @@ object TextVector16 {
         .orderBy("dim")
     },
     Some {
+      // The zero-norm guard (all-identical embeddings ⟹ centered matrix is
+      // zero) is mirrored: Spark substitutes lambda = 1.0, so the oracle's
+      // divisor is CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END — the engines
+      // agree on a DEFINED output for the fully degenerate corpus instead
+      // of Spark emitting 0.0 and DuckDB NULL (advisor r8).
       val steps = (1 to ITERS).map { i =>
         s"""s$i AS (SELECT vec_id, SUM(xc * val) AS s
            |    FROM pts JOIN v${i - 1} USING (dim) GROUP BY 1),
            |w$i AS (SELECT dim, SUM(pts.xc * s$i.s) AS w
            |    FROM pts JOIN s$i USING (vec_id) GROUP BY 1),
-           |n$i AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w$i),
+           |n$i AS (SELECT CASE WHEN coalesce(sqrt(SUM(w * w)), 0.0) > 0
+           |    THEN sqrt(SUM(w * w)) ELSE 1.0 END AS nrm FROM w$i),
            |v$i AS (SELECT dim, w / (SELECT nrm FROM n$i) AS val FROM w$i)"""
           .stripMargin
       }.mkString(",\n      ")
