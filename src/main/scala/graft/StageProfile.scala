@@ -178,6 +178,76 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
+      case "d86" =>
+        // span-removal attribution: capped index build vs dropped-window
+        // election vs interval merge vs complement rebuild. Mirrors
+        // SuffixRanks.spanRemoval on the d86 fixture.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.LongType
+        val l = 16
+        val base = graft.core.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+          .select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+        val docs = base.unionByName(twins).localCheckpoint(false)
+        val ranks = t("capped index build (suffixRanks L=16)") {
+          val r = graft.operators.SuffixRanks
+            .suffixRanks(docs, maxPrefix = l.toLong).localCheckpoint(false)
+          println("  n_pos=" + r.count()); r
+        }
+        val lens = docs.select(col("doc_id"),
+          length(col("text")).cast(LongType).as("__n"))
+        val dropped = t("full-window filter + keeper election") {
+          val d = ranks.join(lens, Seq("doc_id"))
+            .filter(col("pos") + (l - 1) <= col("__n"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("rank").orderBy(col("doc_id"), col("pos"))))
+            .filter(col("__rn") > 1)
+            .select(col("doc_id"), col("pos").as("__s"),
+              (col("pos") + (l - 1)).as("__e")).localCheckpoint(false)
+          println("  n_dropped=" + d.count()); d
+        }
+        val merged = t("interval merge") {
+          val wOrd = Window.partitionBy("doc_id").orderBy(col("__s"), col("__e"))
+          val runMax = max(col("__e")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1))
+          val m = dropped
+            .withColumn("__brk",
+              when(runMax.isNull || col("__s") > runMax + 1L, 1L).otherwise(0L))
+            .withColumn("__grp", sum(col("__brk")).over(wOrd))
+            .groupBy("doc_id", "__grp")
+            .agg(min("__s").as("__s"), max("__e").as("__e")).localCheckpoint(false)
+          println("  n_merged=" + m.count()); m
+        }
+        t("complement rebuild + final join") {
+          val wg = Window.partitionBy("doc_id").orderBy("__s")
+          val headSegs = merged
+            .select(col("doc_id"),
+              (coalesce(lag(col("__e"), 1).over(wg), lit(0L)) + 1L).as("__ks"),
+              (col("__s") - 1L).as("__ke"))
+          val tailSegs = merged.groupBy("doc_id").agg((max("__e") + 1L).as("__ks"))
+            .join(lens, Seq("doc_id"))
+            .select(col("doc_id"), col("__ks"), col("__n").as("__ke"))
+          val rebuilt = headSegs.unionByName(tailSegs)
+            .filter(col("__ke") >= col("__ks"))
+            .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+            .select(col("doc_id"), col("__ks"),
+              col("text").substr(col("__ks").cast("int"),
+                (col("__ke") - col("__ks") + 1L).cast("int")).as("__seg"))
+            .groupBy("doc_id")
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("__ks"), col("__seg")))),
+              x => x.getField("__seg")), "").as("__cleaned"))
+          val stats = merged.groupBy("doc_id")
+            .agg(sum(col("__e") - col("__s") + 1L).as("__removed"))
+          val out = docs.select(col("doc_id"), col("text")).join(lens, Seq("doc_id"))
+            .join(stats, Seq("doc_id"), "left")
+            .join(rebuilt, Seq("doc_id"), "left")
+          println("  n_out=" + out.count())
+        }
+
       case "d67" =>
         // per-round attribution for the prefix-doubling build: which
         // doubling round dominates, and inside a round, how much is the

@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Round-checkpoint hygiene for iteration loops — the d67 lesson as a
+  * shared helper. Every iterative build (prefix doubling, PageRank
+  * rounds, LCP descent) checkpoints a relation per round; done naively
+  * that either (a) lazily checkpoints and frees the parent BEFORE the
+  * successor materializes — a use-after-free race (truncated lineage
+  * cannot recompute; PlanLint lost exactly that race with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), or (b) never frees superseded
+  * rounds, accumulating node-set-sized blocks until GC (the within-query
+  * form of the bench round-isolation lesson — at sf10 a suffix build
+  * squeezed execution memory to literal zero mid-loop).
+  *
+  * The contract here: EAGER localCheckpoint (materialize first), then
+  * free the previous round's blocks (free second), tracking only the
+  * RDD ids THIS loop persisted (set-diff against pre-existing ids, so a
+  * caller's checkpoints are never touched); a GC nudge every `gcEvery`
+  * steps bounds on-disk shuffle state (shuffle files are deleted only
+  * after their dependency is GC'd — an sf10 probe hit ENOSPC without
+  * it). Live storage is bounded by two rounds.
+  *
+  * `freeSuperseded = false` keeps every round alive (the LCP descent
+  * needs all doubling rounds) — freeing is then the caller's duty via
+  * the ids [[stepTracked]] returns. */
+final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
+                              freeSuperseded: Boolean = true) {
+  private var live: Set[Int] = Set.empty
+  private var n = 0
+
+  private def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+
+  def free(ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+  /** Materialize `df` eagerly, free the superseded round, return the
+    * checkpointed frame plus the RDD ids this step persisted. */
+  def stepTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = persistedIds
+    val out = df.localCheckpoint(true) // eager: materialize-then-free
+    val fresh = persistedIds -- before
+    if (freeSuperseded) free(live)
+    live = fresh
+    n += 1
+    if (n % gcEvery == 0) System.gc()
+    (out, fresh)
+  }
+
+  def step(df: DataFrame): DataFrame = stepTracked(df)._1
+
+  /** The final round's ids (still persisted — the loop's output). */
+  def liveIds: Set[Int] = live
+}

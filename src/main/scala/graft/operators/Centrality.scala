@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.LongType
   * back to the node set (the textbook distributed PageRank round), with
   * the node-sized score relation checkpointed per round — un-checkpointed,
   * round i's lazy plan would re-run every earlier round per consumer
-  * (the repo's multi-consumer rule, the BPE loop's O(k²) trap). */
+  * (the repo's multi-consumer rule, the BPE loop's O(k²) trap). Round
+  * hygiene rides [[graft.core.RoundCheckpointer]] (the d67 lesson:
+  * eager materialize-then-free, superseded rounds unpersisted, live
+  * storage bounded at two rounds — at 100 TB node sets the accumulated
+  * lazy blocks of the naive form are real memory). */
 object Centrality {
 
   /** `edges` = one row per UNDIRECTED edge (src, dst) — symmetrized
@@ -49,7 +53,8 @@ object Centrality {
       .agg(count(lit(1)).cast(LongType).as("deg"))
       .localCheckpoint(false)
     val base = lit(unit * 15L / 100L)
-    var scores = n.withColumn("s", lit(unit)).localCheckpoint(false)
+    val rounds = new graft.core.RoundCheckpointer(nodes.sparkSession.sparkContext)
+    var scores = rounds.step(n.withColumn("s", lit(unit)))
     var i = 0
     while (i < iters) {
       val contrib = scores
@@ -57,11 +62,10 @@ object Centrality {
         .join(sym, scores("id") === sym("src"))
         .select(col("dst").as("id"), expr("s div deg").as("c"))
         .groupBy("id").agg(sum("c").as("m"))
-      scores = n
+      scores = rounds.step(n
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (base + expr("(85 * coalesce(m, 0L)) div 100")).as("s"))
-        .localCheckpoint(false)
+          (base + expr("(85 * coalesce(m, 0L)) div 100")).as("s")))
       i += 1
     }
     scores

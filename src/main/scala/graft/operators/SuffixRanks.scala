@@ -92,24 +92,11 @@ object SuffixRanks {
       case None => emptyRanks(docs, "lcp")
       case Some(b) =>
         val sc = docs.sparkSession.sparkContext
-        def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-        var descentIds: Set[Int] = Set.empty
-        var nSteps = 0
-        def step(df: DataFrame): DataFrame = {
-          val before = persistedIds
-          val out = df.localCheckpoint(true) // materialize-then-free rule
-          val fresh = persistedIds -- before
-          descentIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-          descentIds = fresh
-          nSteps += 1
-          // superseded levels' SHUFFLE files are deleted only after their
-          // ShuffleDependency is GC'd — without a nudge a single sf10
-          // descent accumulates tens of GB of spill on disk (the build
-          // observed ENOSPC). A GC every few levels bounds it.
-          if (nSteps % 4 == 0) System.gc()
-          out
-        }
+        // materialize-then-free + GC nudge: the shared round hygiene
+        // (graft.core.RoundCheckpointer — the helper this loop's lessons
+        // produced)
+        val rc = new graft.core.RoundCheckpointer(sc)
+        def step(df: DataFrame): DataFrame = rc.step(df)
         // global suffix order -> adjacent pairs (sid, sid+1). The order is
         // (rank, doc_id, pos); the tie-break never affects an LCP value
         // (members of a tied group are identical suffixes).
@@ -185,6 +172,97 @@ object SuffixRanks {
             coalesce(col("__m"), lit(0L)).as("lcp"))
     }
 
+  /** ExactSubstr span removal DRIVEN BY THE RANK INDEX (Lee et al. 2021,
+    * arXiv:2107.06499 §4 — the composition the index exists for): every
+    * length-`l` character window that occurs more than once in the corpus
+    * is a rank TIE in the L-capped prefix-doubling index (d68's
+    * invariant: two full windows tie iff their l-char substrings are
+    * byte-identical); the FIRST occurrence (minimal (doc_id, pos)) is
+    * elected keeper and every other occurrence's character range
+    * [pos, pos+l−1] is cut from its document. Contrast with
+    * [[Dedup.exactSubstringRemoval]] (d44): d44 shuffles an md5 over the
+    * window TEXT (O(l) key bytes per position, token granularity), while
+    * this shuffles the 8-byte integer ranks the doubling loop already
+    * produced — same removal semantics, the real index underneath.
+    *
+    * Same window-granular guarantee as d44: overlapping/adjacent removed
+    * windows merge for free (interval union, then ONE complement rebuild
+    * per doc — removal is interval arithmetic over duplicated-occurrence
+    * counts, never a per-character relation), and for self-overlapping
+    * periodic repeats the rn>1 windows can overlap the keeper window, so
+    * a doc that is one long repeat keeps fewer than `l` characters of
+    * it. A doc whose every window is duplicated (an exact twin) cleans
+    * to the empty string.
+    *
+    * Scale: the index build is the n log l doubling loop; the removal
+    * stages are (a) one rank-keyed window over full-window positions
+    * (group size = duplication multiplicity), (b) a per-doc interval
+    * merge over DROPPED occurrences only, (c) a per-doc segment rebuild
+    * whose row count is merged-interval-bounded. Nothing is quadratic
+    * and nothing re-materializes the corpus beyond the one text join the
+    * rebuild needs. `l` must be a power of two (the doubling cap);
+    * `docs` must carry non-empty texts (the [[suffixRanks]] contract).
+    *
+    * Returns one row per input doc:
+    * (doc_id, n_chars, chars_removed, cleaned_text). */
+  def spanRemoval(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 2 && (l & (l - 1)) == 0, s"window length must be a power of two, got $l")
+    val ranks = suffixRanks(docs, maxPrefix = l.toLong)
+    val lens = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("__n"))
+    // group structure among FULL windows is unaffected by computing ranks
+    // over all positions first (a <l-char suffix can never tie a full
+    // window: sentinel vs real rank — the d68 argument)
+    val full = ranks.join(lens, Seq("doc_id"))
+      .filter(col("pos") + (l - 1) <= col("__n"))
+    val dropped = full
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("rank").orderBy(col("doc_id"), col("pos"))))
+      .filter(col("__rn") > 1) // rn>1 ⟹ the rank group is a duplicate group
+      .select(col("doc_id"), col("pos").as("__s"),
+        (col("pos") + (l - 1)).as("__e"))
+    // classic running-max interval union per doc (adjacent intervals merge
+    // too — the complement is identical either way, this just keeps the
+    // merged relation minimal)
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("__s"), col("__e"))
+    val runMax = max(col("__e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dropped
+      .withColumn("__brk",
+        when(runMax.isNull || col("__s") > runMax + 1L, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(wOrd))
+      .groupBy("doc_id", "__grp")
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+      .localCheckpoint(false) // 3 consumers: head segments, tails, stats
+    val wg = Window.partitionBy("doc_id").orderBy("__s")
+    val headSegs = merged
+      .select(col("doc_id"),
+        (coalesce(lag(col("__e"), 1).over(wg), lit(0L)) + 1L).as("__ks"),
+        (col("__s") - 1L).as("__ke"))
+    val tailSegs = merged.groupBy("doc_id").agg((max("__e") + 1L).as("__ks"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("__ks"), col("__n").as("__ke"))
+    val rebuilt = headSegs.unionByName(tailSegs)
+      .filter(col("__ke") >= col("__ks"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("__ks"),
+        col("text").substr(col("__ks").cast("int"),
+          (col("__ke") - col("__ks") + 1L).cast("int")).as("__seg"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__ks"), col("__seg")))),
+        x => x.getField("__seg")), "").as("__cleaned"))
+    val stats = merged.groupBy("doc_id")
+      .agg(sum(col("__e") - col("__s") + 1L).as("__removed"))
+    docs.select(col("doc_id"), col("text")).join(lens, Seq("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__n").as("n_chars"),
+        coalesce(col("__removed"), lit(0L)).as("chars_removed"),
+        // a doc with removals but NO kept segment (fully duplicated)
+        // cleans to "" — only a no-removals doc falls back to its text
+        when(col("__removed").isNull, col("text"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text"))
+  }
+
   private def emptyRanks(docs: DataFrame, valueCol: String): DataFrame =
     docs.select(col("doc_id"), lit(0L).as("pos"), lit(0L).as(valueCol))
       .limit(0)
@@ -237,30 +315,19 @@ object SuffixRanks {
     // unless `retain`, where every round is kept (the LCP descent needs
     // them) and freeing is the CALLER's duty via the returned ids.
     val sc = docs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    var prevIds: Set[Int] = Set.empty
-    var nCheckpoints = 0
     val rounds = ListBuffer.empty[DataFrame]
     val roundIds = ListBuffer.empty[Set[Int]]
+    // EAGER checkpoint + free-superseded + GC nudge via the shared
+    // RoundCheckpointer (this loop's lessons, now one helper: a lazy
+    // checkpoint freed before its first action is a use-after-free race —
+    // PlanLint lost it with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; unfreed
+    // rounds squeezed sf10 execution memory to zero; un-GC'd shuffle
+    // files hit ENOSPC). retain = true keeps every round for the LCP
+    // descent — freeing is then the caller's duty via roundIds.
+    val rc = new graft.core.RoundCheckpointer(sc, freeSuperseded = !retain)
     def checkpointTracked(df: DataFrame): DataFrame = {
-      val before = persistedIds
-      // EAGER checkpoint, deliberately: a lazy localCheckpoint(false)
-      // truncates lineage but materializes only on first action — freeing
-      // the parent round's blocks before that action is a use-after-free
-      // race (the successor cannot recompute through truncated lineage;
-      // PlanLint lost the race with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-      // while Verify happened to win it). Materialize first, free second.
-      val out = df.localCheckpoint(true)
-      val newIds = persistedIds -- before
-      if (!retain)
-        prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = newIds
-      roundIds += newIds
-      nCheckpoints += 1
-      // bound on-disk shuffle state: superseded rounds' shuffle files are
-      // only deleted after a GC notices their dependencies are unreachable
-      // (see the step() note in suffixLcp — an sf10 build hit ENOSPC)
-      if (nCheckpoints % 4 == 0) System.gc()
+      val (out, fresh) = rc.stepTracked(df)
+      roundIds += fresh
       out
     }
     def record(df: DataFrame): DataFrame = { rounds += df; df }

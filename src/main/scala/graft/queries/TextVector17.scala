@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Twentieth coverage batch (round 9) —
+  *
+  *  - d86: the suffix-index halves finally meet: ExactSubstr
+  *    duplicated-span REMOVAL (Lee et al. 2021 §4) driven by the real
+  *    L-capped prefix-doubling rank index
+  *    ([[graft.operators.SuffixRanks.spanRemoval]]) instead of d44's
+  *    fixed-width window hashes — emitting the cleaned corpus itself.
+  */
+object TextVector17 {
+
+  def defs: Seq[QueryDef] = Seq(d86)
+
+  /** Suffix-index-driven duplicated-span removal: every 16-char window
+    * occurring more than once in the corpus is a rank tie in the capped
+    * doubling index (d68); all but the first occurrence (min (doc_id,
+    * pos)) are cut, overlapping cuts merged by interval union, and the
+    * document REBUILT from the complement segments — judged as the
+    * cleaned corpus (doc_id, n_chars, chars_removed, cleaned_text), so
+    * the hash gate replays span selection AND removal byte-for-byte.
+    * The DuckDB oracle takes the quadratic-memory shortcut for the
+    * grouping (window functions over substr(text, i, 16)) and then the
+    * identical interval-merge + complement rebuild; agreement of the
+    * two span-group derivations is the capped Manber-Myers invariant
+    * d68 pins. Fixture: d68's — every 5th doc, twins every 15th under
+    * id+5e9, so exact twins (fully removed, cleaned_text = '') and
+    * partial boilerplate overlaps both occur at every SF. */
+  val d86 = QueryDef("d86_suffix_span_removal",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      graft.operators.SuffixRanks.spanRemoval(base.unionByName(twins), 16)
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0 AND len(text) >= 1),
+      d AS (SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 5000000000, text FROM base WHERE doc_id % 15 = 0),
+      dl AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n FROM d),
+      f AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 16) AS g
+        FROM d, UNNEST(generate_series(1, len(text) - 15)) AS u(i)
+        WHERE len(text) >= 16),
+      w AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+          FROM f) WHERE rn > 1),
+      mk AS (SELECT doc_id, pos AS s, pos + 15 AS e,
+          CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          THEN 1 ELSE 0 END AS brk
+        FROM w),
+      grp AS (SELECT doc_id, s, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid FROM mk),
+      mg AS (SELECT doc_id, gid, min(s) AS s, max(e) AS e FROM grp GROUP BY 1, 2),
+      stats AS (SELECT doc_id, SUM(e - s + 1) AS removed FROM mg GROUP BY 1),
+      segs AS (SELECT doc_id, ks, ke FROM (
+          SELECT doc_id,
+            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+            s - 1 AS ke
+          FROM mg
+          UNION ALL
+          SELECT t.doc_id, t.ks, dl.n AS ke
+          FROM (SELECT doc_id, max(e) + 1 AS ks FROM mg GROUP BY 1) t
+          JOIN dl USING (doc_id))
+        WHERE ke >= ks),
+      reb AS (SELECT segs.doc_id,
+          string_agg(substr(text, CAST(ks AS INT), CAST(ke - ks + 1 AS INT)),
+            '' ORDER BY ks) AS ct
+        FROM segs JOIN d USING (doc_id) GROUP BY 1)
+      SELECT d.doc_id, dl.n AS n_chars,
+        CAST(coalesce(stats.removed, 0) AS BIGINT) AS chars_removed,
+        CASE WHEN stats.doc_id IS NULL THEN d.text
+             ELSE coalesce(reb.ct, '') END AS cleaned_text
+      FROM d JOIN dl USING (doc_id)
+      LEFT JOIN stats USING (doc_id)
+      LEFT JOIN reb USING (doc_id)
+      ORDER BY doc_id"""))
+}
