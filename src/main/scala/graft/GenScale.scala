@@ -53,7 +53,17 @@ object GenScale {
     val P = 100000000L   // part
     val O = 1000000000L  // order
     val E = 10000000000L // event
-    val D = 100000000L   // document / vector
+    // document/vector stride: deliberately SMALL. Judged fixtures inject
+    // twins at doc_id + 1e9..7e9; a 1e8 stride put tile >= 10 ids INTO
+    // that band (at sf10, 250k real docs sat above 5e9), so twin
+    // injections collided with real ids and every probe of a
+    // twin-injecting query measured a polluted workload (caught round 9:
+    // n_dropped > n_pos in the d86 stage profile — an impossibility).
+    // 1e6 keeps 300 tiles below 3e8, an order of magnitude under the
+    // smallest injection offset.
+    val D = 1000000L     // document / vector
+    require(tiles.toLong * D + 1000000L <= 1000000000L,
+      s"$tiles tiles would push doc ids into the twin-injection band (>= 1e9)")
 
     def tiled(table: String, tile: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")

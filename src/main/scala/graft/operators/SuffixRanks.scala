@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.LongType
   * doubling loop is the O(k²) lazy-replay trap the BPE loop documents). */
 object SuffixRanks {
 
+  /** Group-table size under which a doubling round ranks GROUPS (aggregate
+    * + exact prefix sum + broadcast join) instead of sorting positions —
+    * ~1M (r, r2, rank) rows ≈ 25 MB broadcast, well under executor
+    * budgets; beyond it the diverse-rank full sort has no heavy groups
+    * left to fear. */
+  private val AggPathMaxGroups = 1000000L
+
   /** `docs`: (doc_id, text), empty texts excluded by the caller. Returns
     * (doc_id, pos, rank) with 1-based character positions.
     *
@@ -368,15 +375,43 @@ object SuffixRanks {
           lead(col("r"), off.toInt).over(
             Window.partitionBy("doc_id").orderBy("pos")),
           lit(0L)))
-      // rank() of the (r, r2) pair in ONE bucket-partitioned sort: the
-      // fused helper replaces globalRowIds + a second (r,r2)-partitioned
-      // group-min window — the bucket is f(r) so every pair group lies in
-      // one bucket, and the within-bucket order IS the group order.
-      val next = checkpointTracked(graft.core.Indexing.globalGroupRank(
-          paired, "r", Seq(col("r").asc, col("r2").asc),
-          Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
-        .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
-          col("__r_new").as("r")))
+      // Two physical forms for "rank() of the (r, r2) pair", chosen by the
+      // round's GROUP-TABLE size (round-9 sf10 lesson): early rounds have
+      // alphabet^(2^t)-bounded group tables (416 / 6.6k / 215k groups at
+      // sf10) but POSITION-scale heavy groups (the space-character group is
+      // 9.9M rows), and the bucketed full sort cannot split a group across
+      // buckets — it degenerates to single-task sorts of the heavy groups.
+      // When the group table is small, rank the GROUPS instead: one
+      // map-side-combining aggregate (60M rows in, m out), an exact
+      // weighted prefix sum over the m-row group table (rank of a group =
+      // 1 + Σ counts of strictly smaller groups — rank() semantics by
+      // definition), and a broadcast join back — no corpus-scale sort at
+      // all. Late rounds (diverse r, no heavy groups) take the full
+      // bucketed sort as before. The aggregate probe costs one cheap
+      // combining pass even when it loses.
+      val pc = paired.groupBy("r", "r2").agg(count(lit(1)).as("__w")).persist()
+      val m = pc.count()
+      val next0 =
+        if (m <= AggPathMaxGroups) {
+          val grpRanks = graft.core.Indexing.globalPrefixSum(
+              pc, "r", "__w", "__ps", tieBreak = Seq("r2"))
+            .select(col("r"), col("r2"), (col("__ps") + 1L).as("__r_next"))
+          paired.join(broadcast(grpRanks), Seq("r", "r2"))
+            .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
+              col("__r_next").as("r"))
+        } else {
+          // the fused helper replaces globalRowIds + a second
+          // (r,r2)-partitioned group-min window — the bucket is f(r) so
+          // every pair group lies in one bucket, and the within-bucket
+          // order IS the group order.
+          graft.core.Indexing.globalGroupRank(
+              paired, "r", Seq(col("r").asc, col("r2").asc),
+              Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
+            .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
+              col("__r_new").as("r"))
+        }
+      val next = checkpointTracked(next0) // eager: pc fully consumed after
+      pc.unpersist(false)
       converged = next.filter(col("r") =!= col("__r_old")).isEmpty
       ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L
