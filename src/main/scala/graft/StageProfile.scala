@@ -178,6 +178,65 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
+      case "d86rounds" =>
+        // per-part attribution INSIDE the capped doubling rounds on the
+        // d86 fixture: lead window vs pair-count aggregate vs group
+        // ranking (broadcast or bucketed) vs checkpoint. Mirrors the
+        // current SuffixRanks loop by hand.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val base = graft.core.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+          .select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+        val docs = base.unionByName(twins)
+        val positions = docs
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), col("n"))).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr("substring(text, pos, 1)").as("ch"))
+        val charRanks = positions.groupBy("ch").agg(count(lit(1)).as("cnt"))
+          .withColumn("r", coalesce(sum("cnt").over(
+            Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)) + 1L)
+          .select("ch", "r")
+        var ranks = t("init: positions+charRanks+checkpoint") {
+          val r0 = positions.join(broadcast(charRanks), Seq("ch"))
+            .select(col("doc_id"), col("pos"), col("r")).localCheckpoint(true)
+          println("  n_pos=" + r0.count()); r0
+        }
+        val nPos = ranks.count()
+        var off = 1L
+        var round = 0
+        while (off < 16) {
+          round += 1
+          val paired = t(s"round $round: lead window -> persist") {
+            val p = ranks.withColumn("r2", coalesce(
+              lead(col("r"), off.toInt).over(
+                Window.partitionBy("doc_id").orderBy("pos")), lit(0L))).persist()
+            p.count(); p
+          }
+          val pc = t(s"round $round: pair-count aggregate") {
+            val c = paired.groupBy("r", "r2").agg(count(lit(1)).as("__w")).persist()
+            println("  m=" + c.count()); c
+          }
+          val next = t(s"round $round: broadcast group-rank + checkpoint") {
+            val grpRanks = graft.core.Indexing.globalPrefixSum(
+                pc, "r", "__w", "__ps", tieBreak = Seq("r2"))
+              .select(col("r"), col("r2"), (col("__ps") + 1L).as("__r_next"))
+            val n = paired.join(broadcast(grpRanks), Seq("r", "r2"))
+              .select(col("doc_id"), col("pos"), col("__r_next").as("r"))
+              .localCheckpoint(true)
+            n.count(); n
+          }
+          pc.unpersist(false); paired.unpersist(false)
+          ranks.unpersist(false)
+          ranks = next
+          off *= 2
+        }
+
       case "d86" =>
         // span-removal attribution: capped index build vs dropped-window
         // election vs interval merge vs complement rebuild. Mirrors

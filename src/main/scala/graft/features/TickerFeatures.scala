@@ -522,6 +522,10 @@ object TickerFeatures {
         max_by(col("dividendYield"), col("date")).as("__dy_last"),
         max_by(when(col("__y_valid"), col("dividendYield")),
           when(col("__y_valid"), col("date"))).as("__y_cur"),
+        // percentile-family audit (r9): this aggregate's value buffer is
+        // ONE ticker's valid-yield history — entity-history-bounded, the
+        // safe side of the d53 contract (corpus-sized groups moved to
+        // Indexing.groupQuantiles in r8; this one stays an aggregate).
         percentile(when(col("__y_valid"), col("dividendYield")), lit(0.5)).as("__y_med"),
         count(when(col("__y_valid"), 1)).as("__y_n"),
         max_by(when(pvValid, col("priceEarningsRatio")), when(pvValid, col("date"))).as("__pe"),
@@ -614,6 +618,10 @@ object TickerFeatures {
         max_by(col("dividendYield"), col("date")).as("__dy_last"),
         max_by(when(col("__y_valid"), col("dividendYield")),
           when(col("__y_valid"), col("date"))).as("__y_cur"),
+        // percentile-family audit (r9): this aggregate's value buffer is
+        // ONE ticker's valid-yield history — entity-history-bounded, the
+        // safe side of the d53 contract (corpus-sized groups moved to
+        // Indexing.groupQuantiles in r8; this one stays an aggregate).
         percentile(when(col("__y_valid"), col("dividendYield")), lit(0.5)).as("__y_med"),
         count(when(col("__y_valid"), 1)).as("__y_n"),
         max_by(when(pvValid, col("priceEarningsRatio")), when(pvValid, col("date"))).as("__pe"),

@@ -295,17 +295,47 @@ object SuffixRanks {
       case r => r.getInt(0)
     }
     if (maxLen < 1) return None
-    // position relation: (doc_id, pos, ch) — the only text-bearing pass
-    val positions = docs
+    val effMaxPre = math.min(maxLen.toLong, maxPrefix)
+    // base position relation (doc_id, text, pos) — narrow, cheap to
+    // re-derive (the d74 rule), consumed by the start-table probes and the
+    // initial rank join
+    val posBase = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), col("n"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr("substring(text, pos, 1)").as("ch"))
-    // initial rank: 1 + count of positions with a strictly smaller char.
-    // The char histogram is alphabet-bounded; its exclusive cumsum runs
-    // over that reduced relation (the PlanLint-sanctioned shape) and
-    // broadcasts back.
+    // G-GRAM START (round-9 sf10 lesson): each doubling round moves the
+    // whole position relation — one lead-window exchange, one ranking
+    // pass, one eager checkpoint ≈ 50 s at 60M positions REGARDLESS of
+    // how cheap the ranking itself is (profiled: the broadcast variant
+    // with a 416-row group table still cost 54 s — the materialization IS
+    // the cost). But rank-of-G-prefix needs no doubling at all when the
+    // G-gram GROUP TABLE is broadcastable: binary string order over the
+    // G-grams is exactly the capped-rank order (shorter-suffix-first
+    // included — bare string comparison IS the sentinel rule), so the
+    // start rank = 1 + exclusive prefix sum of group counts in string
+    // order, one narrow aggregate + one broadcast join. Collapsing the
+    // first log2(G) rounds this way replaces log2(G) full-relation passes
+    // with one. Probe G downward from min(16, cap) until the table fits
+    // (each losing probe costs one map-side-combining aggregate).
+    // retain mode (the LCP descent) needs EVERY power-of-two level, so it
+    // keeps the classic char start.
+    var startG = 1L
+    var startTable: Option[DataFrame] = None
+    if (!retain) {
+      var g = { var x = 1L; while (x * 2 <= math.min(16L, effMaxPre)) x *= 2; x }
+      while (g >= 2 && startTable.isEmpty) {
+        val tbl = posBase.select(expr(s"substring(text, pos, $g)").as("__g"))
+          .groupBy("__g").agg(count(lit(1)).as("__w")).persist()
+        if (tbl.count() <= AggPathMaxGroups) { startTable = Some(tbl); startG = g }
+        else { tbl.unpersist(false); g /= 2 }
+      }
+    }
+    // initial rank fallback: 1 + count of positions with a strictly
+    // smaller char. The char histogram is alphabet-bounded; its exclusive
+    // cumsum runs over that reduced relation (the PlanLint-sanctioned
+    // shape) and broadcasts back.
+    val positions = posBase.select(col("doc_id"), col("pos"),
+      expr("substring(text, pos, 1)").as("ch"))
     val charRanks = positions.groupBy("ch").agg(count(lit(1)).as("cnt"))
       .withColumn("r", coalesce(sum("cnt").over(
         Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)),
@@ -338,16 +368,31 @@ object SuffixRanks {
       out
     }
     def record(df: DataFrame): DataFrame = { rounds += df; df }
-    var ranks = record(checkpointTracked(positions
-      .join(broadcast(charRanks), Seq("ch"))
-      .select(col("doc_id"), col("pos"), col("r"))))
+    var ranks = record(checkpointTracked(startTable match {
+      case Some(tbl) =>
+        // exclusive prefix sum over the bounded aggregate output (the
+        // intervalPrefixAgg-sanctioned global-window shape)
+        val ranked = tbl.withColumn("r",
+            coalesce(sum("__w").over(Window.orderBy("__g")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+          .select("__g", "r")
+        posBase
+          .select(col("doc_id"), col("pos"),
+            expr(s"substring(text, pos, $startG)").as("__g"))
+          .join(broadcast(ranked), Seq("__g"))
+          .select(col("doc_id"), col("pos"), col("r"))
+      case None =>
+        positions.join(broadcast(charRanks), Seq("ch"))
+          .select(col("doc_id"), col("pos"), col("r"))
+    }))
+    startTable.foreach(_.unpersist(false))
     // rank values are strictly-smaller COUNTS + 1, so every round's ranks
     // live in [1, nPositions] — known bounds let each round's globalRowIds
     // skip its min/max pre-scan (one full pass saved per doubling round);
     // the count itself reads the just-materialized checkpoint blocks once
     val nPos = ranks.count()
     val rankBounds = Some((1.0, math.max(1L, nPos).toDouble))
-    var off = 1L
+    var off = startG
     // convergence early-exit: if a doubling round splits no group, no
     // longer round can either (an unsplit group's members have
     // rank-identical extensions at every offset — the standard
@@ -370,11 +415,15 @@ object SuffixRanks {
       // `StageProfile d67`) while the per-doc window is doc-bounded by
       // construction. Beyond-end positions take sentinel 0 (< every real
       // rank — the shorter-suffix-first rule).
+      // persisted: the pair-count aggregate AND the ranking pass both
+      // consume it — un-persisted, the lead-window exchange re-runs per
+      // consumer (the multi-consumer rule; ~15 s/round at sf10)
       val paired = ranks
         .withColumn("r2", coalesce(
           lead(col("r"), off.toInt).over(
             Window.partitionBy("doc_id").orderBy("pos")),
           lit(0L)))
+        .persist()
       // Two physical forms for "rank() of the (r, r2) pair", chosen by the
       // round's GROUP-TABLE size (round-9 sf10 lesson): early rounds have
       // alphabet^(2^t)-bounded group tables (416 / 6.6k / 215k groups at
@@ -410,8 +459,9 @@ object SuffixRanks {
             .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
               col("__r_new").as("r"))
         }
-      val next = checkpointTracked(next0) // eager: pc fully consumed after
+      val next = checkpointTracked(next0) // eager: pc+paired fully consumed after
       pc.unpersist(false)
+      paired.unpersist(false)
       converged = next.filter(col("r") =!= col("__r_old")).isEmpty
       ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L

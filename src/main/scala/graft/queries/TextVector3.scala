@@ -51,9 +51,33 @@ object TextVector3 {
     * maxDist sets selectivity: k+1 segments over a 40-char prefix stay
     * ~8 chars at k=4 — strong exact-match pruning; a large k (say 12)
     * degrades segments to trigrams, which natural text shares by chance,
-    * and candidates go quadratic again. */
+    * and candidates go quadratic again.
+    *
+    * HOT-KEY HIERARCHICAL REFINEMENT (round 9 — the exact-preserving
+    * prune for the one residual super-linearity): Zipf-frequent segments
+    * ("customer", " the ", …) saturate their key cardinality, so their
+    * blocks grow ∝ corpus and their join output ∝ corpus² — at sf10 the
+    * keys with block > 64 carried 51% of the total join mass
+    * (Σ block², measured). For those keys ONLY, the join key is REFINED
+    * with a second PassJoin level over the COMPLEMENTS: if the witness
+    * segment j matched exactly at pos, there is an edit script in which
+    * the left and right remainders align with e_L + e_R ≤ k edits, so
+    * ed(comp_a, comp_b) ≤ k for comp = prefix minus the matched segment
+    * (concatenation of two aligned scripts). PassJoin applies again:
+    * partition comp_b (length l−w, a pure function of (l, j)) into k+1
+    * sub-segments; some sub-segment matches exactly in comp_a within the
+    * SAME shift filter (D₂ = (len−w) − (l−w) = D). Completeness is the
+    * same pigeonhole, soundness is still the inline banded levenshtein
+    * on the FULL prefixes, and the cold path is untouched — so the
+    * output is identical by construction (and the naive all-pairs oracle
+    * doubles as the completeness check, as before). Measured at sf10:
+    * hot-block mass 26.9M → ~0.4–1.1M under a single 7-char complement
+    * slice; the probe inflation is ×~25 on hot probe rows only. Keys
+    * whose complement is too short for a meaningful second grid
+    * (l − w < 2(k+1)) stay cold — the tiny-string stratum is inherently
+    * quadratic (scaladoc above). */
   def editDistancePairs(docs: DataFrame, prefixLen: Int,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int, hotThreshold: Int = 64): DataFrame = {
     val k = maxDist
     val nSeg = k + 1
     // segmentation of an l-length string (SQL fragments over a length
@@ -99,11 +123,24 @@ object TextVector3 {
                      greatest(0, ${segStart("l", "j")} - (($k - (len - l)) div 2)),
                      least(len - ${segLen("l", "j")},
                        ${segStart("l", "j")} + ((len - l) + $k) div 2)),
-                pos -> struct(l AS l, j AS j,
+                pos -> struct(l AS l, j AS j, pos AS pos,
                   substring(p, pos + 1, ${segLen("l", "j")}) AS s))
               ELSE array() END))))""")).as("sub"))
       .select(col("a_id"), col("lang"), col("a_p"), col("sub.l").as("l"),
-        col("sub.j").as("j"), col("sub.s").as("s"))
+        col("sub.j").as("j"), col("sub.pos").as("pos"), col("sub.s").as("s"))
+    val pk = Seq("lang", "l", "j", "s")
+    // keys with segment blocks past the threshold AND a complement long
+    // enough for a second grid get the hierarchical treatment; the set is
+    // n/threshold-bounded, consumed by two marking joins -> checkpoint
+    val hotKeys = segs.groupBy(pk.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > hotThreshold &&
+        expr(s"l - ${segLen("l", "j")}") >= 2 * nSeg)
+      .select(pk.map(col): _*)
+      .withColumn("__hot", lit(true))
+      .localCheckpoint(false)
+    val segsF = segs.join(hotKeys, pk, "left")
+    val subsF = subs.join(hotKeys, pk, "left")
     // VERIFY INLINE, DEDUP LAST (the lesson-4 shape): Zipf-frequent
     // segments make the join output block-quadratic, and materializing it
     // into a distinct shuffle is what died at the sf30 probe
@@ -114,7 +151,7 @@ object TextVector3 {
     // pairs reach the distinct. Redundant verification of a pair matching
     // several segments is bounded by the probe-window size (a small
     // constant) and costs arithmetic, not memory.
-    subs.join(segs, Seq("lang", "l", "j", "s"))
+    def verified(cand: DataFrame): DataFrame = cand
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
@@ -122,6 +159,43 @@ object TextVector3 {
         least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         col("dist"))
+    val cold = verified(
+      subsF.filter(col("__hot").isNull).drop("__hot", "pos")
+        .join(segsF.filter(col("__hot").isNull).drop("__hot"), pk))
+    // hot path: the complement secondary grid. Both sides compute the
+    // matched segment's width w(l, j) from the JOIN KEY, so the secondary
+    // grid length l2 = l - w and the shift bound D2 = D agree.
+    val wE = segLen("l", "j")
+    val stE = segStart("l", "j")
+    val l2E = s"(l - $wE)"
+    val hotSegs = segsF.filter(col("__hot"))
+      .withColumn("comp", expr(
+        s"concat(substring(b_p, 1, $stE), substring(b_p, $stE + $wE + 1, $prefixLen))"))
+      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"), col("b_p"),
+        explode(expr(s"""transform(sequence(0, $k), j2 ->
+            struct(j2 AS j2, substring(comp, ${segStart(l2E, "j2")} + 1,
+              ${segLen(l2E, "j2")}) AS s2))""")).as("sec"))
+      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("b_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
+    val len2E = s"(alen - $wE)"
+    val dE = s"(alen - l)"
+    val lo2 = s"greatest(0, ${segStart(l2E, "j2")} - (($k - $dE) div 2))"
+    val hi2 = s"least($len2E - ${segLen(l2E, "j2")}, ${segStart(l2E, "j2")} + (($dE + $k) div 2))"
+    val hotSubs = subsF.filter(col("__hot"))
+      .withColumn("alen", length(col("a_p")))
+      .withColumn("comp", expr(
+        s"concat(substring(a_p, 1, pos), substring(a_p, pos + $wE + 1, $prefixLen))"))
+      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"), col("a_p"),
+        explode(expr(s"""flatten(transform(sequence(0, $k), j2 ->
+            CASE WHEN $hi2 >= $lo2
+            THEN transform(sequence($lo2, $hi2), pos2 ->
+              struct(j2 AS j2, substring(comp, pos2 + 1,
+                ${segLen(l2E, "j2")}) AS s2))
+            ELSE array() END))""")).as("sec"))
+      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("a_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
+    val hot = verified(hotSubs.join(hotSegs, pk ++ Seq("j2", "s2")))
+    cold.unionByName(hot)
       .distinct()
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
   }

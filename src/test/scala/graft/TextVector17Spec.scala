@@ -72,6 +72,43 @@ class TextVector17Spec extends SparkSpec {
       "the final round only)")
   }
 
+  test("BMP encode/decode: round trip exact; decode matches the JDK's " +
+    "independent ImageIO reader byte-for-byte (padding + bottom-up flip " +
+    "both exercised by width 7)") {
+    val w = 7; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+    val bmp = graft.operators.Multimodal.encodeBmp(w, h, rgb)
+    // 1. our decode inverts our encode exactly
+    val Some((dw, dh, px)) = graft.operators.Multimodal.decodeBmpPixels(bmp)
+    assert(dw == w && dh == h && px.toSeq == rgb.toSeq)
+    // 2. the JDK's OWN BMP reader agrees pixel-for-pixel — an independent
+    // implementation of the format, so encode and decode cannot share a
+    // compensating bug (channel order, padding, row direction)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val p = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (rgb(p) & 0xff), s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) == (rgb(p + 1) & 0xff), s"G at ($x,$y)")
+      assert((argb & 0xff) == (rgb(p + 2) & 0xff), s"B at ($x,$y)")
+    }
+    // 3. top-down BMPs (negative biHeight) decode with the flip skipped:
+    // rewrite the height field and the row order, expect identical pixels
+    val stride = (w * 3 + 3) / 4 * 4
+    val td = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    for (r <- 0 until h)
+      System.arraycopy(bmp, 54 + (h - 1 - r) * stride, td, 54 + r * stride, stride)
+    val Some((_, th, tpx)) = graft.operators.Multimodal.decodeBmpPixels(td)
+    assert(th == h && tpx.toSeq == rgb.toSeq)
+    // 4. strictness: non-24bpp and truncated inputs reject to the stub path
+    val bad = bmp.clone(); bad(28) = 8 // bpp field
+    assert(graft.operators.Multimodal.decodeBmpPixels(bad).isEmpty)
+    assert(graft.operators.Multimodal.decodeBmpPixels(bmp.take(53)).isEmpty)
+  }
+
   test("spanRemoval: degenerate corpus and the power-of-two contract") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
