@@ -178,6 +178,18 @@ object StageProfile {
           println("  n_nodes=" + graft.operators.Dedup
             .connectedComponents(pairs, "id_a", "id_b").count())
         }
+      case "d28sweep" =>
+        // hot-threshold sweep for the hierarchical PassJoin: wall + output
+        // rows per threshold (Int.MaxValue = pure cold path)
+        for (thr <- Seq(Int.MaxValue, 1024, 256, 64)) {
+          t(s"d28 hotThreshold=$thr") {
+            val n = graft.queries.TextVector3.editDistancePairs(
+              graft.core.Tables.documents(spark, dir),
+              prefixLen = 40, maxDist = 4, hotThreshold = thr).count()
+            println(s"  rows=$n")
+          }
+        }
+
       case "d86rounds" =>
         // per-part attribution INSIDE the capped doubling rounds on the
         // d86 fixture: lead window vs pair-count aggregate vs group

@@ -13,7 +13,88 @@ import graft.core.Tables
   */
 object TextVector17 {
 
-  def defs: Seq[QueryDef] = Seq(d86, m3)
+  def defs: Seq[QueryDef] = Seq(d86, m3, e17)
+
+  /** Symmetric int8 scalar quantization + quantized-cosine top-k — the
+    * third embedding-compression serving form beside PQ (e8/e12, 32×) and
+    * 1-bit sign codes (e14, 256×): per-vector scale maxabs/127, code
+    * q_i = round(x_i·127/maxabs) ∈ [−127, 127] (4× smaller scans, and
+    * integer SIMD dot products in a real engine). The quantizer's ONLY
+    * float is the scale division; the rounding is the judged surface
+    * (Spark round = HALF_UP = away-from-zero, DuckDB round = away-from-
+    * zero — same rule), and everything downstream is EXACT integer
+    * arithmetic: the judged row carries the raw BIGINT code dot product
+    * alongside the rounded quantized cosine, so the compression error is
+    * a judged number (compare e2's exact cosine ranks). Zero-norm vectors
+    * quantize to all-zero codes → NULL cosine, pinned below every real
+    * score on both engines (the e14/e15 rule). Scale: corpus ×
+    * broadcast(20-query batch) — the e2 exact-baseline contract. */
+  val e17 = QueryDef("e17_int8_sq_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val codes = emb
+        .withColumn("maxabs", aggregate(
+          transform(col("embedding"), x => abs(x.cast(DoubleType))),
+          lit(0.0), (acc, v) => greatest(acc, v)))
+        .withColumn("q", when(col("maxabs") > 0.0,
+            transform(col("embedding"),
+              x => round(x.cast(DoubleType) * 127.0 / col("maxabs"), 0)
+                .cast(LongType)))
+          .otherwise(transform(col("embedding"), _ => lit(0L))))
+        .withColumn("n2", aggregate(transform(col("q"), v => v * v),
+          lit(0L), (acc, v) => acc + v))
+        .select(col("vec_id"), col("q"), col("n2"))
+      val qs = codes.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("n2").as("na"))
+      val pairs = codes
+        .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+          col("n2").as("nb"))
+        .crossJoin(broadcast(qs))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dotq", aggregate(
+          zip_with(col("qa"), col("qb"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("qcos", when(col("na") > 0L && col("nb") > 0L,
+          col("dotq").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(round(coalesce(col("qcos"), lit(-2.0)), 9).desc,
+          col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dotq"), round(col("qcos"), 4).as("qcos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings WHERE embedding IS NOT NULL),
+      q8 AS (SELECT vec_id,
+        CASE WHEN maxabs > 0.0
+          THEN list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
+          ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+        FROM c),
+      n AS (SELECT vec_id, q,
+        CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2 FROM q8),
+      pr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> a.q[i] * b.q[i])) AS BIGINT) AS dotq,
+          a.n2 AS na, b.n2 AS nb
+        FROM n a CROSS JOIN n b
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      sc AS (SELECT query_id, neighbor_id, dotq,
+          CASE WHEN na > 0 AND nb > 0
+            THEN CAST(dotq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+          END AS qcos
+        FROM pr),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY round(coalesce(qcos, -2.0), 9) DESC, neighbor_id ASC) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dotq,
+        ROUND(qcos, 4) AS qcos_r
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** REAL multimodal decode judged end to end (r8 verdict task 5 — the
     * stub shrinks to genuinely-compressed formats): documents' ASCII bytes

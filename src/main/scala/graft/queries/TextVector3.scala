@@ -72,12 +72,18 @@ object TextVector3 {
     * output is identical by construction (and the naive all-pairs oracle
     * doubles as the completeness check, as before). Measured at sf10:
     * hot-block mass 26.9M → ~0.4–1.1M under a single 7-char complement
-    * slice; the probe inflation is ×~25 on hot probe rows only. Keys
+    * slice; the probe inflation is ×~25 on hot probe rows only. The
+    * default threshold 256 comes from a measured sf10 sweep (64/256/1024/
+    * off → 31/29/34/42 s, identical 295,342 output rows at every setting
+    * — the output-identity claim checked empirically beyond the oracle
+    * SFs): exploded secondary rows price ~an order of magnitude higher
+    * per row than candidates streaming through the join's codegen, so
+    * only genuinely hot blocks should pay the explosion. Keys
     * whose complement is too short for a meaningful second grid
     * (l − w < 2(k+1)) stay cold — the tiny-string stratum is inherently
     * quadratic (scaladoc above). */
   def editDistancePairs(docs: DataFrame, prefixLen: Int,
-                        maxDist: Int, hotThreshold: Int = 64): DataFrame = {
+                        maxDist: Int, hotThreshold: Int = 256): DataFrame = {
     val k = maxDist
     val nSeg = k + 1
     // segmentation of an l-length string (SQL fragments over a length
@@ -139,8 +145,12 @@ object TextVector3 {
       .select(pk.map(col): _*)
       .withColumn("__hot", lit(true))
       .localCheckpoint(false)
-    val segsF = segs.join(hotKeys, pk, "left")
-    val subsF = subs.join(hotKeys, pk, "left")
+    // marking joins BROADCAST, explicitly: the hot-key set is n/threshold-
+    // bounded (2.2k rows at sf10) and a shuffle marking join would move
+    // the whole probe relation on a 4-part string key just to attach one
+    // boolean (measured: ~3× the refinement's entire savings)
+    val segsF = segs.join(broadcast(hotKeys), pk, "left")
+    val subsF = subs.join(broadcast(hotKeys), pk, "left")
     // VERIFY INLINE, DEDUP LAST (the lesson-4 shape): Zipf-frequent
     // segments make the join output block-quadratic, and materializing it
     // into a distinct shuffle is what died at the sf30 probe
@@ -151,7 +161,50 @@ object TextVector3 {
     // pairs reach the distinct. Redundant verification of a pair matching
     // several segments is bounded by the probe-window size (a small
     // constant) and costs arithmetic, not memory.
-    def verified(cand: DataFrame): DataFrame = cand
+    // ONE unified join, not a cold/hot branch split: a split would consume
+    // subsF/segsF twice each and re-execute the whole probe/build
+    // derivation per branch (the multi-consumer trap — measured as a ~2×
+    // regression before this form). Cold rows carry the sentinel
+    // secondary key (-1, ''); hot rows explode their secondary grid — the
+    // key spaces are disjoint (j2 ≥ 0 on hot rows), so the unified join
+    // is exactly cold⋈cold ∪ hot⋈hot.
+    val wE = segLen("l", "j")
+    val stE = segStart("l", "j")
+    val l2E = s"(l - $wE)"
+    val coldSec = array(struct(lit(-1).as("j2"), lit("").as("s2")))
+    val segsG = segsF
+      .withColumn("comp", when(col("__hot").isNotNull, expr(
+          s"concat(substring(b_p, 1, $stE), substring(b_p, $stE + $wE + 1, $prefixLen))"))
+        .otherwise(lit("")))
+      .withColumn("sec", when(col("__hot").isNull, coldSec)
+        .otherwise(expr(s"""transform(sequence(0, $k), j2 ->
+            struct(j2 AS j2, substring(comp, ${segStart(l2E, "j2")} + 1,
+              ${segLen(l2E, "j2")}) AS s2))""")))
+      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("b_p"), explode(col("sec")).as("sec"))
+      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("b_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
+    val len2E = s"(alen - $wE)"
+    val dE = s"(alen - l)"
+    val lo2 = s"greatest(0, ${segStart(l2E, "j2")} - (($k - $dE) div 2))"
+    val hi2 = s"least($len2E - ${segLen(l2E, "j2")}, ${segStart(l2E, "j2")} + (($dE + $k) div 2))"
+    val subsG = subsF
+      .withColumn("alen", length(col("a_p")))
+      .withColumn("comp", when(col("__hot").isNotNull, expr(
+          s"concat(substring(a_p, 1, pos), substring(a_p, pos + $wE + 1, $prefixLen))"))
+        .otherwise(lit("")))
+      .withColumn("sec", when(col("__hot").isNull, coldSec)
+        .otherwise(expr(s"""flatten(transform(sequence(0, $k), j2 ->
+            CASE WHEN $hi2 >= $lo2
+            THEN transform(sequence($lo2, $hi2), pos2 ->
+              struct(j2 AS j2, substring(comp, pos2 + 1,
+                ${segLen(l2E, "j2")}) AS s2))
+            ELSE array() END))""")))
+      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("a_p"), explode(col("sec")).as("sec"))
+      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"),
+        col("a_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
+    subsG.join(segsG, pk ++ Seq("j2", "s2"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dist", levenshtein(col("a_p"), col("b_p"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
@@ -159,43 +212,6 @@ object TextVector3 {
         least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         col("dist"))
-    val cold = verified(
-      subsF.filter(col("__hot").isNull).drop("__hot", "pos")
-        .join(segsF.filter(col("__hot").isNull).drop("__hot"), pk))
-    // hot path: the complement secondary grid. Both sides compute the
-    // matched segment's width w(l, j) from the JOIN KEY, so the secondary
-    // grid length l2 = l - w and the shift bound D2 = D agree.
-    val wE = segLen("l", "j")
-    val stE = segStart("l", "j")
-    val l2E = s"(l - $wE)"
-    val hotSegs = segsF.filter(col("__hot"))
-      .withColumn("comp", expr(
-        s"concat(substring(b_p, 1, $stE), substring(b_p, $stE + $wE + 1, $prefixLen))"))
-      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"), col("b_p"),
-        explode(expr(s"""transform(sequence(0, $k), j2 ->
-            struct(j2 AS j2, substring(comp, ${segStart(l2E, "j2")} + 1,
-              ${segLen(l2E, "j2")}) AS s2))""")).as("sec"))
-      .select(col("b_id"), col("lang"), col("l"), col("j"), col("s"),
-        col("b_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
-    val len2E = s"(alen - $wE)"
-    val dE = s"(alen - l)"
-    val lo2 = s"greatest(0, ${segStart(l2E, "j2")} - (($k - $dE) div 2))"
-    val hi2 = s"least($len2E - ${segLen(l2E, "j2")}, ${segStart(l2E, "j2")} + (($dE + $k) div 2))"
-    val hotSubs = subsF.filter(col("__hot"))
-      .withColumn("alen", length(col("a_p")))
-      .withColumn("comp", expr(
-        s"concat(substring(a_p, 1, pos), substring(a_p, pos + $wE + 1, $prefixLen))"))
-      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"), col("a_p"),
-        explode(expr(s"""flatten(transform(sequence(0, $k), j2 ->
-            CASE WHEN $hi2 >= $lo2
-            THEN transform(sequence($lo2, $hi2), pos2 ->
-              struct(j2 AS j2, substring(comp, pos2 + 1,
-                ${segLen(l2E, "j2")}) AS s2))
-            ELSE array() END))""")).as("sec"))
-      .select(col("a_id"), col("lang"), col("l"), col("j"), col("s"),
-        col("a_p"), col("sec.j2").as("j2"), col("sec.s2").as("s2"))
-    val hot = verified(hotSubs.join(hotSegs, pk ++ Seq("j2", "s2")))
-    cold.unionByName(hot)
       .distinct()
       .select(col("a_id"), col("b_id"), col("lang"), col("dist"))
   }
