@@ -129,10 +129,25 @@ object GenScale {
       write(tiled("events", (d, i) => d
         .withColumn("event_id", col("event_id") + i * E)
         .withColumn("user_id", col("user_id") + i * C)), "events")
+      // Tile token tag: 3 base-16 digits + 1 checksum digit, so ANY two
+      // distinct tags differ in >= 2 chars (a single-digit change breaks
+      // the checksum). The earlier sequential t$i tags made tiles t10/t11
+      // differ by ONE char per token — with ~4 tokens in a 40-char prefix
+      // that is edit distance 4, and EVERY doc gained ~dozens of
+      // systematic cross-tile "near-duplicates": d28's sf10 output was
+      // 3,700x sf0.1's for 100x data, 100% of sampled pairs cross-tile
+      // artifacts. Real corpus growth adds entities, not 1-edit copies of
+      // every doc; >= 2 chars per token x >= 4 tokens per prefix keeps
+      // cross-tile prefixes past any sane edit threshold while each tile
+      // keeps the SAME internal near-dup structure.
+      def tileTag(i: Int): String = {
+        val ds = Seq((i >> 8) & 15, (i >> 4) & 15, i & 15)
+        (ds :+ (ds.sum & 15)).map(Integer.toHexString).mkString
+      }
       write(tiled("documents", (d, i) => d
         .withColumn("doc_id", col("doc_id") + i * D)
         .withColumn("text", array_join(transform(split(col("text"), "\\s+"),
-          w => concat(lit(s"t$i"), w)), " "))
+          w => concat(lit(tileTag(i)), w)), " "))
         .withColumn("source", concat(col("source"), lit(s"_t$i")))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
       write(tiled("embeddings", (d, i) => d
