@@ -49,6 +49,13 @@ object SuffixRanks {
     * left to fear. */
   private val AggPathMaxGroups = 1000000L
 
+  /** Position count below which the G-gram start and the per-round
+    * group-table probe are SKIPPED entirely: at small inputs the sorts
+    * they replace are trivial and the extra synchronous jobs dominate
+    * (measured: d67 6.0 → 9.2 s and d69 8.9 → 20.8 s at sf0.1's ~70k
+    * positions, while the same machinery cut d86 3× at sf10's 66M). */
+  private val AggPathMinPositions = 4000000L
+
   /** `docs`: (doc_id, text), empty texts excluded by the caller. Returns
     * (doc_id, pos, rank) with 1-based character positions.
     *
@@ -290,12 +297,14 @@ object SuffixRanks {
     * gate caught exactly this). */
   private def buildRanks(docs: DataFrame, maxPrefix: Long,
                          retain: Boolean): Option[Build] = {
-    val maxLen = docs.agg(max(length(col("text")))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
+    val (maxLen, nPosEst) =
+      docs.agg(max(length(col("text"))), sum(length(col("text")))).head() match {
+        case r if r.isNullAt(0) => (0, 0L)
+        case r => (r.getInt(0), r.getLong(1))
+      }
     if (maxLen < 1) return None
     val effMaxPre = math.min(maxLen.toLong, maxPrefix)
+    val bigBuild = nPosEst >= AggPathMinPositions
     // base position relation (doc_id, text, pos) — narrow, cheap to
     // re-derive (the d74 rule), consumed by the start-table probes and the
     // initial rank join
@@ -319,6 +328,10 @@ object SuffixRanks {
     // (each losing probe costs one map-side-combining aggregate).
     // retain mode (the LCP descent) needs EVERY power-of-two level, so it
     // keeps the classic char start.
+    // the G-start is UNGATED by size: it removes whole rounds (each a
+    // fixed-overhead multi-job stage), so it wins at tiny builds too —
+    // measured at sf0.1, the capped d86 build ran 4.3 s with it vs ~11 s
+    // without; only the PER-ROUND probe below is size-gated
     var startG = 1L
     var startTable: Option[DataFrame] = None
     if (!retain) {
@@ -406,6 +419,7 @@ object SuffixRanks {
     // tie forever, so real corpora exit in O(log_sigma n) rounds rather
     // than log2(maxDocLen).
     var converged = false
+    var aggAlive = bigBuild
     val effMax = math.min(maxLen.toLong, maxPrefix)
     while (off < effMax && !converged) {
       // the +off lookup is a POSITIONAL SHIFT within a document, so it is
@@ -415,15 +429,17 @@ object SuffixRanks {
       // `StageProfile d67`) while the per-doc window is doc-bounded by
       // construction. Beyond-end positions take sentinel 0 (< every real
       // rank — the shorter-suffix-first rule).
-      // persisted: the pair-count aggregate AND the ranking pass both
-      // consume it — un-persisted, the lead-window exchange re-runs per
-      // consumer (the multi-consumer rule; ~15 s/round at sf10)
-      val paired = ranks
+      // persisted on big builds only: the pair-count aggregate AND the
+      // ranking pass both consume it — un-persisted, the lead-window
+      // exchange re-runs per consumer (~15 s/round at sf10); on small
+      // builds there is no probe and the cache-write stage is pure
+      // overhead (part of a measured d69 sf0.1 regression)
+      val paired0 = ranks
         .withColumn("r2", coalesce(
           lead(col("r"), off.toInt).over(
             Window.partitionBy("doc_id").orderBy("pos")),
           lit(0L)))
-        .persist()
+      val paired = if (bigBuild) paired0.persist() else paired0
       // Two physical forms for "rank() of the (r, r2) pair", chosen by the
       // round's GROUP-TABLE size (round-9 sf10 lesson): early rounds have
       // alphabet^(2^t)-bounded group tables (416 / 6.6k / 215k groups at
@@ -436,19 +452,25 @@ object SuffixRanks {
       // 1 + Σ counts of strictly smaller groups — rank() semantics by
       // definition), and a broadcast join back — no corpus-scale sort at
       // all. Late rounds (diverse r, no heavy groups) take the full
-      // bucketed sort as before. The aggregate probe costs one cheap
-      // combining pass even when it loses.
-      val pc = paired.groupBy("r", "r2").agg(count(lit(1)).as("__w")).persist()
-      val m = pc.count()
-      val next0 =
-        if (m <= AggPathMaxGroups) {
+      // bucketed sort as before. The probe is gated on build size
+      // (trivial sorts beat extra jobs below ~4M positions) and dies
+      // permanently once a round's group table exceeds the bound —
+      // doubling only SPLITS groups, so m never shrinks.
+      val probe = aggAlive
+      val pcOpt = if (probe)
+        Some(paired.groupBy("r", "r2").agg(count(lit(1)).as("__w")).persist())
+      else None
+      val m = pcOpt.map(_.count()).getOrElse(Long.MaxValue)
+      if (m > AggPathMaxGroups) aggAlive = false
+      val next0 = pcOpt match {
+        case Some(pc) if m <= AggPathMaxGroups =>
           val grpRanks = graft.core.Indexing.globalPrefixSum(
               pc, "r", "__w", "__ps", tieBreak = Seq("r2"))
             .select(col("r"), col("r2"), (col("__ps") + 1L).as("__r_next"))
           paired.join(broadcast(grpRanks), Seq("r", "r2"))
             .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
               col("__r_next").as("r"))
-        } else {
+        case _ =>
           // the fused helper replaces globalRowIds + a second
           // (r,r2)-partitioned group-min window — the bucket is f(r) so
           // every pair group lies in one bucket, and the within-bucket
@@ -458,10 +480,10 @@ object SuffixRanks {
               Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
             .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
               col("__r_new").as("r"))
-        }
+      }
       val next = checkpointTracked(next0) // eager: pc+paired fully consumed after
-      pc.unpersist(false)
-      paired.unpersist(false)
+      pcOpt.foreach(_.unpersist(false))
+      if (bigBuild) paired.unpersist(false)
       converged = next.filter(col("r") =!= col("__r_old")).isEmpty
       ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L

@@ -174,13 +174,17 @@ object Pipeline {
           (col("k") % 7).cast(DoubleType).as("f_mid"),
           (col("k") % 3).cast(DoubleType).as("f_none"),
           ((col("k") % 10) * 1000.0 + (col("k") % 7) * 10.0).as("y"))
-      val imp = graft.analysis.Analysis.rfImportance(li,
-        Seq("f_strong", "f_mid", "f_none"), "y", numTrees = 10)
-      imp.select(col("feature"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("importance").desc, col("feature").asc))
-            .cast(LongType).as("rank"))
-        .select(col("rank"), col("feature"))
+      // rfImportance's output is a driver-built 3-row relation, so the
+      // ranking is plain driver math — a window here would be a naked
+      // global WindowExec for nothing (PlanLint caught exactly that)
+      import s.implicits._
+      graft.analysis.Analysis.rfImportance(li,
+          Seq("f_strong", "f_mid", "f_none"), "y", numTrees = 10)
+        .collect()
+        .sortBy(r => (-r.getDouble(1), r.getString(0)))
+        .zipWithIndex
+        .map { case (r, i) => ((i + 1).toLong, r.getString(0)) }
+        .toSeq.toDF("rank", "feature")
         .orderBy("rank")
     },
     Some("""WITH r AS (
