@@ -89,11 +89,14 @@ object SuffixRanks {
     *
     * LCP itself is computed the index-native way (Flick & Aluru SC'15's
     * LCP phase): a descent over the RETAINED doubling rounds — at level
-    * 2^t, two suffixes' next 2^t characters are equal iff their round-t
-    * ranks at the current offset are equal, so each adjacent pair
-    * resolves its LCP in ceil(log2 maxLen) integer-equality steps (two
-    * hash joins per level over the pair relation), never comparing a
-    * character. Levels at or above the deepest retained round collapse
+    * G·2^t (G = the G-gram start width), two suffixes' next G·2^t
+    * characters are equal iff their round-t ranks at the current offset
+    * are equal, so each adjacent pair resolves its LCP in
+    * ceil(log2 maxLen/G) integer-equality steps (two hash joins per level
+    * over the pair relation); the sub-G residual is one direct compare of
+    * at most G−1 characters per pair (the only character comparison
+    * anywhere — bounded, narrow, and it buys the start's removed
+    * rounds). Levels at or above the deepest retained round collapse
     * into a single full-rank check (see the descent comment), and ties
     * that run past a document's end (identical whole suffixes) are
     * capped by min(suffix lengths) — exact, because a rank tie
@@ -145,9 +148,12 @@ object SuffixRanks {
         // on late-converging corpora; checkpointing every OTHER level
         // halves the materialization actions (plan depth stays bounded
         // at 4 joins).
+        // with a G-gram start, retained round i is rank-of-(G·2^i)-prefix:
+        // the level values are G·2^i and the residual below G falls to the
+        // direct-compare tail after the loop
         val levels: Seq[(Long, DataFrame)] =
           (b.maxLen.toLong, b.rounds.last) +:
-            (b.rounds.length - 2 to 0 by -1).map(t => (1L << t, b.rounds(t)))
+            (b.rounds.length - 2 to 0 by -1).map(t => (b.startG << t, b.rounds(t)))
         for (((p, rt), i) <- levels.zipWithIndex) {
           val joined = pairs
             .join(rt.select(col("doc_id").as("__da"), col("pos").as("__pa"),
@@ -164,6 +170,31 @@ object SuffixRanks {
             .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
           pairs = if (i % 2 == 1 || i == levels.length - 1) step(joined)
                   else joined
+        }
+        // direct-compare tail: the G-gram start removed levels below G, so
+        // the residual LCP part (< G chars) is resolved by comparing the
+        // next G−1 characters of both suffixes at the accumulated offset —
+        // one pass, docs broadcast (doc-count-sized; at cluster scale the
+        // alternative is carrying (G−1)-char windows on the position
+        // relation). substring past a doc's end yields '' on both sides,
+        // which compares EQUAL — exactly the rank-sentinel tie the
+        // min-length cap below already resolves.
+        if (b.startG > 1L) {
+          val g1 = (b.startG - 1L).toInt
+          pairs = step(pairs
+            .join(broadcast(docs.select(col("doc_id").as("__tda"),
+              col("text").as("__ta"))), col("__tda") === col("a_doc"))
+            .join(broadcast(docs.select(col("doc_id").as("__tdb"),
+              col("text").as("__tb"))), col("__tdb") === col("b_doc"))
+            .withColumn("__sa",
+              expr(s"substring(__ta, cast(a_pos + __acc as int), $g1)"))
+            .withColumn("__sb",
+              expr(s"substring(__tb, cast(b_pos + __acc as int), $g1)"))
+            .withColumn("__tail", expr(s"""aggregate(sequence(1, $g1), 0,
+                (a, i) -> IF(a = i - 1 AND
+                  substring(__sa, i, 1) = substring(__sb, i, 1), i, a))"""))
+            .withColumn("__acc", col("__acc") + col("__tail").cast(LongType))
+            .drop("__tda", "__ta", "__tdb", "__tb", "__sa", "__sb", "__tail"))
         }
         // the descent is done: every retained round except the deepest
         // (which underlies b.ranks and the final join) can be freed now
@@ -282,11 +313,12 @@ object SuffixRanks {
       .limit(0)
 
   /** Internal build result: final ranks (pos Int, r Long), the retained
-    * rounds (index t = rank-of-2^t-prefix; empty unless retained), their
-    * persisted RDD ids per round, and the corpus max doc length. */
+    * rounds (index i = rank-of-(startG·2^i)-prefix; empty unless
+    * retained), their persisted RDD ids per round, the corpus max doc
+    * length, and the G-gram start width. */
   private case class Build(ranks: DataFrame, rounds: IndexedSeq[DataFrame],
                            roundIds: IndexedSeq[Set[Int]], maxLen: Int,
-                           nPos: Long)
+                           nPos: Long, startG: Long)
 
   /** The doubling loop shared by [[suffixRanks]] (retain = false: only
     * the last two rounds stay persisted — the round hygiene) and
@@ -326,15 +358,15 @@ object SuffixRanks {
     // first log2(G) rounds this way replaces log2(G) full-relation passes
     // with one. Probe G downward from min(16, cap) until the table fits
     // (each losing probe costs one map-side-combining aggregate).
-    // retain mode (the LCP descent) needs EVERY power-of-two level, so it
-    // keeps the classic char start.
     // the G-start is UNGATED by size: it removes whole rounds (each a
     // fixed-overhead multi-job stage), so it wins at tiny builds too —
     // measured at sf0.1, the capped d86 build ran 4.3 s with it vs ~11 s
-    // without; only the PER-ROUND probe below is size-gated
+    // without; only the PER-ROUND probe below is size-gated. retain mode
+    // uses it too: the LCP descent's missing sub-G levels are resolved by
+    // the direct-compare tail (< G chars per pair — see suffixLcp).
     var startG = 1L
     var startTable: Option[DataFrame] = None
-    if (!retain) {
+    locally {
       var g = { var x = 1L; while (x * 2 <= math.min(16L, effMaxPre)) x *= 2; x }
       while (g >= 2 && startTable.isEmpty) {
         val tbl = posBase.select(expr(s"substring(text, pos, $g)").as("__g"))
@@ -488,6 +520,7 @@ object SuffixRanks {
       ranks = record(next.select("doc_id", "pos", "r"))
       off *= 2L
     }
-    Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen, nPos))
+    Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen,
+      nPos, startG))
   }
 }
