@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.types.StringType
 
 /** Plan lint (dev tool, run per round): plans EVERY registered query and
   * flags physical join shapes that do not survive 100 TB —
@@ -60,6 +62,17 @@ object PlanLint {
     * sampled slice) but not visible in the physical plan. */
   val allowedGlobalWindow: Map[String, (Int, String)] = Map.empty
 
+  /** query -> (allowed UNBOUNDED corpus-text broadcast count, justification).
+    * A BroadcastExchange whose payload carries the `text` column with no
+    * reducing operator below it (no filter/limit/aggregate) ships the
+    * ENTIRE corpus text to every executor — corpus-BYTES-sized, a driver
+    * OOM at 100 TB regardless of how clever the join above it is (the r9
+    * verdict's one scale-killer class: suffixLcp's direct-compare tail,
+    * since rewritten onto a position-relation hash join). Broadcasts of
+    * FILTERED or SAMPLED text (a bounded eval set, a query batch) are
+    * auto-exempt via the reduction check. */
+  val allowedTextBroadcast: Map[String, (Int, String)] = Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -85,20 +98,39 @@ object PlanLint {
         case _: TakeOrderedAndProjectExec => ()
       }.nonEmpty
 
-    def offenders(p: SparkPlan): (Int, Int, Int) = {
+    // "reduced below": a filter, limit, or aggregate between the scan and
+    // the broadcast bounds the payload — the broadcast ships a slice, not
+    // the corpus.
+    def reducedBelow(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case _: FilterExec => ()
+        case _: HashAggregateExec => ()
+        case _: ObjectHashAggregateExec => ()
+        case _: SortAggregateExec => ()
+        case _: GlobalLimitExec => ()
+        case _: CollectLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+      }.nonEmpty
+
+    def offenders(p: SparkPlan): (Int, Int, Int, Int) = {
       val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
       val nakedWin = p.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
       }.size
-      (cart, bnlj, nakedWin)
+      val textBcast = p.collectWithSubqueries {
+        case b: BroadcastExchangeExec
+          if b.output.exists(a => a.name == "text" && a.dataType == StringType) &&
+            !reducedBelow(b.child) => b
+      }.size
+      (cart, bnlj, nakedWin, textBcast)
     }
 
     var bad = List.empty[String]
     var planned = 0
     SparkEntry.allDefs.sortBy(_.name).foreach { d =>
       try {
-        val (cart, bnlj, nakedWin) =
+        val (cart, bnlj, nakedWin, textBcast) =
           offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
         planned += 1
         if (cart > 0)
@@ -109,6 +141,9 @@ object PlanLint {
         val allowedWin = allowedGlobalWindow.get(d.name).map(_._1).getOrElse(0)
         if (nakedWin > allowedWin)
           bad ::= s"${d.name}: $nakedWin naked global WindowExec (allowed $allowedWin)"
+        val allowedTb = allowedTextBroadcast.get(d.name).map(_._1).getOrElse(0)
+        if (textBcast > allowedTb)
+          bad ::= s"${d.name}: $textBcast unbounded corpus-text broadcast (allowed $allowedTb)"
       } catch {
         // a query that cannot even plan is a verify problem, not a lint one
         case e: Throwable => println(s"[planlint] SKIP ${d.name}: ${e.getMessage}")

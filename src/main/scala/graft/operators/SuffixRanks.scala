@@ -173,28 +173,44 @@ object SuffixRanks {
         }
         // direct-compare tail: the G-gram start removed levels below G, so
         // the residual LCP part (< G chars) is resolved by comparing the
-        // next G−1 characters of both suffixes at the accumulated offset —
-        // one pass, docs broadcast (doc-count-sized; at cluster scale the
-        // alternative is carrying (G−1)-char windows on the position
-        // relation). substring past a doc's end yields '' on both sides,
-        // which compares EQUAL — exactly the rank-sentinel tie the
-        // min-length cap below already resolves.
+        // next G−1 characters of both suffixes at the accumulated offset.
+        // The windows are CARRIED ON A POSITION RELATION (doc_id, pos,
+        // (G−1)-char substring — ≤15 bytes/row at G=16) and hash-joined to
+        // the pair relation at (doc, pos+acc): two narrow shuffles, no
+        // corpus-text broadcast anywhere (a broadcast of the document
+        // texts is corpus-BYTES-sized, ~nPos bytes — the one construct
+        // here that would OOM the driver at cluster scale, and the r9
+        // verdict's single scale-killer; PlanLint now gates the class).
+        // A probe offset past a doc's end misses the left join and
+        // coalesces to '' — '' vs '' compares EQUAL, exactly the
+        // rank-sentinel tie the min-length cap below already resolves,
+        // and identical to what substring-past-end returned before.
         if (b.startG > 1L) {
           val g1 = (b.startG - 1L).toInt
+          val wins = docs
+            .select(col("doc_id").as("__wd"), col("text"),
+              explode(sequence(lit(1L), length(col("text")).cast(LongType)))
+                .as("__wp"))
+            .select(col("__wd"), col("__wp"),
+              expr(s"substring(text, cast(__wp as int), $g1)").as("__w"))
+            .persist() // both pair sides consume it (the multi-consumer rule)
           pairs = step(pairs
-            .join(broadcast(docs.select(col("doc_id").as("__tda"),
-              col("text").as("__ta"))), col("__tda") === col("a_doc"))
-            .join(broadcast(docs.select(col("doc_id").as("__tdb"),
-              col("text").as("__tb"))), col("__tdb") === col("b_doc"))
-            .withColumn("__sa",
-              expr(s"substring(__ta, cast(a_pos + __acc as int), $g1)"))
-            .withColumn("__sb",
-              expr(s"substring(__tb, cast(b_pos + __acc as int), $g1)"))
+            .join(wins.withColumnRenamed("__w", "__sa"),
+              col("__wd") === col("a_doc") &&
+                col("__wp") === (col("a_pos") + col("__acc")), "left")
+            .drop("__wd", "__wp")
+            .join(wins.withColumnRenamed("__w", "__sb"),
+              col("__wd") === col("b_doc") &&
+                col("__wp") === (col("b_pos") + col("__acc")), "left")
+            .drop("__wd", "__wp")
+            .withColumn("__sa", coalesce(col("__sa"), lit("")))
+            .withColumn("__sb", coalesce(col("__sb"), lit("")))
             .withColumn("__tail", expr(s"""aggregate(sequence(1, $g1), 0,
                 (a, i) -> IF(a = i - 1 AND
                   substring(__sa, i, 1) = substring(__sb, i, 1), i, a))"""))
             .withColumn("__acc", col("__acc") + col("__tail").cast(LongType))
-            .drop("__tda", "__ta", "__tdb", "__tb", "__sa", "__sb", "__tail"))
+            .drop("__sa", "__sb", "__tail"))
+          wins.unpersist(false) // step() is eager — fully consumed
         }
         // the descent is done: every retained round except the deepest
         // (which underlies b.ranks and the final join) can be freed now
@@ -252,7 +268,22 @@ object SuffixRanks {
     * (doc_id, n_chars, chars_removed, cleaned_text). */
   def spanRemoval(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 2 && (l & (l - 1)) == 0, s"window length must be a power of two, got $l")
-    val ranks = suffixRanks(docs, maxPrefix = l.toLong)
+    val built = buildRanks(docs, maxPrefix = l.toLong, retain = false)
+    if (built.isEmpty)
+      // degenerate corpus (the suffixRanks contract excludes empty texts,
+      // so this is "no docs at all"): nothing to remove
+      return docs.select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        lit(0L).as("chars_removed"), col("text").as("cleaned_text"))
+    val b = built.get
+    val ranks = b.ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+      col("r").cast(LongType).as("rank"))
+    // round hygiene (advisor r9): `merged` has 3 consumers, so it is
+    // eagerly checkpointed; the final output is materialized through the
+    // same checkpointer, which frees merged as superseded, and the
+    // doubling rounds are freed explicitly — nothing this call persisted
+    // outlives it except the returned (live) relation itself.
+    val rc = new graft.core.RoundCheckpointer(docs.sparkSession.sparkContext)
     val lens = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("__n"))
     // group structure among FULL windows is unaffected by computing ranks
     // over all positions first (a <l-char suffix can never tie a full
@@ -270,13 +301,12 @@ object SuffixRanks {
     // merged relation minimal)
     val wOrd = Window.partitionBy("doc_id").orderBy(col("__s"), col("__e"))
     val runMax = max(col("__e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    val merged = dropped
+    val merged = rc.step(dropped // 3 consumers: head segments, tails, stats
       .withColumn("__brk",
         when(runMax.isNull || col("__s") > runMax + 1L, 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__brk")).over(wOrd))
       .groupBy("doc_id", "__grp")
-      .agg(min("__s").as("__s"), max("__e").as("__e"))
-      .localCheckpoint(false) // 3 consumers: head segments, tails, stats
+      .agg(min("__s").as("__s"), max("__e").as("__e")))
     val wg = Window.partitionBy("doc_id").orderBy("__s")
     val headSegs = merged
       .select(col("doc_id"),
@@ -297,7 +327,7 @@ object SuffixRanks {
         x => x.getField("__seg")), "").as("__cleaned"))
     val stats = merged.groupBy("doc_id")
       .agg(sum(col("__e") - col("__s") + 1L).as("__removed"))
-    docs.select(col("doc_id"), col("text")).join(lens, Seq("doc_id"))
+    val out = rc.step(docs.select(col("doc_id"), col("text")).join(lens, Seq("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("__n").as("n_chars"),
@@ -305,7 +335,11 @@ object SuffixRanks {
         // a doc with removals but NO kept segment (fully duplicated)
         // cleans to "" — only a no-removals doc falls back to its text
         when(col("__removed").isNull, col("text"))
-          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text")))
+    // the output step above freed `merged` as superseded; the doubling
+    // rounds are freed here (buildRanks leaves its last round persisted)
+    rc.free(b.roundIds.flatten.toSet)
+    out
   }
 
   private def emptyRanks(docs: DataFrame, valueCol: String): DataFrame =
