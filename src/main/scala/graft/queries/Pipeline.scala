@@ -14,7 +14,7 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, p6, m1)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, p6, p7, m1)
 
   private[graft] def inputsForProbe(s: org.apache.spark.sql.SparkSession,
                                     dir: String) = inputsFrom(s, dir)
@@ -405,6 +405,121 @@ object Pipeline {
         CAST(0 AS BIGINT) AS fn,
         CAST(count(*) FILTER (WHERE c_custkey % 10 < 5) AS BIGINT) AS tn
       FROM customer WHERE c_custkey % 7 IN (3, 4, 5, 6)"""))
+
+  /** p4's judged verdict surface (r9 verdict task 2 — the last
+    * graduation): the FULL composed pipeline — real
+    * [[graft.analysis.Scoring.fitCutProbability]] (walk-forward GBT on
+    * p6's planted perfectly-separable fixture, seed 42) → real
+    * [[graft.analysis.Scoring.score]] → real
+    * [[graft.analysis.Scoring.constructPortfolio]] — judged end to end,
+    * value-exact. The one engine-internal quantity in that chain is the
+    * fit's continuous probability; the composition therefore routes it
+    * through the fit's VERDICT (cut_prob > 0.5 → 1.0 else 0.0 — the
+    * surface p6 proved has a unique optimum on this fixture: zero
+    * errors), after which every downstream number is pure key-derived
+    * math: the DuckDB twin re-derives cut_prob from the PLANTED rule
+    * (c_custkey % 10 >= 5), replays p5's score formulas with it, and
+    * replays the group-cap + top-N + 1/N-weight portfolio. Any fit
+    * misclassification, any score-formula drift, and any selection or
+    * weight divergence all hash-mismatch. After this, p4's only rows-only
+    * surface is the fit on the REAL (non-planted) feature distribution —
+    * sandwiched by p5 (score math), p6 (fit verdict), this (composition),
+    * and ScoringSpec's AUC envelope. Feature columns reuse p5's
+    * per-column NULL slices (moduli avoiding 7, which drives as_of) so
+    * each coalesce default is exercised inside the composition too. */
+  val p7 = QueryDef("p7_portfolio_verdict",
+    (s, dir) => {
+      val ck = col("c_custkey")
+      val feat = Tables.customer(s, dir).select(
+        ck.cast(StringType).as("ticker"),
+        col("c_mktsegment").as("sector"),
+        (ck % 10).cast(DoubleType).as("f_sig"),
+        (ck % 9).cast(DoubleType).as("f_noise"),
+        date_add(lit("2000-01-01").cast(DateType), (ck % 7).cast(IntegerType))
+          .as("as_of"),
+        when(ck % 10 >= 5, 1.0).otherwise(0.0).as("cut_label"),
+        when(ck % 23 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 80).cast(DoubleType) / 1000.0).as("dividend_yield"),
+        when(ck % 29 === 0, lit(null).cast(DoubleType))
+          .otherwise(((ck % 60).cast(DoubleType) - 10.0) / 100.0)
+          .as("dividend_cagr_3y"),
+        when(ck % 17 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 100).cast(DoubleType) / 100.0).as("max_drawdown_1y"),
+        when(ck % 11 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 35).cast(DoubleType) / 10.0).as("volatility"),
+        when(ck % 13 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 25).cast(DoubleType) / 10.0).as("payout_ratio"),
+        when(ck % 19 === 0, lit(null).cast(DoubleType))
+          .otherwise((ck % 22).cast(DoubleType)).as("net_debt_to_ebitda"))
+      val (scored, _) = graft.analysis.Scoring.fitCutProbability(
+        feat, "cut_label", cutoff = "2000-01-04",
+        features = Seq("f_sig", "f_noise"))
+      val verdict = scored
+        .filter(col("as_of") >= lit("2000-01-04").cast(DateType))
+        .withColumn("cut_prob",
+          when(col("cut_prob") > 0.5, 1.0).otherwise(0.0))
+      graft.analysis.Scoring.constructPortfolio(
+          graft.analysis.Scoring.score(verdict), n = 20,
+          groupCols = Seq("sector"), maxPerGroup = 0.2, maxCutProb = 0.25)
+        .select(col("ticker"), col("sector"), col("as_of"),
+          round(col("adj_yield"), 6).as("adj_yield"),
+          round(col("div_growth"), 6).as("div_growth"),
+          round(col("stability"), 6).as("stability"),
+          round(col("final_score"), 6).as("final_score"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("ticker")
+    },
+    Some("""WITH feat AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS ticker, c_mktsegment AS sector,
+          DATE '2000-01-01' + CAST(c_custkey % 7 AS INT) AS as_of,
+          CASE WHEN c_custkey % 10 >= 5 THEN 1.0 ELSE 0.0 END AS cut_prob,
+          CASE WHEN c_custkey % 23 = 0 THEN NULL
+               ELSE CAST(c_custkey % 80 AS DOUBLE) / 1000.0 END AS dy,
+          CASE WHEN c_custkey % 29 = 0 THEN NULL
+               ELSE (CAST(c_custkey % 60 AS DOUBLE) - 10.0) / 100.0 END AS cagr,
+          CASE WHEN c_custkey % 17 = 0 THEN NULL
+               ELSE CAST(c_custkey % 100 AS DOUBLE) / 100.0 END AS dd,
+          CASE WHEN c_custkey % 11 = 0 THEN NULL
+               ELSE CAST(c_custkey % 35 AS DOUBLE) / 10.0 END AS vol,
+          CASE WHEN c_custkey % 13 = 0 THEN NULL
+               ELSE CAST(c_custkey % 25 AS DOUBLE) / 10.0 END AS pr,
+          CASE WHEN c_custkey % 19 = 0 THEN NULL
+               ELSE CAST(c_custkey % 22 AS DOUBLE) END AS nde
+        FROM customer
+        WHERE c_custkey % 7 IN (3, 4, 5, 6)),
+      scored AS (
+        SELECT ticker, sector, as_of, cut_prob,
+          COALESCE(dy, 0.0) * (1.0 - cut_prob) AS adj_yield,
+          ln(1.0 + least(greatest(COALESCE(cagr, 0.0) / 0.30, 0.0), 1.0) * 0.30)
+            / ln(1.0 + 0.30) AS div_growth,
+          ((1.0 - cut_prob)
+           + (1.0 - least(greatest(COALESCE(dd, 1.0), 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(vol, 3.0) / 3.0, 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(pr, 2.0) / 2.0, 0.0), 1.0))
+           + (1.0 - least(greatest(COALESCE(nde, 20.0) / 20.0, 0.0), 1.0))) / 5.0
+            AS stability
+        FROM feat),
+      final AS (
+        SELECT *, adj_yield * 0.5 + div_growth * 0.3 + stability * 0.2
+          AS final_score
+        FROM scored WHERE cut_prob < 0.25),
+      grp AS (
+        SELECT *, row_number() OVER
+            (PARTITION BY sector ORDER BY final_score DESC, ticker) AS gr
+        FROM final),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY final_score DESC, ticker) AS rk
+        FROM grp WHERE gr <= 4),
+      port AS (
+        SELECT *, 1.0 / COUNT(*) OVER () AS weight
+        FROM (SELECT * FROM ranked WHERE rk <= 20))
+      SELECT ticker, sector, as_of,
+        round(adj_yield, 6) AS adj_yield,
+        round(div_growth, 6) AS div_growth,
+        round(stability, 6) AS stability,
+        round(final_score, 6) AS final_score,
+        round(weight, 6) AS weight
+      FROM port ORDER BY ticker"""))
 
   /** The macro pipeline (grid form) over a nation×year wide table derived
     * from orders — ORACLE-GATED: the DuckDB SQL replicates the exact
