@@ -106,10 +106,13 @@ object Bench {
     // median total absorbs load spikes, the leg_min total is the best the
     // code demonstrably ran (round-8 verdict task 7: carry it in the
     // one-line tail so a reader needs no bench_detail.json to judge load)
-    val legMinTotal = named.map { case (name, _) =>
-      val ok = runMaps.flatMap(_.get(name))
-      if (ok.nonEmpty) ok.min else 0.0
-    }.sum
+    // a query with NO successful leg contributes nothing here (summing 0.0
+    // would report a spuriously LOW "demonstrated best" for a failing run
+    // — advisor r9); legMinMissing makes the omission explicit next to the
+    // -1.0 sentinels in "queries"
+    val legMins = named.map { case (name, _) => runMaps.flatMap(_.get(name)) }
+    val legMinTotal = legMins.filter(_.nonEmpty).map(_.min).sum
+    val legMinMissing = legMins.count(_.isEmpty)
     val runTotals = runMaps.map(_.values.sum)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -127,14 +130,14 @@ object Bench {
       .mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},""" +
+      s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},"leg_min_missing":$legMinMissing,""" +
       s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],""" +
       s""""queries":${jmap(results)},"legs":$legsJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},""" +
+      s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},"leg_min_missing":$legMinMissing,""" +
       s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],"detail":"$detailPath",""" +
       s""""queries":${jmap(slow)},"sf":"$sfDir"}""")
     spark.stop()

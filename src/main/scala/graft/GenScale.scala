@@ -64,6 +64,17 @@ object GenScale {
     val D = 1000000L     // document / vector
     require(tiles.toLong * D + 1000000L <= 1000000000L,
       s"$tiles tiles would push doc ids into the twin-injection band (>= 1e9)")
+    // collision-freedom must not rest on an UNCHECKED assumption about the
+    // base tables (advisor r9): a base parquet generated at a larger SF
+    // could carry ids >= D, silently overlapping tile id ranges and
+    // mass-producing artificial exact twins — the artifact class round 9
+    // removed. One cheap agg per table pins it at tiling time.
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+      case (t, k) =>
+        val mx = spark.read.parquet(s"$src/$t.parquet")
+          .agg(max(col(k))).head().getLong(0)
+        require(mx < D, s"$t.$k max $mx >= tile stride $D - tiles would overlap")
+    }
 
     def tiled(table: String, tile: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")

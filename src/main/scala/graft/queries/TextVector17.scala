@@ -113,7 +113,13 @@ object TextVector17 {
   val m3 = QueryDef("m3_bmp_decode",
     (s, dir) => {
       import org.apache.spark.sql.types._
+      // ASCII gate (advisor r9): the byte derivation is getBytes(US-ASCII)
+      // over UTF-16 length Spark-side but ascii()/len() over CODE POINTS
+      // oracle-side — a non-ASCII doc would fork the engines (loudly, but
+      // spuriously). The fixture filters to ASCII docs in BOTH engines so
+      // the judged surface is the codec, not the charset mismatch.
       val docs = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
         .filter(length(col("text")) >= 63)
         .select(col("doc_id"), col("text"))
       val schema = StructType(Seq(StructField("asset_id", LongType),
@@ -137,7 +143,8 @@ object TextVector17 {
     },
     Some("""WITH d AS (
         SELECT doc_id, text, CAST(least(len(text) // 21, 9) AS INT) AS h
-        FROM documents WHERE len(text) >= 63),
+        FROM documents
+        WHERE regexp_full_match(text, '[\x00-\x7F]*') AND len(text) >= 63),
       px AS (SELECT doc_id, h,
           CAST(p AS BIGINT) AS p,
           ascii(substr(text, CAST(3 * p + 1 AS INT), 1)) AS r,
