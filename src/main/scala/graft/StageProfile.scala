@@ -27,24 +27,74 @@ object StageProfile {
     val spark = Verify.makeSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     mode match {
       case "w4" =>
-        val (in, grid) = t("inputs+base checkpoint") {
-          graft.queries.DynamicRow.buildInputs(spark, dir)
+        // two passes: pass 1 pays JIT/classload/codegen, pass 2 is the
+        // warm per-stage attribution (the bench medians are warm numbers)
+        for (pass <- 1 to 2) {
+          val (in, grid) = t(s"pass$pass inputs+base checkpoint") {
+            graft.queries.DynamicRow.buildInputs(spark, dir)
+          }
+          t(s"pass$pass grid count")(grid.count())
+          t(s"pass$pass priceBlock") {
+            graft.features.TickerFeatures.priceBlock(grid, in.prices).count()
+          }
+          t(s"pass$pass fusedFundamentals") {
+            graft.features.TickerFeatures
+              .fusedFundamentalsBlock(grid, in.statements.get).count()
+          }
+          t(s"pass$pass dividendBlock") {
+            graft.features.TickerFeatures
+              .dividendBlock(grid, in.dividends, in.splits).count()
+          }
+          t(s"pass$pass dynamicFeatures + validate") {
+            graft.pipeline.TickerValidation.validate(
+              graft.features.TickerFeatures.dynamicFeatures(grid, in)).count()
+          }
         }
-        t("grid count")(grid.count())
-        t("priceBlock") {
-          graft.features.TickerFeatures.priceBlock(grid, in.prices).count()
+      case "w4blocks" =>
+        // per-block attribution with a noop-sink write (count() lets the
+        // optimizer prune the window/agg columns away — it measured plan
+        // SKELETONS, which is how the 5 s materialization hid)
+        def force(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        for (pass <- 1 to 2) {
+          val (in, grid) = t(s"pass$pass inputs+base checkpoint") {
+            graft.queries.DynamicRow.buildInputs(spark, dir)
+          }
+          t(s"pass$pass priceBlock (forced)") {
+            force(graft.features.TickerFeatures.priceBlock(grid, in.prices))
+          }
+          t(s"pass$pass fusedFundamentals (forced)") {
+            force(graft.features.TickerFeatures
+              .fusedFundamentalsBlock(grid, in.statements.get))
+          }
+          t(s"pass$pass dividendBlock (forced)") {
+            force(graft.features.TickerFeatures
+              .dividendBlock(grid, in.dividends, in.splits))
+          }
+          t(s"pass$pass dynamicFeatures (forced)") {
+            force(graft.features.TickerFeatures.dynamicFeatures(grid, in))
+          }
+          t(s"pass$pass +validate (forced)") {
+            force(graft.pipeline.TickerValidation.validate(
+              graft.features.TickerFeatures.dynamicFeatures(grid, in)))
+          }
         }
-        t("fusedFundamentals") {
-          graft.features.TickerFeatures
-            .fusedFundamentalsBlock(grid, in.statements.get).count()
-        }
-        t("dividendBlock") {
-          graft.features.TickerFeatures
-            .dividendBlock(grid, in.dividends, in.splits).count()
-        }
-        t("dynamicFeatures + validate") {
-          graft.pipeline.TickerValidation.validate(
-            graft.features.TickerFeatures.dynamicFeatures(grid, in)).count()
+      case "w4full" =>
+        // TimeQ-faithful loop (clear + GC per round) with the build and
+        // the materialization step timed separately
+        for (r <- 1 to 3) {
+          graft.queries.DynamicRow.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          val v = t(s"r$r validatedRow plan (lazy)") {
+            graft.queries.DynamicRow.validatedRow(spark, dir)
+          }
+          val ck = t(s"r$r coalesce(8)+localCheckpoint") {
+            v.coalesce(8).localCheckpoint()
+          }
+          t(s"r$r count")(ck.count())
         }
       case "p4" =>
         // attribution for the p4 bench median: how much is the (shared,

@@ -60,7 +60,11 @@ object TickerFeatures {
   def dynamicFeatures(grid: DataFrame, in: Inputs): DataFrame =
     // priceBlock also emits the stock-side 365d first/last/count used by
     // the sector-relative feature, so grid⨝prices shuffles exactly once.
-    assembleFeatures(grid, in, etfSideAgg(grid, in.sectorIndex))
+    // The per-ticker sector index rides the fused union as its own source
+    // (rawSector), so the fused path has NO separate etfSideAgg chain or
+    // etfSide join at all.
+    assembleFeatures(grid, in, etfSideAgg(grid, in.sectorIndex),
+      rawSector = Some(in.sectorIndex))
 
   private def finalProjection(joined: DataFrame): DataFrame = {
     def hasFlag(c: Column): Column =
@@ -348,25 +352,323 @@ object TickerFeatures {
   private def assembleFeatures(grid: DataFrame, in: Inputs,
                                etfSide: DataFrame,
                                minPriceRows: Int = 0,
-                               seriesPriceBlock: Boolean = false): DataFrame = {
-    val price0 = if (seriesPriceBlock) priceBlockSeries(grid, in.prices)
-                 else priceBlock(grid, in.prices)
-    val price = if (minPriceRows > 0) price0.filter(col("__price_n") >= minPriceRows)
-                else price0
-    val sector = price.join(etfSide, K, "left")
-      .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
-    val div = dividendBlock(grid, in.dividends, in.splits)
-    val fundBlocks = in.statements match {
-      case Some(st) => Seq(fusedFundamentalsBlock(grid, st))
-      case None => Seq(fundamentalsBlock(grid, in.income, in.balance),
-        incomeGrowthBlock(grid, in.income), ratiosBlock(grid, in.ratios))
+                               seriesPriceBlock: Boolean = false,
+                               rawSector: Option[DataFrame] = None): DataFrame =
+    in.statements match {
+      case Some(st) if !seriesPriceBlock =>
+        // ONE-EXCHANGE form (r9 verdict task 4): all per-cell blocks ride
+        // a single (ticker, as_of) shuffle over a source-tagged union
+        // instead of per-block slice+window+agg chains plus block-output
+        // joins — same values (every aggregate is source-guarded; pinned
+        // by TickerFeaturesSpec's fused-vs-separate equivalence). When the
+        // sector side is the PER-TICKER index (rawSector — the
+        // dynamicFeatures path), it is a fourth union source and the
+        // etfSide join disappears too; the shared-ETF-index path keeps the
+        // per-ETF aggregate + join (its grain is etf, not ticker).
+        val all0 = fusedCellBlocks(grid, in.prices, st, in.dividends,
+          in.splits, rawSector)
+        val all = if (minPriceRows > 0) all0.filter(col("__price_n") >= minPriceRows)
+                  else all0
+        val withX = if (rawSector.isDefined) all else all.join(etfSide, K, "left")
+        finalProjection(withX.withColumn("sector_relative_6m", sectorRelativeExpr))
+      case _ =>
+        val price0 = if (seriesPriceBlock) priceBlockSeries(grid, in.prices)
+                     else priceBlock(grid, in.prices)
+        val price = if (minPriceRows > 0) price0.filter(col("__price_n") >= minPriceRows)
+                    else price0
+        val sector = price.join(etfSide, K, "left")
+          .select(col("ticker"), col("as_of"), sectorRelativeExpr.as("sector_relative_6m"))
+        val div = dividendBlock(grid, in.dividends, in.splits)
+        val fundBlocks = in.statements match {
+          case Some(st) => Seq(fusedFundamentalsBlock(grid, st))
+          case None => Seq(fundamentalsBlock(grid, in.income, in.balance),
+            incomeGrowthBlock(grid, in.income), ratiosBlock(grid, in.ratios))
+        }
+        // surviving price cells are the join spine: blocks computed on the full
+        // grid contribute only to cells that passed the gate.
+        val spine = price.drop("__s_first", "__s_last", "__s_n", "__price_n")
+        val joined = (Seq(sector) ++ fundBlocks ++ Seq(div))
+          .foldLeft(spine)((acc, block) => acc.join(block, K, "left"))
+        finalProjection(joined)
     }
-    // surviving price cells are the join spine: blocks computed on the full
-    // grid contribute only to cells that passed the gate.
-    val spine = price.drop("__s_first", "__s_last", "__s_n", "__price_n")
-    val joined = (Seq(sector) ++ fundBlocks ++ Seq(div))
-      .foldLeft(spine)((acc, block) => acc.join(block, K, "left"))
-    finalProjection(joined)
+
+  /** Price + fused-fundamentals + dividend blocks over ONE grid slice and
+    * ONE (ticker, as_of) exchange: the three inputs (returns-enriched
+    * prices, enriched statements, split-adjusted dividends) union into a
+    * source-tagged relation, slice through a single [[gridAsOfJoin]], and
+    * every per-cell window and aggregate is SOURCE-GUARDED — each block's
+    * end-date anchor, validity window, count, and pick sees only its own
+    * source's rows, so column-for-column the output equals the separate
+    * blocks (equivalence pinned by TickerFeaturesSpec). The per-source
+    * PRE-slice work (the returns lag over prices, the split-adjustment
+    * as-of join over dividends) keeps its own per-ticker exchange — a lag
+    * cannot skip interleaved foreign rows — but those run over unreplicated
+    * series, not the grid-multiplied slice. Aggregation-order-sensitive
+    * values (volatility's stddev, the SMA means) may differ from the
+    * separate form in final ulps — same class as the grid-vs-series price
+    * form note above; both reach judged surfaces only through round(). */
+  private def fusedCellBlocks(grid: DataFrame, prices: DataFrame,
+                              statements: DataFrame, dividends: DataFrame,
+                              splits: DataFrame,
+                              rawSector: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    // per-source pre-slice enrichment (verbatim from the separate blocks)
+    val wT = Window.partitionBy(T).orderBy("date")
+    val p = prices.withColumn("__ret", col("close") / lag(col("close"), 1).over(wT) - 1)
+    def safeCol(name: String): Column =
+      if (statements.columns.contains(name)) col(name) else lit(0)
+    val ebitda = safeCol("incomeBeforeTax") + safeCol("interestExpense") +
+      safeCol("depreciationAndAmortization")
+    val netDebt = safeCol("totalDebt") - safeCol("cashAndShortTermInvestments")
+    val ndeRaw = netDebt / ebitda
+    val nde = when(!isnan(ndeRaw) && ndeRaw =!= Double.PositiveInfinity &&
+      ndeRaw =!= Double.NegativeInfinity, ndeRaw)
+    val ebit =
+      if (statements.columns.contains("operatingIncome")) col("operatingIncome")
+      else if (statements.columns.contains("incomeBeforeTax")) col("incomeBeforeTax")
+      else throw new IllegalArgumentException(
+        "Missing both operatingIncome and incomeBeforeTax — cannot compute EBIT")
+    val interest = if (statements.columns.contains("interestExpense"))
+      col("interestExpense") else lit(null)
+    val eicRaw = when(interest.isNotNull && interest =!= 0, ebit / interest)
+    val eic = when(eicRaw < 1000.0, eicRaw).otherwise(lit(Double.PositiveInfinity))
+    val eicCapFlag = when(eicRaw.isNull || eicRaw >= 1000.0, lit(true)).otherwise(lit(false))
+    val st = statements
+      .withColumn("__nde", nde).withColumn("__eic", eic)
+      .withColumn("__eic_capped", eicCapFlag)
+    val adjusted = SeriesOps.adjustForSplits(dividends, splits, Seq(T),
+      "date", "dividend", "split_ratio")
+
+    // source-tagged union (fixed schema; absent columns ride as nulls)
+    val nd = lit(null).cast(DoubleType)
+    val nb = lit(null).cast(BooleanType)
+    def stCol(name: String): Column =
+      (if (statements.columns.contains(name)) col(name).cast(DoubleType) else nd).as(name)
+    val u = p.select(col(T), col("date"), lit("p").as("__src"),
+        col("close").cast(DoubleType).as("close"), col("__ret").cast(DoubleType).as("__ret"),
+        nd.as("dividendYield"), nd.as("priceEarningsRatio"),
+        nd.as("priceToFreeCashFlowsRatio"), nd.as("payoutRatio"),
+        nd.as("freeCashFlowPerShare"), nd.as("eps"),
+        nd.as("__nde"), nd.as("__eic"), nb.as("__eic_capped"), nd.as("dividend"))
+      .unionByName(st.select(col(T), col("date"), lit("f").as("__src"),
+        nd.as("close"), nd.as("__ret"),
+        stCol("dividendYield"), stCol("priceEarningsRatio"),
+        stCol("priceToFreeCashFlowsRatio"), stCol("payoutRatio"),
+        stCol("freeCashFlowPerShare"), stCol("eps"),
+        col("__nde").cast(DoubleType).as("__nde"), col("__eic").cast(DoubleType).as("__eic"),
+        col("__eic_capped"), nd.as("dividend")))
+      .unionByName(adjusted.select(col(T), col("date"), lit("d").as("__src"),
+        nd.as("close"), nd.as("__ret"),
+        nd.as("dividendYield"), nd.as("priceEarningsRatio"),
+        nd.as("priceToFreeCashFlowsRatio"), nd.as("payoutRatio"),
+        nd.as("freeCashFlowPerShare"), nd.as("eps"),
+        nd.as("__nde"), nd.as("__eic"), nb.as("__eic_capped"),
+        col("dividend").cast(DoubleType).as("dividend")))
+    val u2 = rawSector match {
+      case Some(x) => u.unionByName(x.select(col(T), col("date"),
+        lit("x").as("__src"), col("close").cast(DoubleType).as("close"),
+        nd.as("__ret"), nd.as("dividendYield"), nd.as("priceEarningsRatio"),
+        nd.as("priceToFreeCashFlowsRatio"), nd.as("payoutRatio"),
+        nd.as("freeCashFlowPerShare"), nd.as("eps"),
+        nd.as("__nde"), nd.as("__eic"), nb.as("__eic_capped"), nd.as("dividend")))
+      case None => u
+    }
+
+    val sliced = gridAsOfJoin(grid, u2)
+    val isP = col("__src") === "p"
+    val isF = col("__src") === "f"
+    val isD = col("__src") === "d"
+    val isX = col("__src") === "x"
+
+    // ONE aggregation job and NO post-slice window or second slice pass:
+    // each source contributes (a) order-free aggregates that stay in
+    // whole-stage codegen and (b) a date-sorted per-cell STRUCT ARRAY from
+    // which every end-date-anchored pick (latest row, grace-window starts,
+    // the valid-yield median) is derived in the post-agg projection.
+    // Entity-history-bounded buffers — the same contract the percentile
+    // form carried. Two earlier fused forms measured SLOWER than the
+    // separate blocks (window layer over the union: 9.3 s vs 5.0 s
+    // materialization at sf0.1 — WindowExec is sort + row-at-a-time frame
+    // evaluation outside codegen, and the union tripled exactly that
+    // operator; a broadcast end-date phase got to ~4.3 s but paid a second
+    // slice pass + one more job); this form carries the anchors IN the
+    // arrays, so the whole block layer is one shuffle, one job.
+    val in365 = col("date").between(date_sub(col("as_of"), 365), col("as_of"))
+    val agged = sliced.groupBy(gcols: _*).agg(
+      // --- price
+      max_by(when(isP, col("close")), when(isP, col("date"))).as("__p_now"),
+      max_by(when(isP && col("date") <= add_months(col("as_of"), -6), col("close")),
+        when(isP && col("date") <= add_months(col("as_of"), -6), col("date"))).as("__p_6m"),
+      max_by(when(isP && col("date") <= add_months(col("as_of"), -12), col("close")),
+        when(isP && col("date") <= add_months(col("as_of"), -12), col("date"))).as("__p_12m"),
+      stddev_samp(when(isP, col("__ret"))).as("__ret_sd"),
+      // date-sorted (date, close) array per cell for the order-dependent
+      // price stats (running drawdown peak, trailing SMAs) — computed by
+      // array fold in the post-agg projection instead of an ordered
+      // window. Entity-history-bounded buffer: the same contract the
+      // __y_med percentile below already carries (one ticker's history),
+      // and the fold order is DATE order — deterministic, where the old
+      // window+avg accumulated in shuffle-arrival order.
+      // non-null closes only: a null close would poison the fold sums
+      // (contract: price rows carry non-null closes — true of every input
+      // this operator is driven with; the window form skipped nulls in
+      // its avg/max too)
+      array_sort(collect_list(when(isP && col("close").isNotNull,
+        struct(col("date").as("d"), col("close").as("c"))))).as("__parr"),
+      count(when(isP, col("date"))).as("__pn"),
+      min_by(when(isP && in365, col("close")), when(isP && in365, col("date"))).as("__s_first"),
+      max_by(when(isP && in365, col("close")), when(isP && in365, col("date"))).as("__s_last"),
+      count(when(isP && in365, 1)).as("__s_n"),
+      // --- fundamentals: count + date-sorted struct history
+      count(when(isF, col("date"))).as("__fn"),
+      array_sort(collect_list(when(isF, struct(col("date").as("d"),
+        col("__nde").as("nde"), col("__eic").as("eic"),
+        col("__eic_capped").as("cap"), col("eps").as("eps"),
+        col("dividendYield").as("dy"), col("priceEarningsRatio").as("pe"),
+        col("priceToFreeCashFlowsRatio").as("pfcf"), col("payoutRatio").as("po"),
+        col("freeCashFlowPerShare").as("fcf"))))).as("__farr"),
+      // --- dividends: count + date-sorted (date, value) history
+      count(when(isD, col("date"))).as("__dn"),
+      array_sort(collect_list(when(isD,
+        struct(col("date").as("d"), col("dividend").as("v"))))).as("__darr"),
+      // --- sector index (only populated on the rawSector path): 365d
+      // first/last/count; nullif(count, 0) reproduces etfSideAgg's
+      // absent-group semantics (inner join + filter → missing cell → null
+      // after the left join; the expr below sees null and yields NaN)
+      min_by(when(isX && in365, col("close")), when(isX && in365, col("date")))
+        .as("__x_first"),
+      max_by(when(isX && in365, col("close")), when(isX && in365, col("date")))
+        .as("__x_last"),
+      nullif(count(when(isX && in365, 1)), lit(0L)).as("__x_n"))
+
+    // order-dependent price stats by array fold over the date-sorted cell
+    // history: the drawdown peak walk and the trailing SMAs. Fold order is
+    // date order (ties by close — fully deterministic); the per-row dd
+    // arithmetic is bit-identical to the window form's (same greatest/
+    // divide), the SMA sums differ from the old avg() only in
+    // accumulation order (round(6) downstream, as before).
+    def smaSql(k: Int) =
+      s"""CASE WHEN size(__parr) > 0 THEN
+          aggregate(slice(__parr, greatest(size(__parr) - ${k - 1}, 1), $k),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x.c) / least(size(__parr), $k) END"""
+    def lastFSql(field: String) =
+      s"CASE WHEN size(__farr) = 0 THEN NULL ELSE element_at(__farr, -1).$field END"
+    def divWinSql(years: Int) =
+      s"""CASE WHEN size(__darr) = 0 THEN __darr
+          ELSE filter(__darr, x -> x.d BETWEEN
+            add_months(date_sub(element_at(__darr, -1).d, ${365 * years}), -3) AND
+            add_months(date_sub(element_at(__darr, -1).d, ${365 * years}), 3)) END"""
+    val withPrice = agged
+      .withColumn("__ddw", expr("""CASE WHEN size(__parr) = 0 THEN __parr
+        ELSE filter(__parr, x -> x.d >= date_sub(element_at(__parr, -1).d, 380)) END"""))
+      .withColumn("__n_dd", expr("size(__ddw)"))
+      .withColumn("__max_dd", expr("""aggregate(__ddw,
+          named_struct('p', CAST(NULL AS DOUBLE), 'm', CAST(NULL AS DOUBLE)),
+          (a, x) -> named_struct('p', greatest(a.p, x.c),
+            'm', greatest(a.m, (greatest(a.p, x.c) - x.c) / greatest(a.p, x.c))),
+          a -> a.m)"""))
+      .withColumn("__sma50", expr(smaSql(50)))
+      .withColumn("__sma200", expr(smaSql(200)))
+      // fundamentals picks: latest row's fields; grace-window starts = the
+      // latest in-window row (identical to the old max_by-by-date picks —
+      // the array is date-sorted); the valid-yield median replays Spark's
+      // exact Percentile interpolation (odd n: middle; even n:
+      // lo*0.5 + hi*0.5 — the same two exact products, one rounded add)
+      .withColumn("__nde_last", expr(lastFSql("nde")))
+      .withColumn("__eic_last", expr(lastFSql("eic")))
+      .withColumn("__eic_capped_last", expr(lastFSql("cap")))
+      .withColumn("__eps_end", expr(lastFSql("eps")))
+      .withColumn("__dy_last", expr(lastFSql("dy")))
+      .withColumn("__fcf_end", expr(lastFSql("fcf")))
+      .withColumn("__gw", expr("""CASE WHEN size(__farr) = 0 THEN __farr
+        ELSE filter(__farr, x -> x.d BETWEEN
+          date_sub(date_sub(element_at(__farr, -1).d, 1095), 90) AND
+          date_add(date_sub(element_at(__farr, -1).d, 1095), 90)) END"""))
+      .withColumn("__eps_start",
+        expr("CASE WHEN size(__gw) = 0 THEN NULL ELSE element_at(__gw, -1).eps END"))
+      .withColumn("__fcf_start",
+        expr("CASE WHEN size(__gw) = 0 THEN NULL ELSE element_at(__gw, -1).fcf END"))
+      .withColumn("__yv", expr("""CASE WHEN size(__farr) = 0 THEN __farr
+        ELSE filter(__farr, x -> x.dy IS NOT NULL AND x.dy > 0 AND
+          x.d >= date_sub(add_months(element_at(__farr, -1).d, -60), 90)) END"""))
+      .withColumn("__y_n", expr("size(__yv)"))
+      .withColumn("__y_cur",
+        expr("CASE WHEN size(__yv) = 0 THEN NULL ELSE element_at(__yv, -1).dy END"))
+      .withColumn("__ys", expr("array_sort(transform(__yv, x -> x.dy))"))
+      .withColumn("__y_med", expr("""CASE WHEN size(__ys) = 0 THEN NULL
+        WHEN pmod(size(__ys), 2) = 1
+          THEN element_at(__ys, CAST((size(__ys) + 1) div 2 AS INT))
+        ELSE element_at(__ys, CAST(size(__ys) div 2 AS INT)) * 0.5D
+           + element_at(__ys, CAST(size(__ys) div 2 + 1 AS INT)) * 0.5D END"""))
+      .withColumn("__pv", expr("""CASE WHEN size(__farr) = 0 THEN __farr
+        ELSE filter(__farr, x -> x.pe > 0 AND x.pfcf > 0) END"""))
+      .withColumn("__pe",
+        expr("CASE WHEN size(__pv) = 0 THEN NULL ELSE element_at(__pv, -1).pe END"))
+      .withColumn("__pfcf",
+        expr("CASE WHEN size(__pv) = 0 THEN NULL ELSE element_at(__pv, -1).pfcf END"))
+      .withColumn("__pov", expr("""CASE WHEN size(__farr) = 0 THEN __farr
+        ELSE filter(__farr, x -> x.po IS NOT NULL AND x.po > 0) END"""))
+      .withColumn("__po",
+        expr("CASE WHEN size(__pov) = 0 THEN NULL ELSE element_at(__pov, -1).po END"))
+      // dividend picks
+      .withColumn("__d_end",
+        expr("CASE WHEN size(__darr) = 0 THEN NULL ELSE element_at(__darr, -1).v END"))
+      .withColumn("__dw3", expr(divWinSql(3)))
+      .withColumn("__dw5", expr(divWinSql(5)))
+      .withColumn("__d_s3",
+        expr("CASE WHEN size(__dw3) = 0 THEN NULL ELSE element_at(__dw3, -1).v END"))
+      .withColumn("__d_s5",
+        expr("CASE WHEN size(__dw5) = 0 THEN NULL ELSE element_at(__dw5, -1).v END"))
+    def divCagr(startCol: String, years: Int): Column =
+      when(col("__dn") >= 2 && col(startCol).isNotNull && col(startCol) > 0 &&
+        col("__d_end").isNotNull && col("__d_end") > 0,
+        pow(col("__d_end") / col(startCol), lit(1.0) / years) - 1)
+        .otherwise(nan)
+    // __x_* ship only on the rawSector path — otherwise the caller joins
+    // etfSide, which brings its own __x_* columns
+    val xCols = if (rawSector.isDefined)
+      Seq(col("__x_first"), col("__x_last"), col("__x_n")) else Seq.empty[Column]
+    withPrice.select(Seq(
+      col("ticker"), col("as_of"),
+      col("__s_first"), col("__s_last"), col("__s_n"),
+      col("__pn").as("__price_n"),
+      // price block outputs (verbatim expressions, __n -> __pn)
+      when(col("__p_6m").isNotNull && col("__p_now").isNotNull,
+        (col("__p_now") - col("__p_6m")) / col("__p_6m")).otherwise(0.0).as("6m_return"),
+      when(col("__p_12m").isNotNull && col("__p_now").isNotNull,
+        (col("__p_now") - col("__p_12m")) / col("__p_12m")).otherwise(0.0).as("12m_return"),
+      coalesce(col("__ret_sd") * sqrt(lit(252.0)), lit(0.0)).as("volatility"),
+      when(col("__pn") < 2 || col("__n_dd") < 2, 0.0)
+        .otherwise(coalesce(col("__max_dd"), lit(0.0))).as("max_drawdown_1y"),
+      when(col("__pn") >= 200,
+        when(col("__sma200") =!= 0, (col("__sma50") - col("__sma200")) / col("__sma200"))
+          .otherwise(0.0)).as("sma_50_200_delta"),
+      // fused fundamentals outputs (verbatim, __n -> __fn)
+      when(col("__fn") > 0, col("__nde_last")).otherwise(0.0).as("net_debt_to_ebitda"),
+      when(col("__fn") > 0, col("__eic_last")).otherwise(0.0).as("ebit_interest_cover"),
+      when(col("__fn") > 0, coalesce(col("__eic_capped_last"), lit(false)))
+        .otherwise(lit(false)).as("ebit_interest_cover_capped"),
+      when(col("__fn") >= 2 && col("__eps_start").isNotNull && col("__eps_start") > 0 &&
+        col("__eps_end").isNotNull && col("__eps_end") > 0,
+        pow(col("__eps_end") / col("__eps_start"), lit(1.0) / 3) - 1)
+        .otherwise(nan).as("eps_cagr_3y"),
+      when(col("__fn") > 0, coalesce(col("__dy_last"), lit(0.0))).otherwise(0.0)
+        .as("dividend_yield"),
+      when(col("__fn") < 2, nan)
+        .when(col("__y_n") === 0, nan)
+        .when(col("__y_med") === 0, 0.0)
+        .otherwise((col("__y_cur") - col("__y_med")) / col("__y_med"))
+        .as("yield_vs_5y_median"),
+      coalesce(col("__pe"), lit(0.0)).as("pe_ratio"),
+      coalesce(col("__pfcf"), lit(0.0)).as("pfcf_ratio"),
+      coalesce(col("__po"), lit(0.0)).as("payout_ratio"),
+      when(col("__fn") >= 2 && col("__fcf_start").isNotNull && col("__fcf_start") > 0 &&
+        col("__fcf_end").isNotNull && col("__fcf_end") > 0,
+        pow(col("__fcf_end") / col("__fcf_start"), lit(1.0) / 3) - 1)
+        .otherwise(nan).as("fcf_cagr_3y"),
+      // dividend block outputs (verbatim, __n -> __dn)
+      divCagr("__d_s3", 3).as("dividend_cagr_3y"),
+      divCagr("__d_s5", 5).as("dividend_cagr_5y")) ++ xCols: _*)
   }
 
   /** ETF-side 365d window aggregates for the sector-relative feature. */

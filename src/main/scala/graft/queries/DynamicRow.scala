@@ -82,7 +82,10 @@ object DynamicRow {
       .agg(moneySum(col("l_extendedprice")).as("b"))
       .withColumn("ticker", col("sk").cast(StringType))
       .withColumn("d", datediff(col("date"), to_date(lit("1992-01-01"))).cast(DoubleType))
-      // feeds six input frames + the grid: one aggregation pays for all
+      // feeds six input frames + the grid: one aggregation pays for all.
+      // (eager localCheckpoint, not lazy persist: measured r10, the lazy
+      // cache made the warm drive 10.6 s vs 6.9 — concurrent consumers
+      // (broadcast builds) race the un-materialized cache and recompute)
       .localCheckpoint()
     val prices = base.select(col("ticker"), col("date"),
       (lit(100.0) + col("d") * 0.05 + (col("sk") % 13).cast(DoubleType)).as("close"))

@@ -405,7 +405,7 @@ class TickerFeaturesSpec extends SparkSpec {
     assert(row.getInt(2) == 0) // single dividend -> NaN
   }
 
-  test("fused fundamentals path is bit-identical to the separate blocks") {
+  test("fused path equals the separate blocks (exact; vol/sma to ulp tolerance)") {
     // two tickers x three as_of dates; statements span 6 years with edge
     // cases on every branch: zero EBITDA (inf nde), zero interest, negative
     // eps, zero dividendYield rows, non-positive pe rows.
@@ -447,11 +447,33 @@ class TickerFeaturesSpec extends SparkSpec {
       balance = st.select("ticker", "date", "cashAndShortTermInvestments", "totalDebt"),
       sectorIndex = px.limit(0),
       statements = statements)
-    def rows(in: TickerFeatures.Inputs): Seq[String] =
+    def rows(in: TickerFeatures.Inputs): Seq[org.apache.spark.sql.Row] =
       TickerFeatures.dynamicFeatures(grid, in)
-        .orderBy("ticker", "as_of").collect().toSeq.map(_.toString)
+        .orderBy("ticker", "as_of").collect().toSeq
     val separate = rows(inputs(None))
     val fused = rows(inputs(Some(st)))
-    assert(separate.nonEmpty && separate == fused)
+    assert(separate.nonEmpty && separate.size == fused.size)
+    // volatility and the SMA delta accumulate in DIFFERENT orders between
+    // the forms (shuffle-arrival avg/stddev vs the fused path's date-order
+    // fold) — last-ulp differences by design, absorbed by the pipeline's
+    // round(6); every other column is exact picks/counts/IEEE arithmetic
+    // on identical inputs and must match bit-for-bit.
+    val cols = TickerFeatures.dynamicFeatures(grid, inputs(None)).columns
+    val ulpCols = Set("volatility", "sma_50_200_delta")
+    separate.zip(fused).foreach { case (a, b) =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (ulpCols(c)) {
+          val (x, y) = (a.get(i), b.get(i))
+          if (x == null || y == null) assert(x == y, s"$c: $x vs $y")
+          else {
+            val (dx, dy) = (a.getDouble(i), b.getDouble(i))
+            assert(dx == dy || math.abs(dx - dy) <= 1e-9 * math.max(math.abs(dx), 1.0),
+              s"$c beyond ulp tolerance: $dx vs $dy")
+          }
+        } else assert(a.get(i) == b.get(i) ||
+            (a.get(i) != null && a.get(i).equals(b.get(i))),
+          s"$c: ${a.get(i)} vs ${b.get(i)} in $a / $b")
+      }
+    }
   }
 }
