@@ -5,7 +5,7 @@ import scala.collection.mutable.ListBuffer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Distributed suffix-array construction by prefix doubling — the index
   * structure behind suffix-array deduplication (Lee et al. 2021,
@@ -369,6 +369,17 @@ object SuffixRanks {
         case r => (r.getInt(0), r.getLong(1))
       }
     if (maxLen < 1) return None
+    // Int-typed round relations (r10 verdict task 5): ranks are
+    // strictly-smaller counts + 1 ≤ nPos, and pos ≤ maxDocLen, so both
+    // fit Int for any corpus under 2^31−1 positions — HALVING the bytes
+    // every doubling round moves (the profiled materialization floor).
+    // Loud guard, not silent wraparound (the d73 rule: Spark would wrap
+    // where a user expects a bigger type); the production form past the
+    // bound is the same build with LongType round columns — one type
+    // parameter, not a new algorithm.
+    require(nPosEst <= Int.MaxValue.toLong,
+      s"suffix build holds $nPosEst positions > 2^31-1: switch the round " +
+        "relations back to LongType ranks for corpora this large")
     val effMaxPre = math.min(maxLen.toLong, maxPrefix)
     val bigBuild = nPosEst >= AggPathMinPositions
     // base position relation (doc_id, text, pos) — narrow, cheap to
@@ -459,10 +470,12 @@ object SuffixRanks {
           .select(col("doc_id"), col("pos"),
             expr(s"substring(text, pos, $startG)").as("__g"))
           .join(broadcast(ranked), Seq("__g"))
-          .select(col("doc_id"), col("pos"), col("r"))
+          .select(col("doc_id"), col("pos"),
+            col("r").cast(IntegerType).as("r"))
       case None =>
         positions.join(broadcast(charRanks), Seq("ch"))
-          .select(col("doc_id"), col("pos"), col("r"))
+          .select(col("doc_id"), col("pos"),
+            col("r").cast(IntegerType).as("r"))
     }))
     startTable.foreach(_.unpersist(false))
     // rank values are strictly-smaller COUNTS + 1, so every round's ranks
@@ -504,7 +517,7 @@ object SuffixRanks {
         .withColumn("r2", coalesce(
           lead(col("r"), off.toInt).over(
             Window.partitionBy("doc_id").orderBy("pos")),
-          lit(0L)))
+          lit(0)))
       val paired = if (bigBuild) paired0.persist() else paired0
       // Two physical forms for "rank() of the (r, r2) pair", chosen by the
       // round's GROUP-TABLE size (round-9 sf10 lesson): early rounds have
@@ -532,7 +545,8 @@ object SuffixRanks {
         case Some(pc) if m <= AggPathMaxGroups =>
           val grpRanks = graft.core.Indexing.globalPrefixSum(
               pc, "r", "__w", "__ps", tieBreak = Seq("r2"))
-            .select(col("r"), col("r2"), (col("__ps") + 1L).as("__r_next"))
+            .select(col("r"), col("r2"),
+              (col("__ps") + 1L).cast(IntegerType).as("__r_next"))
           paired.join(broadcast(grpRanks), Seq("r", "r2"))
             .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
               col("__r_next").as("r"))
@@ -545,7 +559,7 @@ object SuffixRanks {
               paired, "r", Seq(col("r").asc, col("r2").asc),
               Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
             .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
-              col("__r_new").as("r"))
+              col("__r_new").cast(IntegerType).as("r"))
       }
       val next = checkpointTracked(next0) // eager: pc+paired fully consumed after
       pcOpt.foreach(_.unpersist(false))

@@ -13,7 +13,7 @@ import graft.core.Tables
   */
 object TextVector17 {
 
-  def defs: Seq[QueryDef] = Seq(d86, m3, e17)
+  def defs: Seq[QueryDef] = Seq(d86, m3, m4, e17)
 
   /** Symmetric int8 scalar quantization + quantized-cosine top-k — the
     * third embedding-compression serving form beside PQ (e8/e12, 32×) and
@@ -161,6 +161,71 @@ object TextVector17 {
           THEN 0.299 * CAST(r AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
              + 0.114 * CAST(b AS DOUBLE) END), 6) AS first_luma
       FROM px GROUP BY doc_id ORDER BY asset_id"""))
+
+  /** REAL audio decode judged end to end (r9 verdict task 6 — the second
+    * self-decodable media family): documents' ASCII bytes become stereo
+    * 16-bit PCM WAVs through [[graft.operators.Multimodal.encodeWavPcm16]]
+    * (real RIFF/fmt/data chunks, little-endian int16 interleaved frames),
+    * then [[graft.operators.Multimodal.wavSampleStats]] REALLY walks the
+    * chunks back and the judged surface is the decoded statistics: header
+    * geometry, per-channel means, the all-sample RMS, and the FIRST
+    * channel-0 sample (order-SENSITIVE — a byte-swapping or
+    * payload-offset bug matches nothing; a sample-order bug matches the
+    * means but not the first sample). Samples derive from ascii codes
+    * (b·256 − 16384 ∈ [−16384, 16128] — strictly inside int16), so the
+    * DuckDB oracle replays the arithmetic from the SOURCE text with exact
+    * BIGINT sums; the only floats on either engine are the final
+    * divisions and one correctly-rounded sqrt. The spec cross-checks the
+    * decode against the JDK's independent javax.sound.sampled reader. */
+  val m4 = QueryDef("m4_wav_decode",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(length(col("text")) >= 63)
+        .select(col("doc_id"), col("text"))
+      val schema = StructType(Seq(StructField("asset_id", LongType),
+        StructField("content", BinaryType)))
+      val assets = s.createDataFrame(docs.rdd.mapPartitions { it =>
+        it.map { row =>
+          val text = row.getString(1)
+          val frames = math.min(text.length / 8, 25)
+          val b = text.substring(0, 2 * frames).getBytes("US-ASCII")
+          val samples = new Array[Short](2 * frames)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((b(i) & 0xff) * 256 - 16384).toShort
+            i += 1
+          }
+          org.apache.spark.sql.Row(row.getLong(0),
+            graft.operators.Multimodal.encodeWavPcm16(8000, 2, samples))
+        }
+      }, schema)
+      graft.operators.Multimodal.wavSampleStats(assets)
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("n_frames"),
+          round(col("mean_ch0"), 6).as("mean_ch0"),
+          round(col("mean_ch1"), 6).as("mean_ch1"),
+          round(col("rms"), 6).as("rms"), col("first_s0"))
+        .orderBy("asset_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text, CAST(least(len(text) // 8, 25) AS INT) AS f
+        FROM documents
+        WHERE regexp_full_match(text, '[\x00-\x7F]*') AND len(text) >= 63),
+      sm AS (SELECT doc_id, f, CAST(p AS BIGINT) AS p,
+          ascii(substr(text, CAST(2 * p + 1 AS INT), 1)) * 256 - 16384 AS s0,
+          ascii(substr(text, CAST(2 * p + 2 AS INT), 1)) * 256 - 16384 AS s1
+        FROM d, UNNEST(generate_series(0, f - 1)) AS u(p))
+      SELECT doc_id AS asset_id, CAST(8000 AS INT) AS sample_rate,
+        CAST(2 AS INT) AS channels,
+        CAST(count(*) AS BIGINT) AS n_frames,
+        ROUND(CAST(SUM(s0) AS DOUBLE) / count(*), 6) AS mean_ch0,
+        ROUND(CAST(SUM(s1) AS DOUBLE) / count(*), 6) AS mean_ch1,
+        ROUND(sqrt(CAST(SUM(s0 * s0 + s1 * s1) AS DOUBLE) / (2 * count(*))), 6)
+          AS rms,
+        CAST(MAX(CASE WHEN p = 0 THEN s0 END) AS BIGINT) AS first_s0
+      FROM sm GROUP BY doc_id ORDER BY asset_id"""))
 
   /** Suffix-index-driven duplicated-span removal: every 16-char window
     * occurring more than once in the corpus is a rank tie in the capped

@@ -109,6 +109,44 @@ class TextVector17Spec extends SparkSpec {
     assert(graft.operators.Multimodal.decodeBmpPixels(bmp.take(53)).isEmpty)
   }
 
+  test("WAV PCM16 encode/decode: round trip exact; decode matches the JDK's " +
+    "independent javax.sound.sampled reader sample-for-sample; chunk walk " +
+    "honors order, padding, and strictness") {
+    val samples = Array.tabulate(14)(i => ((i * 2741 + 17) % 60001 - 30000).toShort)
+    val wav = graft.operators.Multimodal.encodeWavPcm16(8000, 2, samples)
+    // 1. our decode inverts our encode exactly
+    val Some((sr, ch, s)) = graft.operators.Multimodal.decodeWavPcm16(wav)
+    assert(sr == 8000 && ch == 2 && s.toSeq == samples.toSeq)
+    // 2. the JDK's OWN reader agrees — an independent implementation of
+    // the container, so encode and decode cannot share a compensating bug
+    // (endianness, data offset, fmt layout)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    assert(f.getSampleRate == 8000f && f.getChannels == 2 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length == samples.length * 2)
+    val jdk = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    samples.indices.foreach(i => assert(jdk.get(i) == samples(i), s"sample $i"))
+    // 3. chunk WALK, not fixed offsets: an unknown odd-sized chunk
+    // inserted BEFORE fmt must be skipped with its pad byte
+    val extra = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val walked = wav.take(12) ++ extra ++ wav.drop(12)
+    val bb = java.nio.ByteBuffer.wrap(walked).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, walked.length - 8) // fix RIFF size
+    val Some((sr2, ch2, s2)) = graft.operators.Multimodal.decodeWavPcm16(walked)
+    assert(sr2 == 8000 && ch2 == 2 && s2.toSeq == samples.toSeq)
+    // 4. strictness: non-PCM format tag, non-16-bit, truncated data all
+    // reject to the stub path
+    val badFmt = wav.clone(); badFmt(20) = 3 // IEEE float tag
+    assert(graft.operators.Multimodal.decodeWavPcm16(badFmt).isEmpty)
+    val bad8 = wav.clone(); bad8(34) = 8 // bits per sample
+    assert(graft.operators.Multimodal.decodeWavPcm16(bad8).isEmpty)
+    assert(graft.operators.Multimodal.decodeWavPcm16(wav.take(50)).isEmpty)
+  }
+
   test("spanRemoval: degenerate corpus and the power-of-two contract") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
