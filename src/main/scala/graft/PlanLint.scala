@@ -32,6 +32,7 @@ object PlanLint {
     "e13_mips_transform" -> (1, "corpus x broadcast(query sample) - e2's exact-baseline shape; the transform itself is narrow"),
     "e14_binary_hamming_rerank" -> (1, "packed codes x broadcast(20-query code sample) - e2's shape over 8-byte rows; the rerank join is a hash join on neighbor_id"),
     "e17_int8_sq_topk" -> (1, "int8 codes x broadcast(20-query code sample) - e2's bounded-query-batch shape over 4x-compressed rows"),
+    "e18_hard_negative_mining" -> (1, "corpus x broadcast(20-query sample) - e2's exact-baseline shape; the label split and positive-margin join above it are hash joins"),
     "e15_mrl_truncation_recall" -> (2, "two e2-shaped passes (full-dim and 16-dim-prefix search), each corpus x broadcast(30-query sample); deliberately two scans, not a materialized pair table - at scale column pruning lets the prefix pass read 16/64 of the bytes, which is the operator's point"),
     "e3_knn_ivf" -> (2, "assignCells + ivfTopK each cross corpus/queries with broadcast(centroids), k<=10"),
     // d41 needs no entry since r8 wave 5: NearestCells replaced the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DynamicRow, FeatureBlocks, Pipeline, QueryDef, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, ScaleOps, TextVector, TextVector2, TextVector3, TextVector4, TextVector5, TextVector6, TextVector7, TextVector8, TextVector9, TextVector10, TextVector11, TextVector12, TextVector13, TextVector14, TextVector15, TextVector16, TextVector17}
+import graft.queries.{DynamicRow, FeatureBlocks, Pipeline, QueryDef, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, ScaleOps, TextVector, TextVector2, TextVector3, TextVector4, TextVector5, TextVector6, TextVector7, TextVector8, TextVector9, TextVector10, TextVector11, TextVector12, TextVector13, TextVector14, TextVector15, TextVector16, TextVector17, TextVector18}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       Relational7.defs ++ TextVector.defs ++
       TextVector2.defs ++ TextVector3.defs ++ TextVector4.defs ++
       TextVector5.defs ++ TextVector6.defs ++ TextVector7.defs ++
-      TextVector8.defs ++ TextVector9.defs ++ TextVector10.defs ++ TextVector11.defs ++ TextVector12.defs ++ TextVector13.defs ++ TextVector14.defs ++ TextVector15.defs ++ TextVector16.defs ++ TextVector17.defs ++
+      TextVector8.defs ++ TextVector9.defs ++ TextVector10.defs ++ TextVector11.defs ++ TextVector12.defs ++ TextVector13.defs ++ TextVector14.defs ++ TextVector15.defs ++ TextVector16.defs ++ TextVector17.defs ++ TextVector18.defs ++
       Pipeline.defs ++ ScaleOps.defs ++ FeatureBlocks.defs ++ DynamicRow.defs
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names would shadow registry entries: $dups")
