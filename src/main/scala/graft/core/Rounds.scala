@@ -53,3 +53,25 @@ final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
   /** The final round's ids (still persisted — the loop's output). */
   def liveIds: Set[Int] = live
 }
+
+object RoundCheckpointer {
+  /** One-shot form of the round hygiene for memoized FINAL results (the
+    * p1 / dynamic-row stores): run `build`, eagerly checkpoint its result,
+    * then free every block the build persisted along the way (interior
+    * eager localCheckpoints — the shared base aggregate, the fused cell
+    * layer). Those blocks are superseded the moment the final bytes
+    * exist; left alone they orphan one block set per (session, dataset)
+    * until the ContextCleaner notices — the class the round-10 advisor
+    * flagged on spanRemoval. Interior ids are the set-diff taken BETWEEN
+    * build evaluation and the final checkpoint, so a caller's pre-existing
+    * blocks and the output's own checkpoint are never touched. */
+  def materializeFinal(sc: SparkContext, coalesceTo: Int)
+                      (build: => DataFrame): DataFrame = {
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val built = build // interior eager checkpoints materialize here
+    val interior = sc.getPersistentRDDs.keySet.toSet -- before
+    val out = built.coalesce(coalesceTo).localCheckpoint(true)
+    interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
+  }
+}

@@ -64,7 +64,14 @@ object DynamicRow {
 
   private def validatedRowMaterialized(s: SparkSession, dir: String): DataFrame =
     rowStore.computeIfAbsent((s, dir),
-      { case (sess, d) => validatedRow(sess, d).coalesce(8).localCheckpoint() })
+      { case (sess, d) =>
+        // materializeFinal frees the build's interior checkpoints (the
+        // shared base aggregate, the fused cell layer) once the row's own
+        // bytes exist — without it every (session, dataset) build orphaned
+        // those blocks to the ContextCleaner (the spanRemoval advisor class)
+        graft.core.RoundCheckpointer.materializeFinal(
+          sess.sparkContext, coalesceTo = 8)(validatedRow(sess, d))
+      })
 
   /** The real pipeline drive: synthesize Inputs from lineitem, run
     * dynamicFeatures (fused-statements path) + validate. */

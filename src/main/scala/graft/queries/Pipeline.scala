@@ -234,7 +234,11 @@ object Pipeline {
     p1Store.computeIfAbsent((s, dir), { case (sess, d) =>
       // few partitions: the feature table is ~1 row per grid cell; boosting
       // re-scans it many times and per-task overhead dominates at 32 slices.
-      p1Plan(sess, d).coalesce(8).localCheckpoint()
+      // materializeFinal frees the build's interior checkpoints (priceDiv,
+      // the fused cell layer) once the feature bytes exist — the round-10
+      // orphaned-checkpoint hygiene.
+      graft.core.RoundCheckpointer.materializeFinal(
+        sess.sparkContext, coalesceTo = 8)(p1Plan(sess, d))
     })
 
   /** Phases 3-5 end to end over the p1 feature rows: GBT cut-probability

@@ -59,4 +59,25 @@ class DynamicRowSpec extends SparkSpec {
     assert(rs.total === byStatus.values.sum)
     assert(rs.flagged === byStatus.getOrElse("flagged", 0L))
   }
+
+  test("memoized-build hygiene: a fresh dynamic-row build leaves only its " +
+    "own final checkpoint persisted — interior checkpoints (the shared " +
+    "base aggregate, the fused cell layer) are freed once the row " +
+    "materializes (RoundCheckpointer.materializeFinal)") {
+    val sc = spark.sparkContext
+    graft.queries.DynamicRow.clearMaterialized()
+    val before = sc.getPersistentRDDs.keySet.toSet
+    // drive through the registry fn so the memoized store path is the one
+    // measured (the bench/verify path)
+    graft.queries.DynamicRow.defs.head.fn(spark, "/root/testdata/sf0.001").count()
+    val leaked = (sc.getPersistentRDDs.keySet.toSet -- before).size
+    assert(leaked <= 1, s"dynamic-row build left $leaked persisted RDDs " +
+      "(want <=1: the memoized final row only)")
+    graft.queries.Pipeline.clearMaterialized()
+    val before2 = sc.getPersistentRDDs.keySet.toSet
+    graft.SparkEntry.queries("p1_ticker_pipeline")(spark, "/root/testdata/sf0.001").count()
+    val leaked2 = (sc.getPersistentRDDs.keySet.toSet -- before2).size
+    assert(leaked2 <= 1, s"p1 build left $leaked2 persisted RDDs " +
+      "(want <=1: the memoized feature table only)")
+  }
 }
