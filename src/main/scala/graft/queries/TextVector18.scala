@@ -70,7 +70,12 @@ object TextVector18 {
             graft.operators.Multimodal.encodeBmp(7, h, rgb))
         }
       }, schema)
+      // four consumers (banding, both pair-side joins, the final left
+      // join) over an RDD-backed frame would re-run the decode+resize+hash
+      // once each — materialize the narrow hash relation once (the
+      // multi-consumer rule; ~40 bytes/asset, asset-count-sized)
       val hashed = graft.operators.Multimodal.ahashBands(assets)
+        .localCheckpoint()
       // 16-bit blocking keys: rows (2k, 2k+1) combine little-endian.
       val banded = hashed.select(col("asset_id"), posexplode(array(
         (0 until 4).map(k => (col("bands")(2 * k) +
