@@ -95,6 +95,11 @@ object TextVector18 {
           lit(0L), (acc, v) => acc + v))
         .filter(col("ham") <= 3)
         .select(col("a"), col("b"), col("ham"))
+        // the symmetric union below consumes pairs TWICE — un-materialized,
+        // the whole candidate band join would run once per branch (plan
+        // audit caught the duplicated SMJ chain); the relation is
+        // near-dup-pair-sized, the cheapest thing in the query
+        .localCheckpoint()
       val sym = pairs
         .select(col("a").as("asset_id"), col("b").as("partner"), col("ham"))
         .unionByName(pairs
