@@ -37,6 +37,7 @@ object Multimodal {
     * Replace with a real codec (libjpeg/ffmpeg via JNI) in production — the
     * signature (bytes -> meta) and the batch shape are the contract. */
   def decodeStub(mediaType: String, bytes: Array[Byte]): Row = {
+    if (bytes == null) return Row(mediaType, null, null, null, null, null)
     val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
     val w = 64 + math.floorMod(h, 1024)
     val ht = 64 + math.floorMod(h >> 10, 1024)
@@ -514,6 +515,10 @@ object Multimodal {
     * containers they don't claim (and for fuzzed bytes: every parser
     * bounds-checks and is wrapped NonFatal). */
   def decodeMeta(mediaType: String, bytes: Array[Byte]): Row = {
+    // NULL content (a null source column cast to binary) decodes to the
+    // null meta row — the pathological-corpus contract: attribute, don't
+    // crash. Every parser below indexes into `bytes` unguarded.
+    if (bytes == null) return Row(mediaType, null, null, null, null, null)
     def safely(p: Array[Byte] => Option[Row]): Option[Row] =
       try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
     val real = mediaType match {
@@ -558,7 +563,9 @@ object Multimodal {
     val rdd = assets.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](cIdx)
-        val out = java.util.Arrays.copyOf(bytes, targetLen)
+        // NULL content passes through as NULL (no geometry to resize)
+        val out = if (bytes == null) null
+                  else java.util.Arrays.copyOf(bytes, targetLen)
         Row.fromSeq(row.toSeq.updated(cIdx, out))
       }
     }
@@ -622,7 +629,8 @@ object Multimodal {
     * uncompressed 24-bit BMP (other depths/compressions are codec
     * territory — the documented stub). */
   def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val offBits = bb.getInt(10)
@@ -736,7 +744,7 @@ object Multimodal {
     * territory — the documented stub). Returns (sampleRate, channels,
     * interleaved samples). */
   def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
-    if (bytes.length < 12) return None
+    if (bytes == null || bytes.length < 12) return None
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -962,14 +970,17 @@ object Multimodal {
     val rdd = assets.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](cIdx)
-        val counts = new Array[Long](256)
-        bytes.foreach(b => counts(b & 0xff) += 1)
-        val n = bytes.length.toDouble
-        val entropy = if (n == 0) 0.0 else -counts.filter(_ > 0).map { c =>
-          val p = c / n
-          p * math.log(p) / math.log(2)
-        }.sum
-        Row(row.get(idIdx), bytes.length.toLong, entropy)
+        if (bytes == null) Row(row.get(idIdx), null, null) // null content → null stats
+        else {
+          val counts = new Array[Long](256)
+          bytes.foreach(b => counts(b & 0xff) += 1)
+          val n = bytes.length.toDouble
+          val entropy = if (n == 0) 0.0 else -counts.filter(_ > 0).map { c =>
+            val p = c / n
+            p * math.log(p) / math.log(2)
+          }.sum
+          Row(row.get(idIdx), bytes.length.toLong, entropy)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -49,7 +49,11 @@ class PathologicalCorpusSpec extends SparkSpec {
   }
 
   private val corpusQueries =
-    SparkEntry.allDefs.filter(q => q.name.startsWith("d") || q.name.startsWith("e"))
+    SparkEntry.allDefs.filter(q => q.name.startsWith("d") ||
+      q.name.startsWith("e") || q.name.startsWith("m"))
+  // the m-family included since round 10: on this corpus every multimodal
+  // fixture filters to ZERO assets (all docs short or non-ASCII), so the
+  // sweep pins the empty-asset-relation path the clean testdata never takes
 
   test("every documents/embeddings query survives the pathological corpus") {
     assert(corpusQueries.nonEmpty)
