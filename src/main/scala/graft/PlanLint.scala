@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, RDDScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -74,6 +74,31 @@ object PlanLint {
     * auto-exempt via the reduction check. */
   val allowedTextBroadcast: Map[String, (Int, String)] = Map.empty
 
+  /** query -> (allowed multi-scanned UNPERSISTED RDD relations,
+    * justification). An RDD-backed relation (createDataFrame(rdd) /
+    * LogicalRDD) scanned more than once in ONE plan re-runs its whole
+    * lineage per consumer — parquet scans get pushed-down re-reads from
+    * Catalyst, but an RDD's lineage is opaque, so "read it twice" means
+    * "compute it twice" (the round-10 m5 find: four consumers of the
+    * un-checkpointed aHash frame = four full decode+resize+hash passes).
+    * A persisted/checkpointed RDD (storage level set) scans from blocks
+    * and is exempt. Allowlist exists for relations whose recompute is
+    * genuinely cheaper than materialization (none currently). */
+  val allowedRddRescan: Map[String, (Int, String)] = Map.empty
+
+  /** Check 5's detector (package-visible so PlanLintSpec can prove it
+    * fires — a vacuous gate is worse than none): count distinct
+    * UNPERSISTED, un-checkpointed RDDs appearing under more than one scan
+    * node of `p`. Each extra scan re-runs the RDD's opaque lineage. */
+  private[graft] def rddRescanCount(p: SparkPlan): Int =
+    p.collectWithSubqueries { case s: RDDScanExec => s.rdd }
+      .groupBy(_.id)
+      .count { case (_, scans) =>
+        scans.size > 1 &&
+          scans.head.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+          !scans.head.isCheckpointed
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -113,7 +138,7 @@ object PlanLint {
         case _: TakeOrderedAndProjectExec => ()
       }.nonEmpty
 
-    def offenders(p: SparkPlan): (Int, Int, Int, Int) = {
+    def offenders(p: SparkPlan): (Int, Int, Int, Int, Int) = {
       val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
       val nakedWin = p.collectWithSubqueries {
@@ -124,14 +149,14 @@ object PlanLint {
           if b.output.exists(a => a.name == "text" && a.dataType == StringType) &&
             !reducedBelow(b.child) => b
       }.size
-      (cart, bnlj, nakedWin, textBcast)
+      (cart, bnlj, nakedWin, textBcast, rddRescanCount(p))
     }
 
     var bad = List.empty[String]
     var planned = 0
     SparkEntry.allDefs.sortBy(_.name).foreach { d =>
       try {
-        val (cart, bnlj, nakedWin, textBcast) =
+        val (cart, bnlj, nakedWin, textBcast, rddRescan) =
           offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
         planned += 1
         if (cart > 0)
@@ -145,6 +170,9 @@ object PlanLint {
         val allowedTb = allowedTextBroadcast.get(d.name).map(_._1).getOrElse(0)
         if (textBcast > allowedTb)
           bad ::= s"${d.name}: $textBcast unbounded corpus-text broadcast (allowed $allowedTb)"
+        val allowedRr = allowedRddRescan.get(d.name).map(_._1).getOrElse(0)
+        if (rddRescan > allowedRr)
+          bad ::= s"${d.name}: $rddRescan unpersisted RDD relation(s) scanned >1x (allowed $allowedRr)"
       } catch {
         // a query that cannot even plan is a verify problem, not a lint one
         case e: Throwable => println(s"[planlint] SKIP ${d.name}: ${e.getMessage}")
@@ -168,13 +196,14 @@ object PlanLint {
       }.mkString("{", ", ", "}")
     val artifact =
       s"""{
-         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class). Allowlists for (3) and (4) are EMPTY - nothing needs one.",
+         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class); (5) UNPERSISTED RDD relations scanned more than once in one plan - each scan re-runs the RDD's opaque lineage (the r10 m5 find: 4 consumers = 4 decode passes). Allowlists for (3), (4), (5) are EMPTY - nothing needs one.",
          | "planned": $planned,
          | "offenders_total": ${bad.size},
          | "detail": [${bad.map(jq).mkString(", ")}],
          | "bnlj_allowlist": ${jmap(allowedBnlj)},
          | "global_window_allowlist": ${jmap(allowedGlobalWindow)},
-         | "text_broadcast_allowlist": ${jmap(allowedTextBroadcast)}
+         | "text_broadcast_allowlist": ${jmap(allowedTextBroadcast)},
+         | "rdd_rescan_allowlist": ${jmap(allowedRddRescan)}
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANLINT.json"),
       artifact.getBytes("UTF-8"))
