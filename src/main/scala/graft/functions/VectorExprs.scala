@@ -190,6 +190,163 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product with Java long semantics (silent wrap — exactly
+  * the non-ANSI `aggregate(zip_with(a, b, _*_), 0L, _+_)` column form it
+  * replaces on e17's per-pair hot path, where the interpreted
+  * higher-order fold allocated a zipped array per candidate). NULL on
+  * NULL input, length mismatch, or any NULL element — the DotProduct
+  * contract over integral arrays. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  // Returns NULL for non-null inputs (length mismatch, null element).
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_long"
+
+  private def reader(dt: DataType): (ArrayData, Int) => Long =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case LongType => (a, i) => a.getLong(i)
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case ShortType => (a, i) => a.getShort(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"unsupported integral element type $other")
+    }
+  private def getterCode(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case LongType => s"$arr.getLong($i)"
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case ShortType => s"(long) $arr.getShort($i)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported integral element type $other")
+    }
+
+  @transient private lazy val readL = reader(left.dataType)
+  @transient private lazy val readR = reader(right.dataType)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getL = getterCode(left.dataType, a, i)
+      val getR = getterCode(right.dataType, b, i)
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += ($getL) * ($getR);
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
+        }
+      """
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += readL(a, i) * readR(b, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ_s lut[s][code_s] — the PQ asymmetric-distance (ADC) hot loop: per
+  * candidate, m sub-table lookups + adds, replacing the interpreted
+  * `aggregate(zip_with(lut, codes, element_at(_, _ + 1)))` form that
+  * allocated a zipped m-array per (query, candidate) pair on e8/e12's
+  * scan. Fold order is s ascending with a 0.0 accumulator — bit-identical
+  * to the column form and to the oracle's list_sum(ORDER BY s). NULL on
+  * NULL input, length mismatch, NULL sub-table/code, or an out-of-range
+  * code (element_at's non-ANSI NULL, which poisons the column-form fold). */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_sum"
+
+  @transient private lazy val readCode: (ArrayData, Int) => Long =
+    right.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => (a, i) => a.getLong(i)
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case ShortType => (a, i) => a.getShort(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"unsupported code element type $other")
+    }
+  private def codeGetter(arr: String, i: String): String =
+    right.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => s"$arr.getLong($i)"
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case ShortType => s"(long) $arr.getShort($i)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported code element type $other")
+    }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val sub = ctx.freshName("sub")
+      val c = ctx.freshName("c")
+      val getC = codeGetter(b, s)
+      s"""
+        int $m = $a.numElements();
+        if ($b.numElements() != $m) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $s = 0; $s < $m; $s++) {
+            if ($a.isNullAt($s) || $b.isNullAt($s)) { ${ev.isNull} = true; break; }
+            org.apache.spark.sql.catalyst.util.ArrayData $sub = $a.getArray($s);
+            long $c = $getC;
+            if ($c < 0 || $c >= $sub.numElements() || $sub.isNullAt((int) $c)) {
+              ${ev.isNull} = true; break;
+            }
+            $acc += $sub.getDouble((int) $c);
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
+        }
+      """
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    val m = lut.numElements()
+    if (codes.numElements() != m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (lut.isNullAt(s) || codes.isNullAt(s)) return null
+      val sub = lut.getArray(s)
+      val c = readCode(codes, s)
+      if (c < 0 || c >= sub.numElements() || sub.isNullAt(c.toInt)) return null
+      acc += sub.getDouble(c.toInt)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top-k nearest centroids by cosine, against a centroid matrix EMBEDDED
   * in the expression (driver-collected — the same boundedness contract as
   * broadcasting the centroid table, which every caller already assumed).
@@ -340,6 +497,12 @@ object VectorExprs {
 
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def adcSum(lut: Column, codes: Column): Column =
+    ColumnBridge.column(PqAdcSum(ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
 
   def nearestCells(vec: Column, ids: Array[Long], mat: Array[Array[Double]],
                    k: Int): Column =

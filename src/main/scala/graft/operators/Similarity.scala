@@ -352,12 +352,14 @@ object Similarity {
     }: _*)
   }
 
-  /** Σ_s lut[s][code_s]: zip_with pairs subspace tables with codes in
-    * index order; the fold is the same sequential s-order sum the oracle
-    * replays with list_sum(list(d ORDER BY s)). */
-  private def pqAdcSum = aggregate(
-    zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
-    lit(0.0), (acc, v) => acc + v)
+  /** Σ_s lut[s][code_s] in index order — the same sequential s-order sum
+    * the oracle replays with list_sum(list(d ORDER BY s)). Native codegen
+    * expression (VectorExprs.PqAdcSum): the previous
+    * aggregate(zip_with(element_at)) column form was interpreted and
+    * allocated a zipped m-array per (query, candidate) pair — the exact
+    * hot-path class VectorExprs exists for; bit-identical by the shared
+    * fold order (pinned in TextVectorSpec). */
+  private def pqAdcSum = graft.functions.VectorExprs.adcSum(col("lut"), col("codes"))
 
   /** ADC top-k: per query one lookup table (m×k exact subspace distances,
     * computed in the query-side projection BEFORE the join), then each

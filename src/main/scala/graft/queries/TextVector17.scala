@@ -53,9 +53,11 @@ object TextVector17 {
           col("n2").as("nb"))
         .crossJoin(broadcast(qs))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("dotq", aggregate(
-          zip_with(col("qa"), col("qb"), (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v))
+        // native codegen'd integer dot (round 10): the interpreted
+        // aggregate(zip_with) fold allocated a zipped array per pair —
+        // same values (Java long wrap ≡ the non-ANSI column fold)
+        .withColumn("dotq",
+          graft.functions.VectorExprs.dotLong(col("qa"), col("qb")))
         .withColumn("qcos", when(col("na") > 0L && col("nb") > 0L,
           col("dotq").cast(DoubleType) /
             (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))))

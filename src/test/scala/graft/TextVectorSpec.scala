@@ -170,6 +170,58 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("DotProductLong and PqAdcSum agree bit-exactly with their " +
+    "interpreted column forms — values, wrap, and every NULL class") {
+    // integer dot: values incl. deliberate long overflow (both forms wrap)
+    val big = 3037000500L // sqrt(Long.Max) + 1 -> big*big wraps
+    val ints = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array(big, 0L, 0L), Array(big, 0L, 0L)),
+      (Array(0L, 0L, 0L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val colDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    ints.select(colDot.as("c"),
+        graft.functions.VectorExprs.dotLong(col("a"), col("b")).as("n"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // NULL classes: ragged lengths, null element
+    val raggedI = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val nullI = Seq((Array[java.lang.Long](1L, null), Array[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+    for (df <- Seq(raggedI, nullI)) {
+      val r = df.select(colDot.as("c"),
+        graft.functions.VectorExprs.dotLong(col("a"), col("b")).as("n")).collect()(0)
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    }
+    // ADC sum: values + the out-of-range-code NULL (element_at's non-ANSI
+    // NULL poisons the column fold; the native form must agree)
+    val lut = Array(Array(1.5, 2.5, 3.5), Array(10.0, 20.0, 30.0))
+    val adcCol = aggregate(
+      zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val good = Seq((lut, Array(2, 0)), (lut, Array(0, 2))).toDF("lut", "codes")
+    good.select(adcCol.as("c"),
+        graft.functions.VectorExprs.adcSum(col("lut"), col("codes")).as("n"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      }
+    val oob = Seq((lut, Array(3, 0))).toDF("lut", "codes")
+    val ragged = Seq((lut, Array(1))).toDF("lut", "codes")
+    for (df <- Seq(oob, ragged)) {
+      df.select(adcCol.as("c"),
+          graft.functions.VectorExprs.adcSum(col("lut"), col("codes")).as("n"))
+        .collect().foreach(r => assert(r.isNullAt(0) && r.isNullAt(1),
+          s"column=${r.get(0)} native=${r.get(1)}"))
+    }
+    // a NEGATIVE code maps to element_at index 0, which the column form
+    // treats as an ERROR even non-ANSI (INVALID_INDEX_OF_ZERO); the native
+    // form returns NULL instead — strictly out-of-contract input (pqEncode
+    // emits 0..k-1), pinned here as the one deliberate divergence
+    val neg = Seq((lut, Array(-1, 0))).toDF("lut", "codes")
+    assert(neg.select(graft.functions.VectorExprs
+      .adcSum(col("lut"), col("codes"))).collect()(0).isNullAt(0))
+    intercept[Exception] { neg.select(adcCol).collect() }
+  }
+
   test("brute-force top-k ranks the closest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
