@@ -64,14 +64,33 @@ object RoundCheckpointer {
     * until the ContextCleaner notices — the class the round-10 advisor
     * flagged on spanRemoval. Interior ids are the set-diff taken BETWEEN
     * build evaluation and the final checkpoint, so a caller's pre-existing
-    * blocks and the output's own checkpoint are never touched. */
+    * blocks and the output's own checkpoint are never touched.
+    *
+    * The interior-id set is a GLOBAL registry diff, so it is only correct
+    * when exactly one build runs at a time and the build does not nest
+    * another materializeFinal (advisor r10: a concurrent or nested build's
+    * localCheckpoint blocks would land in this build's diff and be freed —
+    * truncated lineage cannot recompute, the exact
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND class this file warns about). Both
+    * are enforced loudly: builds serialize on a JVM-wide lock, and
+    * reentrancy (same-thread nesting, which `synchronized` would silently
+    * permit) fails the require below instead of corrupting the diff. */
   def materializeFinal(sc: SparkContext, coalesceTo: Int)
-                      (build: => DataFrame): DataFrame = {
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val built = build // interior eager checkpoints materialize here
-    val interior = sc.getPersistentRDDs.keySet.toSet -- before
-    val out = built.coalesce(coalesceTo).localCheckpoint(true)
-    interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    out
+                      (build: => DataFrame): DataFrame = buildLock.synchronized {
+    require(!building,
+      "materializeFinal must not nest: an inner build's checkpoint blocks " +
+        "would land in the outer registry diff and be freed while live")
+    building = true
+    try {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val built = build // interior eager checkpoints materialize here
+      val interior = sc.getPersistentRDDs.keySet.toSet -- before
+      val out = built.coalesce(coalesceTo).localCheckpoint(true)
+      interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      out
+    } finally building = false
   }
+
+  private val buildLock = new Object
+  @volatile private var building = false
 }

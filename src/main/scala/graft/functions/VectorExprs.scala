@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -203,6 +204,21 @@ case class DotProductLong(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot_long"
 
+  // Reject unsupported element types at ANALYSIS time (advisor r10): the
+  // runtime getters throw on the codegen/eval path, but an analysis-time
+  // failure is where a type contract belongs — and a reader dispatched on
+  // the wrong physical type would misread UnsafeArrayData bytes silently.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType | IntegerType | ShortType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long|int|short> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def reader(dt: DataType): (ArrayData, Int) => Long =
     dt.asInstanceOf[ArrayType].elementType match {
       case LongType => (a, i) => a.getLong(i)
@@ -278,6 +294,26 @@ case class PqAdcSum(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_sum"
+
+  // Analysis-time type contract (advisor r10): the eval path hard-codes
+  // sub.getDouble, so a float-element lut would MISREAD UnsafeArrayData
+  // bytes silently on the interpreted path rather than error. Fail the
+  // plan instead: lut must be array<array<double>>, codes integral.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lutOk = left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    val codesOk = right.dataType match {
+      case ArrayType(LongType | IntegerType | ShortType, _) => true
+      case _ => false
+    }
+    if (lutOk && codesOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<array<double>> lut, array<long|int|short> " +
+        s"codes), got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
+  }
 
   @transient private lazy val readCode: (ArrayData, Int) => Long =
     right.dataType.asInstanceOf[ArrayType].elementType match {

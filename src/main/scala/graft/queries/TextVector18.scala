@@ -42,7 +42,14 @@ object TextVector18 {
     * resize index-map bug, a channel-order drift, or a banding error all
     * hash-mismatch. */
   val m5 = QueryDef("m5_bmp_ahash_neardup",
-    (s, dir) => {
+    // materializeFinal wrapper (advisor r10): the build's two interior
+    // localCheckpoints (`hashed`, `pairs`) are eager and used to outlive
+    // every invocation until the ContextCleaner noticed — including
+    // PlanLint's plan-only pass over the registry. Freeing them once the
+    // result's own bytes exist bounds the per-invocation footprint to the
+    // (asset-count-sized) output.
+    (s, dir) => graft.core.RoundCheckpointer.materializeFinal(
+      s.sparkContext, coalesceTo = 8) {
       // m3's fixture contract: ASCII-only docs (charset fork guard), h =
       // min(len/21, 9) ∈ [3, 9] so the 8×8 resize exercises both row
       // decimation (h 9→8) and row repetition (h 3→8).

@@ -222,6 +222,38 @@ class TextVectorSpec extends SparkSpec {
     intercept[Exception] { neg.select(adcCol).collect() }
   }
 
+  test("DotProductLong and PqAdcSum reject unsupported element types at " +
+    "ANALYSIS time (advisor r10: a float-backed lut would misread bytes " +
+    "silently on the interpreted path, not error)") {
+    import org.apache.spark.sql.AnalysisException
+    // float lut: the exact advisor case — array<array<float>> must fail
+    // the plan, never reach sub.getDouble
+    val fLut = Seq((Array(Array(1.5f, 2.5f)), Array(0)))
+      .toDF("lut", "codes")
+    intercept[AnalysisException] {
+      fLut.select(graft.functions.VectorExprs
+        .adcSum(col("lut"), col("codes"))).collect()
+    }
+    // double codes: integral contract on the code side
+    val dCodes = Seq((Array(Array(1.5, 2.5)), Array(0.0)))
+      .toDF("lut", "codes")
+    intercept[AnalysisException] {
+      dCodes.select(graft.functions.VectorExprs
+        .adcSum(col("lut"), col("codes"))).collect()
+    }
+    // float dot operand: DotProductLong is the INTEGRAL dot — a float
+    // array would silently promote on eval; must fail analysis instead
+    val fDot = Seq((Array(1.0f, 2.0f), Array(3L, 4L))).toDF("a", "b")
+    intercept[AnalysisException] {
+      fDot.select(graft.functions.VectorExprs
+        .dotLong(col("a"), col("b"))).collect()
+    }
+    // the supported shapes still analyze (int codes, double lut)
+    val ok = Seq((Array(Array(1.5, 2.5)), Array(1))).toDF("lut", "codes")
+    assert(ok.select(graft.functions.VectorExprs
+      .adcSum(col("lut"), col("codes"))).collect()(0).getDouble(0) == 2.5)
+  }
+
   test("brute-force top-k ranks the closest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
