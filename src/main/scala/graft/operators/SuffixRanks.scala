@@ -92,18 +92,23 @@ object SuffixRanks {
     * G·2^t (G = the G-gram start width), two suffixes' next G·2^t
     * characters are equal iff their round-t ranks at the current offset
     * are equal, so each adjacent pair resolves its LCP in
-    * ceil(log2 maxLen/G) integer-equality steps (two hash joins per level
-    * over the pair relation); the sub-G residual is one direct compare of
-    * at most G−1 characters per pair (the only character comparison
-    * anywhere — bounded, narrow, and it buys the start's removed
-    * rounds). Levels at or above the deepest retained round collapse
-    * into a single full-rank check (see the descent comment), and ties
-    * that run past a document's end (identical whole suffixes) are
-    * capped by min(suffix lengths) — exact, because a rank tie
-    * involving a sentinel forces both remainders identical. Memory: the
-    * retained rounds are ceil(log2 maxLen) position-sized relations (the
-    * documented Flick-Aluru space/time tradeoff); all but the deepest are
-    * freed as soon as the descent completes. */
+    * ceil(log2 maxLen/G) integer-equality steps. The descent is
+    * COMPOSITE (r11): each retained round also carries the previous
+    * round's rank at the same position and at position + G·2^t (free —
+    * the same window pass that built the round), so one probe resolves
+    * TWO levels and the descent pays ceil(levels/2) hash-join pairs over
+    * the pair relation instead of one pair per level. The sub-G residual
+    * is one direct compare of at most G−1 characters per pair (the only
+    * character comparison anywhere — bounded, narrow, and it buys the
+    * start's removed rounds). Levels at or above the deepest retained
+    * round collapse into a single full-rank check (see the descent
+    * comment), and ties that run past a document's end (identical whole
+    * suffixes) are capped by min(suffix lengths) — exact, because a rank
+    * tie involving a sentinel forces both remainders identical. Memory:
+    * the retained rounds are ceil(log2 maxLen) position-sized relations
+    * (the documented Flick-Aluru space/time tradeoff); the even-index
+    * rounds no composite reads are freed before the descent starts, the
+    * rest as soon as it completes. */
   def suffixLcp(docs: DataFrame): DataFrame =
     buildRanks(docs, Long.MaxValue, retain = true) match {
       case None => emptyRanks(docs, "lcp")
@@ -122,39 +127,95 @@ object SuffixRanks {
             withinOrder = Seq(col("r").asc, col("doc_id").asc, col("pos").asc),
             knownBounds = Some((1.0, math.max(1L, b.nPos).toDouble)))
           .select(col("doc_id"), col("pos"), col("__sid")))
-        val lens = docs.select(col("doc_id").as("__ld"),
-          length(col("text")).as("__n"))
+        // the pair relation stays MINIMAL through the descent (two keys +
+        // the accumulator, ~28 bytes/row); the suffix-length columns the
+        // final cap needs join in AFTER the loop — two joins once instead
+        // of widening every descent exchange (r11)
         var pairs = sel.select(col("doc_id").as("a_doc"),
             col("pos").as("a_pos"), col("__sid"))
           .join(sel.select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
             (col("__sid") - 1L).as("__sid")), Seq("__sid"))
-          .join(lens, col("a_doc") === col("__ld"))
-          .withColumn("a_len", col("__n") - col("a_pos") + 1)
-          .drop("__ld", "__n")
-          .join(lens, col("b_doc") === col("__ld"))
-          .withColumn("b_len", col("__n") - col("b_pos") + 1)
-          .drop("__ld", "__n", "__sid")
+          .drop("__sid")
           .withColumn("__acc", lit(0L))
-        // Descent levels. All power-of-two levels at or above the deepest
-        // round COLLAPSE into one check: the deepest round is always the
-        // full-suffix rank (either the convergence fixed point, or
-        // 2^K >= maxLen), and full-rank equality at the current offset
-        // means the remainders are identical — resolved exactly by the
-        // min-length cap (add maxLen, the cap trims it) — while
-        // inequality repeated at the next such level would re-run the
-        // SAME lookup at the SAME offset. A non-identical adjacent pair's
-        // LCP is always < 2^(deepest), so the remaining true rounds'
-        // binary representation covers it. This cuts 2·(T-K) hash joins
-        // on late-converging corpora; checkpointing every OTHER level
-        // halves the materialization actions (plan depth stays bounded
-        // at 4 joins).
-        // with a G-gram start, retained round i is rank-of-(G·2^i)-prefix:
-        // the level values are G·2^i and the residual below G falls to the
-        // direct-compare tail after the loop
-        val levels: Seq[(Long, DataFrame)] =
-          (b.maxLen.toLong, b.rounds.last) +:
-            (b.rounds.length - 2 to 0 by -1).map(t => (b.startG << t, b.rounds(t)))
-        for (((p, rt), i) <- levels.zipWithIndex) {
+        // COMPOSITE descent (r11 — the r10 verdict's d69 task): each
+        // retained round t ≥ 1 carries (r = rank-of-(G·2^t)-prefix,
+        // rp = round t−1's rank at the same position, rpn = round t−1's
+        // rank at pos + G·2^t — computed in the SAME window pass that
+        // built the round, see buildRanks), so ONE probe of round t at
+        // (doc, pos+acc) resolves TWO levels:
+        //   level t:   r(a) == r(b)      → acc += G·2^t
+        //   level t−1: matched   → compare rpn (round t−1 at acc + G·2^t)
+        //              unmatched → compare rp  (round t−1 at acc)
+        //                                  → acc += G·2^(t−1)
+        // — exactly the two-joins-per-level descent's lookups, at half the
+        // joins. Null ⟺ the old descent's join miss (probe past doc end).
+        //
+        // The TOP composite collapses all levels at or above the deepest
+        // round into one full-rank check (unchanged argument: the deepest
+        // round is the full-suffix rank — convergence fixed point or
+        // 2^K ≥ maxLen — so equality there means identical remainders,
+        // resolved by the min-length cap; add maxLen, the cap trims it)
+        // and resolves level T−2 via its rp/rpn columns. Its rpn sits at
+        // offset G·2^(T−1): ≥ maxLen when the cap was hit (always null —
+        // the old miss), and on early convergence a spurious post-maxLen
+        // match only adds past an accumulator the cap already trims.
+        //
+        // Descent = composites at rounds T−1, T−3, …; odd T leaves level 0
+        // (G chars, via the plain 3-col rounds(0)) as one trailing plain
+        // level. Checkpoint every OTHER composite: plan depth stays at 4
+        // joins (the old cadence) with HALF the materialization actions.
+        val T = b.rounds.length
+        val compositeIdx: Seq[Int] = if (T >= 2) T - 1 to 1 by -2 else Nil
+        val plainLevels: Seq[(Long, DataFrame)] =
+          (if (T == 1) Seq((b.maxLen.toLong, b.rounds(0)))
+           else if (T % 2 == 1) Seq((b.startG, b.rounds(0)))
+           else Nil)
+        // rounds no descent step reads (even indices except a plain-level
+        // 0) are dead the moment the build returns — free them before the
+        // descent so retained storage is ~half the doubling rounds
+        locally {
+          val used = compositeIdx.toSet ++ (if (plainLevels.nonEmpty) Set(0) else Set.empty)
+          b.roundIds.zipWithIndex.collect { case (ids, i) if !used(i) => ids }
+            .flatten.foreach(id =>
+              sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        }
+        var stepParity = 0
+        def maybeStep(df: DataFrame, last: Boolean): DataFrame = {
+          stepParity += 1
+          if (last || stepParity % 2 == 0) step(df) else df
+        }
+        for ((t, i) <- compositeIdx.zipWithIndex) {
+          val pHi = if (t == T - 1) b.maxLen.toLong else b.startG << t
+          val pLo = b.startG << (t - 1)
+          val rt = b.rounds(t)
+          val joined = pairs
+            .join(rt.select(col("doc_id").as("__da"), col("pos").as("__pa"),
+                col("r").as("__ra"), col("rp").as("__rpa"), col("rpn").as("__rna")),
+              col("__da") === col("a_doc") &&
+                col("__pa") === (col("a_pos") + col("__acc")), "left")
+            .join(rt.select(col("doc_id").as("__db"), col("pos").as("__pb"),
+                col("r").as("__rb"), col("rp").as("__rpb"), col("rpn").as("__rnb")),
+              col("__db") === col("b_doc") &&
+                col("__pb") === (col("b_pos") + col("__acc")), "left")
+            .withColumn("__hi",
+              col("__ra").isNotNull && col("__rb").isNotNull &&
+                col("__ra") === col("__rb"))
+            .withColumn("__lo",
+              when(col("__hi"),
+                col("__rna").isNotNull && col("__rnb").isNotNull &&
+                  col("__rna") === col("__rnb"))
+              .otherwise(
+                col("__rpa").isNotNull && col("__rpb").isNotNull &&
+                  col("__rpa") === col("__rpb")))
+            .withColumn("__acc", col("__acc") +
+              when(col("__hi"), lit(pHi)).otherwise(lit(0L)) +
+              when(col("__lo"), lit(pLo)).otherwise(lit(0L)))
+            .drop("__da", "__pa", "__ra", "__rpa", "__rna",
+              "__db", "__pb", "__rb", "__rpb", "__rnb", "__hi", "__lo")
+          pairs = maybeStep(joined,
+            i == compositeIdx.length - 1 && plainLevels.isEmpty)
+        }
+        for (((p, rt), i) <- plainLevels.zipWithIndex) {
           val joined = pairs
             .join(rt.select(col("doc_id").as("__da"), col("pos").as("__pa"),
                 col("r").as("__ra")),
@@ -168,8 +229,7 @@ object SuffixRanks {
               when(col("__ra").isNotNull && col("__ra") === col("__rb"),
                 col("__acc") + p).otherwise(col("__acc")))
             .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-          pairs = if (i % 2 == 1 || i == levels.length - 1) step(joined)
-                  else joined
+          pairs = if (i == plainLevels.length - 1) step(joined) else joined
         }
         // direct-compare tail: the G-gram start removed levels below G, so
         // the residual LCP part (< G chars) is resolved by comparing the
@@ -214,11 +274,23 @@ object SuffixRanks {
         }
         // the descent is done: every retained round except the deepest
         // (which underlies b.ranks and the final join) can be freed now
+        // (the even-index rounds were already freed pre-descent — no-ops)
         b.roundIds.dropRight(1).flatten
           .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        val lcpPair = pairs.withColumn("__lcp",
-          least(col("__acc"), col("a_len").cast(LongType),
-            col("b_len").cast(LongType)))
+        // suffix lengths for the min-cap, joined once POST-descent (the
+        // descent's exchanges stayed key+accumulator narrow)
+        val lens = docs.select(col("doc_id").as("__ld"),
+          length(col("text")).as("__n"))
+        val lcpPair = pairs
+          .join(lens, col("a_doc") === col("__ld"))
+          .withColumn("a_len", col("__n") - col("a_pos") + 1)
+          .drop("__ld", "__n")
+          .join(lens, col("b_doc") === col("__ld"))
+          .withColumn("b_len", col("__n") - col("b_pos") + 1)
+          .drop("__ld", "__n")
+          .withColumn("__lcp",
+            least(col("__acc"), col("a_len").cast(LongType),
+              col("b_len").cast(LongType)))
         // each pair contributes to BOTH endpoints; suffixes with a single
         // neighbor (global first/last) appear once, a 1-suffix corpus not
         // at all -> left join back onto the full position set
@@ -513,11 +585,22 @@ object SuffixRanks {
       // exchange re-runs per consumer (~15 s/round at sf10); on small
       // builds there is no probe and the cache-write stage is pure
       // overhead (part of a measured d69 sf0.1 regression)
-      val paired0 = ranks
-        .withColumn("r2", coalesce(
-          lead(col("r"), off.toInt).over(
-            Window.partitionBy("doc_id").orderBy("pos")),
-          lit(0)))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val paired0base = ranks
+        .withColumn("r2", coalesce(lead(col("r"), off.toInt).over(wDoc), lit(0)))
+      // retain mode additionally carries r_{t-1} at pos + 2·off — the
+      // SAME window pass (one sort, two leads), zero extra exchanges. The
+      // LCP descent reads it to resolve TWO levels per probe: after a
+      // level-t rank match the next check is r_{t-1} at offset+2·off, and
+      // after a miss it is r_{t-1} at offset (the __r_old column) — so one
+      // composite join replaces the two-joins-per-level descent (the r10
+      // verdict's d69 task). NULLABLE by design: null ⟺ the probe runs
+      // past the document end ⟺ the old descent's join miss.
+      val paired0 =
+        if (!retain) paired0base
+        else if (2L * off <= Int.MaxValue.toLong)
+          paired0base.withColumn("__r3", lead(col("r"), (2L * off).toInt).over(wDoc))
+        else paired0base.withColumn("__r3", lit(null).cast(IntegerType))
       val paired = if (bigBuild) paired0.persist() else paired0
       // Two physical forms for "rank() of the (r, r2) pair", chosen by the
       // round's GROUP-TABLE size (round-9 sf10 lesson): early rounds have
@@ -541,6 +624,7 @@ object SuffixRanks {
       else None
       val m = pcOpt.map(_.count()).getOrElse(Long.MaxValue)
       if (m > AggPathMaxGroups) aggAlive = false
+      val extraCols = if (retain) Seq(col("__r3")) else Nil
       val next0 = pcOpt match {
         case Some(pc) if m <= AggPathMaxGroups =>
           val grpRanks = graft.core.Indexing.globalPrefixSum(
@@ -548,8 +632,8 @@ object SuffixRanks {
             .select(col("r"), col("r2"),
               (col("__ps") + 1L).cast(IntegerType).as("__r_next"))
           paired.join(broadcast(grpRanks), Seq("r", "r2"))
-            .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
-              col("__r_next").as("r"))
+            .select(Seq(col("doc_id"), col("pos"), col("r").as("__r_old"),
+              col("__r_next").as("r")) ++ extraCols: _*)
         case _ =>
           // the fused helper replaces globalRowIds + a second
           // (r,r2)-partitioned group-min window — the bucket is f(r) so
@@ -558,14 +642,21 @@ object SuffixRanks {
           graft.core.Indexing.globalGroupRank(
               paired, "r", Seq(col("r").asc, col("r2").asc),
               Seq(col("r"), col("r2")), "__r_new", knownBounds = rankBounds)
-            .select(col("doc_id"), col("pos"), col("r").as("__r_old"),
-              col("__r_new").cast(IntegerType).as("r"))
+            .select(Seq(col("doc_id"), col("pos"), col("r").as("__r_old"),
+              col("__r_new").cast(IntegerType).as("r")) ++ extraCols: _*)
       }
       val next = checkpointTracked(next0) // eager: pc+paired fully consumed after
       pcOpt.foreach(_.unpersist(false))
       if (bigBuild) paired.unpersist(false)
       converged = next.filter(col("r") =!= col("__r_old")).isEmpty
-      ranks = record(next.select("doc_id", "pos", "r"))
+      ranks = next.select("doc_id", "pos", "r")
+      // retained rounds keep the composite columns (rp = previous round's
+      // rank at pos, rpn = previous round's rank at pos + 2·off) for the
+      // LCP descent; the loop itself and non-retain callers stay narrow
+      record(if (retain)
+        next.select(col("doc_id"), col("pos"), col("r"),
+          col("__r_old").as("rp"), col("__r3").as("rpn"))
+      else ranks)
       off *= 2L
     }
     Some(Build(ranks, rounds.toIndexedSeq, roundIds.toIndexedSeq, maxLen,
