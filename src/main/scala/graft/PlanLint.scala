@@ -99,6 +99,66 @@ object PlanLint {
           !scans.head.isCheckpointed
       }
 
+  /** Check 6's ceiling: any single broadcast payload above this is an
+    * offender, NO allowlist (r10 verdict task 6). Checks 1–5 are
+    * shape-based; none catches a bounded-BY-CONSTRUCTION broadcast whose
+    * bound grows with the corpus (a "query sample" that is 10% of the
+    * table broadcasts 10 TB at 100 TB). 64 MB is ~6× the default
+    * autoBroadcastJoinThreshold — plenty for every legitimate dim /
+    * batch / centroid table, far under executor budgets. */
+  private[graft] val BroadcastBytesCeiling: Long = 64L << 20
+
+  /** Check 6's size model (package-visible for PlanLintSpec): bottom-up
+    * byte estimate of a broadcast payload subtree. Some(bytes) when
+    * estimable, None when an opaque leaf (RDD scan, cached relation)
+    * makes it unknowable — a stats-based check cannot speak about inputs
+    * stats do not cover, and flagging garbage estimates would bury real
+    * offenders.
+    *
+    * Deliberate asymmetry: keyless aggregates and limits BOUND the
+    * subtree regardless of what sits below (1 row / `limit` rows by
+    * construction — the e2-class 20-row query batch), while grouped
+    * aggregates, filters, and projections do NOT reduce the estimate:
+    * their output grows with the corpus, which is exactly the class this
+    * check exists to catch. Joins below a broadcast sum their sides
+    * (best-effort: the guarded shapes are scan→filter→project; a
+    * blow-up join under an unbounded broadcast still reports ≥ its
+    * inputs). */
+  private[graft] def subtreeBytes(p: SparkPlan): Option[Long] = {
+    def rowSize(q: SparkPlan): Long =
+      q.output.map(_.dataType.defaultSize.toLong).sum + 8L
+    p match {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty =>
+        Some(rowSize(a))
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty =>
+        Some(rowSize(a))
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty =>
+        Some(rowSize(a))
+      case l: GlobalLimitExec => Some(l.limit.toLong * rowSize(l))
+      case l: CollectLimitExec => Some(l.limit.toLong * rowSize(l))
+      case t: TakeOrderedAndProjectExec => Some(t.limit.toLong * rowSize(t))
+      case r: org.apache.spark.sql.execution.RangeExec =>
+        Some(r.numElements.toLong * 8L)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        // the logical relation's stats ARE the file bytes
+        f.logicalLink.map(_.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      case leaf if leaf.children.isEmpty => None // RDD scan, cache, reuse…
+      case other =>
+        other.children.map(subtreeBytes).foldLeft(Option(0L)) {
+          case (Some(a), Some(b)) => Some(a + b)
+          case _ => None
+        }
+    }
+  }
+
+  /** Check 6's detector: BroadcastExchanges whose estimated payload
+    * exceeds `ceiling`. */
+  private[graft] def oversizedBroadcasts(p: SparkPlan,
+                                         ceiling: Long = BroadcastBytesCeiling): Int =
+    p.collectWithSubqueries {
+      case b: BroadcastExchangeExec if subtreeBytes(b.child).exists(_ > ceiling) => b
+    }.size
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -138,7 +198,7 @@ object PlanLint {
         case _: TakeOrderedAndProjectExec => ()
       }.nonEmpty
 
-    def offenders(p: SparkPlan): (Int, Int, Int, Int, Int) = {
+    def offenders(p: SparkPlan): (Int, Int, Int, Int, Int, Int) = {
       val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
       val nakedWin = p.collectWithSubqueries {
@@ -149,14 +209,14 @@ object PlanLint {
           if b.output.exists(a => a.name == "text" && a.dataType == StringType) &&
             !reducedBelow(b.child) => b
       }.size
-      (cart, bnlj, nakedWin, textBcast, rddRescanCount(p))
+      (cart, bnlj, nakedWin, textBcast, rddRescanCount(p), oversizedBroadcasts(p))
     }
 
     var bad = List.empty[String]
     var planned = 0
     SparkEntry.allDefs.sortBy(_.name).foreach { d =>
       try {
-        val (cart, bnlj, nakedWin, textBcast, rddRescan) =
+        val (cart, bnlj, nakedWin, textBcast, rddRescan, bigBcast) =
           offenders(d.fn(spark, sfDir).queryExecution.executedPlan)
         planned += 1
         if (cart > 0)
@@ -173,6 +233,9 @@ object PlanLint {
         val allowedRr = allowedRddRescan.get(d.name).map(_._1).getOrElse(0)
         if (rddRescan > allowedRr)
           bad ::= s"${d.name}: $rddRescan unpersisted RDD relation(s) scanned >1x (allowed $allowedRr)"
+        if (bigBcast > 0)
+          bad ::= s"${d.name}: $bigBcast BroadcastExchange(s) over the " +
+            s"${BroadcastBytesCeiling >> 20} MB estimate ceiling (no allowlist)"
       } catch {
         // a query that cannot even plan is a verify problem, not a lint one
         case e: Throwable => println(s"[planlint] SKIP ${d.name}: ${e.getMessage}")
@@ -196,7 +259,7 @@ object PlanLint {
       }.mkString("{", ", ", "}")
     val artifact =
       s"""{
-         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class); (5) UNPERSISTED RDD relations scanned more than once in one plan - each scan re-runs the RDD's opaque lineage (the r10 m5 find: 4 consumers = 4 decode passes). Allowlists for (3), (4), (5) are EMPTY - nothing needs one.",
+         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class); (5) UNPERSISTED RDD relations scanned more than once in one plan - each scan re-runs the RDD's opaque lineage (the r10 m5 find: 4 consumers = 4 decode passes); (6) any BroadcastExchange whose bottom-up payload estimate exceeds 64 MB, NO allowlist - keyless aggregates and limits bound the estimate, grouped aggregates/filters/projections deliberately do not (their output grows with the corpus), opaque leaves (RDD scans, caches) make a subtree unknowable and are skipped. Allowlists for (3), (4), (5) are EMPTY - nothing needs one.",
          | "planned": $planned,
          | "offenders_total": ${bad.size},
          | "detail": [${bad.map(jq).mkString(", ")}],

@@ -40,4 +40,67 @@ class PlanLintSpec extends SparkSpec {
     val pqTwice = pq.select("id").unionByName(pq.select("id"))
     assert(PlanLint.rddRescanCount(pqTwice.queryExecution.executedPlan) == 0)
   }
+
+  test("check 6 fires on an oversized broadcast whose subtree is only " +
+    "filter-reduced, stays silent on limit-bounded query batches and " +
+    "keyless aggregates") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // PlanLint inspects STATIC plans (AQE off in its session); with AQE
+    // on, executedPlan is an AdaptiveSparkPlanExec leaf that hides the
+    // exchange from collect — match the production configuration here
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // the corpus side every shape joins against
+    val corpus = spark.range(1000L).select(col("id"), (col("id") % 7).as("k"))
+    // ceiling scaled down so the spec proves the MECHANISM without
+    // shuffling real gigabytes: 1 kB here plays 64 MB in production
+    val ceiling = 1024L
+
+    // TRUE POSITIVE (the verdict's example): a "query sample" that is a
+    // FILTER over a large relation — bounded by construction, but the
+    // bound grows with the corpus. range(1M) estimates 8 MB >> 1 kB;
+    // the filter must NOT reduce the estimate.
+    val sample = spark.range(1000000L).filter(col("id") % 10 === 0)
+      .select(col("id").as("k"))
+    val sampled = corpus.join(broadcast(sample), Seq("k"))
+    assert(PlanLint.oversizedBroadcasts(
+      sampled.queryExecution.executedPlan, ceiling) >= 1,
+      "a filter-only 'sample' broadcast over the ceiling must be flagged")
+
+    // TRUE NEGATIVE 1: the e2-class bounded query batch — a LIMIT bounds
+    // the subtree no matter how large the source
+    val batch = spark.range(1000000L).limit(20).select(col("id").as("k"))
+    val batched = corpus.join(broadcast(batch), Seq("k"))
+    assert(PlanLint.oversizedBroadcasts(
+      batched.queryExecution.executedPlan, ceiling) == 0,
+      "a limit-20 query batch is the intended broadcast shape")
+
+    // TRUE NEGATIVE 2: a keyless (1-row) aggregate — the d26 IDF
+    // denominator pattern
+    val total = spark.range(1000000L).agg(count(lit(1)).as("n"))
+      .select(lit(0L).as("k"), col("n"))
+    val agged = corpus.join(broadcast(total), Seq("k"))
+    assert(PlanLint.oversizedBroadcasts(
+      agged.queryExecution.executedPlan, ceiling) == 0,
+      "a 1-row aggregate broadcast is bounded by construction")
+
+    // TRUE NEGATIVE 3: an opaque leaf (RDD-backed relation) makes the
+    // subtree unknowable — skipped, not flagged on a garbage estimate
+    val opaque = rddDf.select(col("id").as("k"))
+    val viaRdd = corpus.join(broadcast(opaque), Seq("k"))
+    assert(PlanLint.oversizedBroadcasts(
+      viaRdd.queryExecution.executedPlan, ceiling) == 0,
+      "stats-free subtrees are out of a stats-based check's scope")
+
+    // and the size model itself: a small broadcast under the REAL ceiling
+    // passes (the production configuration is not vacuously strict)
+    val smallDim = spark.range(100L).select(col("id").as("k"))
+    val dimJoin = corpus.join(broadcast(smallDim), Seq("k"))
+    assert(PlanLint.oversizedBroadcasts(
+      dimJoin.queryExecution.executedPlan) == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }
