@@ -93,6 +93,16 @@ object DynamicRow {
       // (eager localCheckpoint, not lazy persist: measured r10, the lazy
       // cache made the warm drive 10.6 s vs 6.9 — concurrent consumers
       // (broadcast builds) race the un-materialized cache and recompute)
+      //
+      // TICKER-partitioned before the checkpoint (r11 — the r10 verdict's
+      // pre-slice-enrichment fold): localCheckpoint preserves
+      // outputPartitioning, so every per-ticker window downstream — the
+      // returns lag, the split cum-product, grid/sks distincts — reuses
+      // this ONE exchange instead of each paying its own. One tiny extra
+      // shuffle of the (ticker, date) cell relation here removes three
+      // full-relation exchanges (and their AQE jobs) from the drive; at
+      // 100 TB the returns lag alone re-shuffled the whole price series.
+      .repartition(col("ticker"))
       .localCheckpoint()
     val prices = base.select(col("ticker"), col("date"),
       (lit(100.0) + col("d") * 0.05 + (col("sk") % 13).cast(DoubleType)).as("close"))
@@ -124,12 +134,20 @@ object DynamicRow {
     val dividends = base.select(col("ticker"), col("date"),
       (lit(1.0) + (col("b") % 300) / 100.0).as("dividend"))
     val sks = base.select(col("ticker"), col("sk")).distinct()
-    val splits = sks.filter(col("sk") % 10 === 0)
-      .select(col("ticker"), to_date(lit("1995-01-01")).as("date"),
-        lit(2.0).as("split_ratio"))
-      .union(sks.filter(col("sk") % 20 === 0)
-        .select(col("ticker"), to_date(lit("1996-06-01")).as("date"),
-          lit(1.5).as("split_ratio")))
+    // explode-not-union (r11): the union form produced UnknownPartitioning,
+    // forcing the split cum-product window to re-exchange; the exploded
+    // form keeps base's ticker partitioning (values identical — same
+    // (ticker, date, ratio) set, order irrelevant to the as-of join)
+    val splits = sks
+      .select(col("ticker"), explode(array(
+        when(col("sk") % 10 === 0,
+          struct(to_date(lit("1995-01-01")).as("date"), lit(2.0).as("split_ratio"))),
+        when(col("sk") % 20 === 0,
+          struct(to_date(lit("1996-06-01")).as("date"), lit(1.5).as("split_ratio")))))
+        .as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("ticker"), col("s.date").as("date"),
+        col("s.split_ratio").as("split_ratio"))
     val grid = base.select(col("ticker")).distinct()
       .withColumn("as_of", explode(array(asOfDates.map(d => to_date(lit(d))): _*)))
     val in = TickerFeatures.Inputs(prices, dividends, splits, ratios, income,

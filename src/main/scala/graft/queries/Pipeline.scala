@@ -14,7 +14,7 @@ import graft.pipeline.{TickerFeaturePipeline, TickerValidation}
   */
 object Pipeline {
 
-  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, p6, p7, m1)
+  def defs: Seq[QueryDef] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, m1)
 
   private[graft] def inputsForProbe(s: org.apache.spark.sql.SparkSession,
                                     dir: String) = inputsFrom(s, dir)
@@ -38,7 +38,10 @@ object Pipeline {
       // keep-last per (ticker, date): price series needs one close per day
       .groupBy("ticker", "date").agg(max("close").as("close"),
         max(when(col("status") === "F", col("close") / 1000)).as("__div"))
-      // reused by three feature blocks + the history gate: materialize once
+      // reused by three feature blocks + the history gate: materialize once.
+      // Ticker-partitioned before the checkpoint (the w4 fold, r11): the
+      // returns lag and the ticker distinct reuse this exchange.
+      .repartition(col("ticker"))
       .localCheckpoint()
     val prices = priceDiv.select("ticker", "date", "close")
     val dividends = priceDiv.filter(col("__div").isNotNull)
@@ -240,6 +243,97 @@ object Pipeline {
       graft.core.RoundCheckpointer.materializeFinal(
         sess.sparkContext, coalesceTo = 8)(p1Plan(sess, d))
     })
+
+  /** p1's merged-store output, VALUE-JUDGED (r10 verdict task 4 — the last
+    * sandwichable gap): a deterministic slice of the p1 store — the keys
+    * plus every price-block feature — with a DuckDB twin that replays the
+    * WHOLE derivation from the base tables: the keep-last price series
+    * (max close per ticker-day from orders), the 4-year as-of grid, the
+    * ≥5-row history gate, the sliced price anchors / volatility / running
+    * drawdown / SMA delta (the same CTE shapes w4's oracle validates on
+    * the dynamic-row fixture), and normalize's round(2)-through-
+    * DECIMAL(28,8)-then-Float32 policy. What this judges that w4 cannot:
+    * p1's OWN store row — its fixture, its gate, its grid, and the
+    * normalize+sort tail of the merged store. The fundamentals/dividend
+    * columns stay rows-only inside p1 (their p1-fixture derivations ride
+    * decimal-division scale rules that no engine pair replays bit-stably;
+    * the same FORMULAS are value-judged by w4's oracle on the dynamic-row
+    * fixture). Engine-parity notes: Spark computes daily returns by
+    * DECIMAL division (scale-18 HALF_UP) where the twin divides doubles —
+    * a ~1e-16 relative difference that cannot move a round(2) Float32
+    * except at engineered half-way values, which o_totalprice-derived
+    * statistics never land on (swept at 3 SFs on registration). */
+  val p8 = QueryDef("p8_store_price_slice",
+    (s, dir) => p1Materialized(s, dir).select(
+        col("ticker"), col("as_of"), col("6m_return"), col("12m_return"),
+        col("volatility"), col("max_drawdown_1y"), col("sma_50_200_delta"))
+      .orderBy("ticker", "as_of"),
+    Some("""WITH px AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS ticker,
+               CAST(o_orderdate AS DATE) AS date,
+               CAST(max(o_totalprice) AS DOUBLE) AS close
+        FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT DISTINCT ticker, t.as_of
+        FROM px CROSS JOIN (VALUES (DATE '1997-12-31'), (DATE '1998-12-31'),
+          (DATE '1999-12-31'), (DATE '2000-12-31')) t(as_of)),
+      rets AS (
+        SELECT ticker, date, close,
+               close / lag(close) OVER (PARTITION BY ticker ORDER BY date) - 1 AS ret
+        FROM px),
+      psliced AS (
+        SELECT g.ticker, g.as_of, r.date, r.close, r.ret
+        FROM grid g LEFT JOIN rets r ON r.ticker = g.ticker AND r.date <= g.as_of),
+      pstaged AS (
+        SELECT *,
+          (count(*) OVER (PARTITION BY ticker, as_of)
+           - row_number() OVER (PARTITION BY ticker, as_of ORDER BY date) + 1) AS rn_desc,
+          (date >= (max(date) OVER (PARTITION BY ticker, as_of) - INTERVAL 380 DAY)::DATE) AS in_dd
+        FROM psliced),
+      pdd AS (
+        SELECT *,
+          CASE WHEN in_dd THEN
+            (max(CASE WHEN in_dd THEN close END) OVER (
+               PARTITION BY ticker, as_of ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close)
+            / max(CASE WHEN in_dd THEN close END) OVER (
+               PARTITION BY ticker, as_of ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          END AS dd
+        FROM pstaged),
+      pagg AS (
+        SELECT ticker, as_of,
+          arg_max(close, date) AS p_now,
+          arg_max(CASE WHEN date <= (as_of - INTERVAL 6 MONTH)::DATE THEN close END,
+                  CASE WHEN date <= (as_of - INTERVAL 6 MONTH)::DATE THEN date END) AS p6,
+          arg_max(CASE WHEN date <= (as_of - INTERVAL 12 MONTH)::DATE THEN close END,
+                  CASE WHEN date <= (as_of - INTERVAL 12 MONTH)::DATE THEN date END) AS p12,
+          stddev_samp(ret) AS sd,
+          avg(CASE WHEN rn_desc <= 50 THEN close END) AS sma50,
+          avg(CASE WHEN rn_desc <= 200 THEN close END) AS sma200,
+          count(date) AS pn,
+          sum(CASE WHEN in_dd THEN 1 ELSE 0 END) AS n_dd,
+          max(dd) AS max_dd
+        FROM pdd GROUP BY 1, 2),
+      feat AS (
+        SELECT ticker, as_of,
+          CASE WHEN p6 IS NOT NULL AND p_now IS NOT NULL
+            THEN (p_now - p6) / p6 ELSE 0.0 END AS ret6,
+          CASE WHEN p12 IS NOT NULL AND p_now IS NOT NULL
+            THEN (p_now - p12) / p12 ELSE 0.0 END AS ret12,
+          COALESCE(sd * sqrt(CAST(252.0 AS DOUBLE)), 0.0) AS vol,
+          CASE WHEN pn < 2 OR n_dd < 2 THEN 0.0 ELSE COALESCE(max_dd, 0.0) END AS mdd,
+          CASE WHEN pn >= 200 THEN
+            CASE WHEN sma200 <> 0 THEN (sma50 - sma200) / sma200 ELSE 0.0 END
+          END AS smad
+        FROM pagg WHERE pn >= 5)
+      SELECT ticker, as_of,
+        CAST(round(TRY_CAST(ret6 AS DECIMAL(28,8)), 2) AS FLOAT) AS "6m_return",
+        CAST(round(TRY_CAST(ret12 AS DECIMAL(28,8)), 2) AS FLOAT) AS "12m_return",
+        CAST(round(TRY_CAST(vol AS DECIMAL(28,8)), 2) AS FLOAT) AS volatility,
+        CAST(round(TRY_CAST(mdd AS DECIMAL(28,8)), 2) AS FLOAT) AS max_drawdown_1y,
+        CAST(round(TRY_CAST(smad AS DECIMAL(28,8)), 2) AS FLOAT) AS sma_50_200_delta
+      FROM feat ORDER BY ticker, as_of"""))
 
   /** Phases 3-5 end to end over the p1 feature rows: GBT cut-probability
     * (walk-forward), score formula, constrained equal-weight portfolio —
