@@ -41,6 +41,13 @@ object Analysis {
       .setHandleInvalid("skip")
       .transform(df)
       .select(col("__vec"), col(target).cast("double").as("__label"))
+    // Degenerate-input guard (r11 fit sweep): handleInvalid("skip") drops
+    // every row carrying a NULL feature — a source outage can empty the
+    // fit input entirely, and MLlib throws on an empty fit. Zero
+    // importances + NaN r2 is the honest "nothing to rank" answer.
+    if (assembled.isEmpty)
+      return features.map(f => (f, 0.0, Double.NaN))
+        .toDF("feature", "importance", "r2")
     val rf = new RandomForestRegressor()
       .setFeaturesCol("__vec").setLabelCol("__label")
       .setNumTrees(numTrees).setSeed(seed)

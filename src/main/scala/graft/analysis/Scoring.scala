@@ -39,9 +39,22 @@ object Scoring {
     // has no refcounting — unpersisting a frame the caller persisted would
     // evict THEIR cache).
     val callerCached = dfIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val df = if (callerCached) dfIn else dfIn.persist()
+    // NULL/NaN features impute to 0.0 FOR THE FIT ONLY (r11 fit sweep find:
+    // handleInvalid("keep") assembles NULL as NaN, and MLlib's tree binning
+    // raises "Vector values MUST NOT be NaN" — one row with a missing
+    // feature would kill the whole batch). The imputation lives in shadow
+    // __f* columns; every caller-visible column comes back untouched, so
+    // the score formula's per-column coalesce defaults still see the real
+    // NULLs.
+    val safeNames = features.indices.map(i => s"__f$i")
+    val dfSafe = dfIn.select(col("*") +: features.zipWithIndex.map {
+      case (f, i) =>
+        val c = col(f).cast("double")
+        when(c.isNull || isnan(c), lit(0.0)).otherwise(c).as(s"__f$i")
+    }: _*)
+    val df = if (callerCached) dfSafe else dfSafe.persist()
     val assembler = new VectorAssembler()
-      .setInputCols(features.toArray).setOutputCol("__vec")
+      .setInputCols(safeNames.toArray).setOutputCol("__vec")
       .setHandleInvalid("keep")
     val gbt = new GBTClassifier()
       .setFeaturesCol("__vec").setLabelCol(labelCol)
@@ -51,6 +64,20 @@ object Scoring {
 
     val train = df.filter(col("as_of") < lit(cutoff).cast("date"))
     val holdout = df.filter(col("as_of") >= lit(cutoff).cast("date"))
+    // Degenerate-train guard (r11 fit sweep): a walk-forward window with no
+    // history yet, or a period where nothing was cut, gives GBT an empty or
+    // single-class train — MLlib throws, and one quiet period must not kill
+    // a 100 TB batch. Fall back to the observed class rate (empty → the
+    // 0.5 neutral prior): for 0/1 labels the single class IS the constant
+    // P(cut). Bounded probe: distinct-limit-2 over the label column.
+    val classes = train.select(col(labelCol).cast("double").as("__l"))
+      .filter(col("__l").isNotNull).distinct().limit(2)
+      .collect().map(_.getDouble(0))
+    if (classes.length < 2) {
+      val const = if (classes.isEmpty) 0.5 else classes.head
+      if (!callerCached) df.unpersist()
+      return (dfIn.withColumn("cut_prob", lit(const)), Double.NaN)
+    }
     val model = pipeline.fit(train)
 
     val auc = if (holdout.isEmpty) Double.NaN
@@ -73,6 +100,7 @@ object Scoring {
     import org.apache.spark.ml.functions.vector_to_array
     scored.withColumn("cut_prob", element_at(vector_to_array(col("__prob")), 2))
       .drop("__vec", "__prob", "rawPrediction", "prediction")
+      .drop(scored.columns.filter(_.startsWith("__f")).toSeq: _*)
   }
 
   private def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
