@@ -120,6 +120,12 @@ object GenScale {
           .withColumn("ts", shifted)
       }), "events")
     } else {
+      // "docs" mode (r11 — the sf100 suffix probe): tile ONLY the documents
+      // table. A 999-tile full generation writes ~25 GB of TPC-H rows the
+      // suffix probes never read; the corpus-positions axis is the one
+      // under test.
+      val docsOnly = args.lift(3).contains("docs")
+      if (!docsOnly) {
       write(tiled("customer",
         (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * C)), "customer")
       write(tiled("supplier",
@@ -140,6 +146,7 @@ object GenScale {
       write(tiled("events", (d, i) => d
         .withColumn("event_id", col("event_id") + i * E)
         .withColumn("user_id", col("user_id") + i * C)), "events")
+      }
       // Tile token tag: 3 base-16 digits + 1 checksum digit, so ANY two
       // distinct tags differ in >= 2 chars (a single-digit change breaks
       // the checksum). The earlier sequential t$i tags made tiles t10/t11
@@ -161,6 +168,7 @@ object GenScale {
           w => concat(lit(tileTag(i)), w)), " "))
         .withColumn("source", concat(col("source"), lit(s"_t$i")))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+      if (!docsOnly)
       write(tiled("embeddings", (d, i) => d
         .withColumn("vec_id", col("vec_id") + i * D)
         .withColumn("embedding", concat(

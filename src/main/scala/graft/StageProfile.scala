@@ -96,6 +96,43 @@ object StageProfile {
           }
           t(s"r$r count")(ck.count())
         }
+      case "w4jobs" =>
+        // Job/stage accounting for the w4 drive (r11 — the verdict's floor
+        // analysis): under AQE every materialized query stage is a job, so
+        // the drive's irreducible latency floor is #jobs × per-job
+        // scheduling cost. A listener counts jobs/stages/task-time over
+        // the TimeQ-faithful loop; per-job latency = wall − task-time/32.
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet()
+              taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+            }
+          })
+        for (r <- 1 to 3) {
+          graft.queries.DynamicRow.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          val (j0, s0, t0) = (jobs.get, stages.get, taskTimeMs.get)
+          val w0 = System.nanoTime()
+          spark.sql("select 1").count() // drain listener lag marker
+          graft.queries.DynamicRow.w4.fn(spark, dir).count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          Thread.sleep(500) // let the listener bus drain
+          println(f"[profile] r$r w4 drive: wall=$wall%.2f s, " +
+            f"jobs=${jobs.get - j0}, stages=${stages.get - s0}, " +
+            f"task-time=${(taskTimeMs.get - t0) / 1e3}%.1f s " +
+            f"(/32 cores = ${(taskTimeMs.get - t0) / 32e3}%.2f s)")
+        }
       case "p4" =>
         // attribution for the p4 bench median: how much is the (shared,
         // memoized) p1 feature assembly, how much the GBT fit itself, how
