@@ -100,7 +100,9 @@ object Scoring {
     import org.apache.spark.ml.functions.vector_to_array
     scored.withColumn("cut_prob", element_at(vector_to_array(col("__prob")), 2))
       .drop("__vec", "__prob", "rawPrediction", "prediction")
-      .drop(scored.columns.filter(_.startsWith("__f")).toSeq: _*)
+      // exactly the shadow imputation columns — a caller column that merely
+      // starts with __f must survive
+      .drop(scored.columns.filter(_.matches("__f\\d+")).toSeq: _*)
   }
 
   private def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
