@@ -157,4 +157,51 @@ class TextVector17Spec extends SparkSpec {
       graft.operators.SuffixRanks.spanRemoval(empty, 6)
     }
   }
+
+  test("suffixLcp: composite descent equals brute-force adjacent-suffix " +
+    "LCP at every doubling-round parity (T=1, 2, 3, 4 — top composite, " +
+    "plain level-0 leftover, and single-round paths)") {
+    // Brute force: sort all (doc, pos) suffixes lexicographically, take
+    // max(LCP with sorted predecessor, with successor) per suffix — the
+    // definition the descent implements via retained-round rank probes.
+    def brute(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+      val sufs = docs.flatMap { case (id, t) =>
+        (1 to t.length).map(p => ((id, p.toLong), t.substring(p - 1))) }
+        .sortBy(_._2)
+      def lcp(a: String, b: String): Long =
+        a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      sufs.indices.map { i =>
+        val prev = if (i > 0) lcp(sufs(i)._2, sufs(i - 1)._2) else 0L
+        val next = if (i < sufs.size - 1) lcp(sufs(i)._2, sufs(i + 1)._2) else 0L
+        sufs(i)._1 -> math.max(prev, next)
+      }.toMap
+    }
+    // maxLen picks the round count T with the G=16 start:
+    //   maxLen 16 -> startG=16, no doubling round (T=1: plain full check)
+    //   maxLen 10 -> startG=8, one round (T=2: single composite)
+    //   maxLen 40 -> T=3 (top composite + plain level-0 leftover)
+    //   maxLen 100 -> T=4 (top + one interior composite, no leftover)
+    def mk(maxLen: Int): Seq[(Long, String)] = {
+      val alpha = "abcab" // small alphabet -> deep ties -> real descents
+      (0L to 6L).map { id =>
+        val len = math.max(3, (maxLen - id * 2).toInt)
+        (id, (0 until len).map(k =>
+          alpha(((k * (id + 2) + k * k / 3) % alpha.length).toInt)).mkString)
+      } :+ (7L -> "ab") :+ (8L -> mkDup(maxLen)) // a cross-doc full twin of 8'
+    }
+    def mkDup(maxLen: Int): String =
+      (0 until math.max(3, maxLen - 1)).map(k => "ab" (k % 2)).mkString
+    for (maxLen <- Seq(16, 10, 40, 100)) {
+      val docs = mk(maxLen) :+ (9L -> mkDup(maxLen)) // identical twin pair
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.SuffixRanks.suffixLcp(df)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = brute(docs)
+      assert(got.size == want.size, s"maxLen=$maxLen: row count")
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: got ${got.get(k)}, want $v" }
+      assert(bad.isEmpty,
+        s"maxLen=$maxLen (${bad.size} mismatches): ${bad.take(5).mkString("; ")}")
+    }
+  }
 }
