@@ -7,6 +7,47 @@ package graft
   * exceeded the driver's log-tail capture and arrived truncated
   * (BENCH_r01/r02 "parsed": null). */
 object Bench {
+  /** Box-calibration probe (r11 verdict task 6): a fixed CPU-bound
+    * workload whose cost depends only on this box's speed, recorded in
+    * every BENCH_rN.json so cross-round totals can be normalized without
+    * rebuilding old commits (the VM runs identical code 1.5-5x slower
+    * between sessions). Two legs:
+    *   scalar — 1e8-iteration xorshift64* loop, pure single-thread JVM
+    *     arithmetic (JIT-warmed once, then best of 3);
+    *   agg — one canned 10M-row spark.range aggregation (hash + sum +
+    *     avg), exercising codegen + the /32-thread task path.
+    * Best-of-3 because the probe measures the BOX, not load spikes. */
+  private def xorshiftLoop(n: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0L
+    while (i < n) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      x *= 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    x
+  }
+
+  private def calibrate(spark: org.apache.spark.sql.SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions.{avg, hash, sum, col}
+    var sink = 0L
+    def scalarLeg(): Double = {
+      val t0 = System.nanoTime(); sink ^= xorshiftLoop(100000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def aggLeg(): Double = {
+      val t0 = System.nanoTime()
+      sink ^= spark.range(10000000L)
+        .agg(sum(hash(col("id")).cast("long")), avg(col("id") % 9973L))
+        .head().getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    scalarLeg(); aggLeg() // JIT/codegen warm legs, not recorded
+    val s = (1 to 3).map(_ => scalarLeg()).min
+    val a = (1 to 3).map(_ => aggLeg()).min
+    if (sink == 42L) System.err.println("[bench] calib sink") // defeat DCE
+    (s, a)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +58,9 @@ object Bench {
       case None => 3
     }
     val spark = Verify.makeSession(cpus)
+    // calibration before AND after the measured rounds: the pair exposes
+    // within-run drift, and either leg normalizes cross-round totals
+    val (calibScalar0, calibAgg0) = calibrate(spark)
     // Warm the JVM/codegen on the smallest scale so per-query numbers
     // measure the plan, not first-call JIT + classloading. One query per
     // family: relational (entry), minhash, vector, ML pipeline (p4 pulls
@@ -114,8 +158,11 @@ object Bench {
     val legMinTotal = legMins.filter(_.nonEmpty).map(_.min).sum
     val legMinMissing = legMins.count(_.isEmpty)
     val runTotals = runMaps.map(_.values.sum)
+    val (calibScalar1, calibAgg1) = calibrate(spark)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val calibJson = s"""{"scalar_pre":${s3(calibScalar0)},"agg_pre":${s3(calibAgg0)},""" +
+      s""""scalar_post":${s3(calibScalar1)},"agg_post":${s3(calibAgg1)}}"""
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val total = s3(results.map(_._2).sum)
@@ -131,14 +178,14 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},"leg_min_missing":$legMinMissing,""" +
-      s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],""" +
+      s""""calib":$calibJson,"errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],""" +
       s""""queries":${jmap(results)},"legs":$legsJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     val slow = results.sortBy(-_._2).take(18).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_runs":$nRuns,"run_totals":$runsJson,"leg_min_total":${s3(legMinTotal)},"leg_min_missing":$legMinMissing,""" +
-      s""""errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],"detail":"$detailPath",""" +
+      s""""calib":$calibJson,"errors":$errJson,"materialized":["p1_ticker_pipeline","w4_dynamic_row"],"detail":"$detailPath",""" +
       s""""queries":${jmap(slow)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,6 +39,7 @@ object PlanLint {
     // assignment crossjoin, so its plan has zero BNLJ — an allowance
     // would let a crossjoin regression through the gate silently
     "d43_dsir_weights" -> (1, "bucket model x broadcast(1-row totals) for the smoothing denominators - the d26 IDF pattern"),
+    "d81_doremi_step" -> (3, "source rollup x broadcast(1-row totals) twice (min-loss + weight-sum, then the normalizing unnorm sum) - the d26 pattern, moved off global windows by the r12 check-3 tightening; 3 plan occurrences because the second totals aggregate replays the first crossJoin over the un-materialized 20-row stepped relation"),
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
     "d48_quality_pareto" -> (1, "bucket model x broadcast(1-row doc totals) for the NB smoothing denominators - the d26 pattern"),
@@ -98,6 +99,31 @@ object PlanLint {
           scans.head.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
           !scans.head.isCheckpointed
       }
+
+  /** Check 3's detector (package-visible so PlanLintSpec can prove it
+    * fires): WindowExec nodes with no partition spec whose input subtree
+    * is not bounded by a LIMIT or a KEYLESS aggregate. Until r11 any
+    * aggregate below exempted the window; the r11 verdict closed that
+    * loophole — a GROUPED aggregate's output grows with the corpus (the
+    * d77 vocabulary: Heaps-bounded, but 10⁸–10⁹ rows at web scale), so a
+    * global window over it still plans a single-partition sort. Same
+    * asymmetry check 6's size model applies to broadcasts: keyless
+    * aggregates and limits bound a subtree by construction; grouped
+    * aggregates, filters, and projections do not. */
+  private[graft] def nakedGlobalWindows(p: SparkPlan): Int = {
+    def boundedBelow(q: SparkPlan): Boolean =
+      q.collectFirst {
+        case a: HashAggregateExec if a.groupingExpressions.isEmpty => ()
+        case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
+        case a: SortAggregateExec if a.groupingExpressions.isEmpty => ()
+        case _: GlobalLimitExec => ()
+        case _: CollectLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+      }.nonEmpty
+    p.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+    }.size
+  }
 
   /** Check 6's ceiling: any single broadcast payload above this is an
     * offender, NO allowlist (r10 verdict task 6). Checks 1–5 are
@@ -171,19 +197,6 @@ object PlanLint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // "post-aggregation bounded": the subtree has already reduced (any
-    // aggregate) or truncated (any limit) the data, so a global window on
-    // top of it sorts #groups / #limit rows, not the corpus.
-    def boundedBelow(p: SparkPlan): Boolean =
-      p.collectFirst {
-        case _: HashAggregateExec => ()
-        case _: ObjectHashAggregateExec => ()
-        case _: SortAggregateExec => ()
-        case _: GlobalLimitExec => ()
-        case _: CollectLimitExec => ()
-        case _: TakeOrderedAndProjectExec => ()
-      }.nonEmpty
-
     // "reduced below": a filter, limit, or aggregate between the scan and
     // the broadcast bounds the payload — the broadcast ships a slice, not
     // the corpus.
@@ -201,9 +214,7 @@ object PlanLint {
     def offenders(p: SparkPlan): (Int, Int, Int, Int, Int, Int) = {
       val cart = p.collectWithSubqueries { case c: CartesianProductExec => c }.size
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.size
-      val nakedWin = p.collectWithSubqueries {
-        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
-      }.size
+      val nakedWin = nakedGlobalWindows(p)
       val textBcast = p.collectWithSubqueries {
         case b: BroadcastExchangeExec
           if b.output.exists(a => a.name == "text" && a.dataType == StringType) &&
@@ -259,7 +270,7 @@ object PlanLint {
       }.mkString("{", ", ", "}")
     val artifact =
       s"""{
-         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over an unreduced subtree; (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class); (5) UNPERSISTED RDD relations scanned more than once in one plan - each scan re-runs the RDD's opaque lineage (the r10 m5 find: 4 consumers = 4 decode passes); (6) any BroadcastExchange whose bottom-up payload estimate exceeds 64 MB, NO allowlist - keyless aggregates and limits bound the estimate, grouped aggregates/filters/projections deliberately do not (their output grows with the corpus), opaque leaves (RDD scans, caches) make a subtree unknowable and are skipped. Allowlists for (3), (4), (5) are EMPTY - nothing needs one.",
+         | "what": "graft.PlanLint (dev tool, run per round; THIS FILE IS GENERATED by the run - do not hand-edit): plans every registered query with AQE off and flags (1) CartesianProductExec - never allowed; (2) BroadcastNestedLoopJoinExec beyond a per-query justified allowlist (broadcast side bounded by construction); (3) NAKED global windows - WindowExec with no partition spec over a subtree not bounded by a limit or KEYLESS aggregate (grouped aggregates deliberately do not exempt since r12 - their output grows with the corpus, the d77 vocabulary class); (4) UNBOUNDED corpus-text broadcasts - a BroadcastExchange shipping the text column with no filter/limit/aggregate below it (the r9 suffixLcp scale-killer class); (5) UNPERSISTED RDD relations scanned more than once in one plan - each scan re-runs the RDD's opaque lineage (the r10 m5 find: 4 consumers = 4 decode passes); (6) any BroadcastExchange whose bottom-up payload estimate exceeds 64 MB, NO allowlist - keyless aggregates and limits bound the estimate, grouped aggregates/filters/projections deliberately do not (their output grows with the corpus), opaque leaves (RDD scans, caches) make a subtree unknowable and are skipped. Allowlists for (3), (4), (5) are EMPTY - nothing needs one.",
          | "planned": $planned,
          | "offenders_total": ${bad.size},
          | "detail": [${bad.map(jq).mkString(", ")}],

@@ -105,26 +105,30 @@ object StageProfile {
         val jobs = new java.util.concurrent.atomic.AtomicInteger
         val stages = new java.util.concurrent.atomic.AtomicInteger
         val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onJobStart(
-                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-              jobs.incrementAndGet()
-            override def onStageCompleted(
-                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-              stages.incrementAndGet()
-              taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
-            }
-          })
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
         for (r <- 1 to 3) {
           graft.queries.DynamicRow.clearMaterialized()
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.valuesIterator
             .foreach(_.unpersist(blocking = false))
           System.gc()
+          // marker job + bus drain BEFORE the snapshots, so neither the
+          // marker's job nor listener lag lands inside the timed window
+          // (advisor r11: it inflated wall and jobs by one per run)
+          spark.sql("select 1").count()
+          Thread.sleep(500)
           val (j0, s0, t0) = (jobs.get, stages.get, taskTimeMs.get)
           val w0 = System.nanoTime()
-          spark.sql("select 1").count() // drain listener lag marker
           graft.queries.DynamicRow.w4.fn(spark, dir).count()
           val wall = (System.nanoTime() - w0) / 1e9
           Thread.sleep(500) // let the listener bus drain
@@ -133,6 +137,8 @@ object StageProfile {
             f"task-time=${(taskTimeMs.get - t0) / 1e3}%.1f s " +
             f"(/32 cores = ${(taskTimeMs.get - t0) / 32e3}%.2f s)")
         }
+        // profiling in the same session must not double-count
+        spark.sparkContext.removeSparkListener(listener)
       case "p4" =>
         // attribution for the p4 bench median: how much is the (shared,
         // memoized) p1 feature assembly, how much the GBT fit itself, how

@@ -47,6 +47,14 @@ object Scoring {
     // the score formula's per-column coalesce defaults still see the real
     // NULLs.
     val safeNames = features.indices.map(i => s"__f$i")
+    // The shadow names share the frame with caller columns; a caller column
+    // literally named __f<digits> would collide (duplicate names make the
+    // VectorAssembler input ambiguous, and the final drop would remove the
+    // caller's column). Fail loudly instead of corrupting either.
+    require(!dfIn.columns.exists(_.matches("__f\\d+")),
+      "fitCutProbability reserves column names __f<digits> for shadow " +
+        "imputation; rename the caller's " +
+        dfIn.columns.filter(_.matches("__f\\d+")).mkString(", "))
     val dfSafe = dfIn.select(col("*") +: features.zipWithIndex.map {
       case (f, i) =>
         val c = col(f).cast("double")

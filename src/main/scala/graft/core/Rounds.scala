@@ -72,15 +72,25 @@ object RoundCheckpointer {
     * localCheckpoint blocks would land in this build's diff and be freed —
     * truncated lineage cannot recompute, the exact
     * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND class this file warns about). Both
-    * are enforced loudly: builds serialize on a JVM-wide lock, and
-    * reentrancy (same-thread nesting, which `synchronized` would silently
-    * permit) fails the require below instead of corrupting the diff. */
+    * are enforced loudly: builds serialize on a JVM-wide timed lock, and
+    * reentrancy (same-thread nesting) fails the require below instead of
+    * corrupting the diff. CROSS-thread nesting — an outer build that awaits
+    * a result another thread produces via materializeFinal — would deadlock
+    * under a plain monitor; the timed acquire below turns that into a loud
+    * failure naming the owning thread (advisor r11). Builds must never
+    * await other threads that call materializeFinal. */
   def materializeFinal(sc: SparkContext, coalesceTo: Int)
-                      (build: => DataFrame): DataFrame = buildLock.synchronized {
-    require(!building,
+                      (build: => DataFrame): DataFrame = {
+    require(!buildLock.isHeldByCurrentThread,
       "materializeFinal must not nest: an inner build's checkpoint blocks " +
         "would land in the outer registry diff and be freed while live")
-    building = true
+    if (!buildLock.tryLock(lockTimeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"materializeFinal lock held > ${lockTimeoutSec}s by thread " +
+          s"'${Option(owner).map(_.getName).getOrElse("?")}' — a build " +
+          "awaiting another thread's materializeFinal would deadlock; " +
+          "serialize those builds at the caller instead")
+    owner = Thread.currentThread()
     try {
       val before = sc.getPersistentRDDs.keySet.toSet
       val built = build // interior eager checkpoints materialize here
@@ -88,9 +98,12 @@ object RoundCheckpointer {
       val out = built.coalesce(coalesceTo).localCheckpoint(true)
       interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       out
-    } finally building = false
+    } finally { owner = null; buildLock.unlock() }
   }
 
-  private val buildLock = new Object
-  @volatile private var building = false
+  /** Generous: real builds run minutes at sf10; only a true deadlock waits
+    * this long with zero progress. */
+  private val lockTimeoutSec = 1800L
+  private val buildLock = new java.util.concurrent.locks.ReentrantLock
+  @volatile private var owner: Thread = null
 }

@@ -458,15 +458,24 @@ object Relational {
               ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) t) u
       ORDER BY o_custkey, o_orderkey"""))
 
-  /** W13: YoY growth over year buckets (reference macro pipeline). */
+  /** W13: YoY growth over year buckets (reference macro pipeline). The
+    * lag goes through the distributed form (r12, PlanLint check 3): a
+    * global row id per year via [[graft.core.Indexing.globalRowIds]],
+    * then a self-join on rid−1 — exactly lag(1) over the year order (the
+    * previous EXISTING year, gap or not), with no single-partition
+    * window. The year axis is time-bounded, but the same shape survives
+    * a key axis that grows; the rollup is checkpointed so the id
+    * machinery's extra scans re-read #years rows, not the corpus. */
   val q25 = QueryDef("q25_yoy_growth",
     (s, dir) => {
       val yearly = Tables.orders(s, dir)
         .groupBy(year(col("o_orderdate")).as("yr"))
         .agg(moneySum(col("o_totalprice")).as("rev"))
-      val w = Window.orderBy("yr")
-      yearly
-        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .localCheckpoint(false)
+      val ided = graft.core.Indexing.globalRowIds(yearly, "yr", "__rid")
+      ided
+        .join(ided.select((col("__rid") + 1L).as("__rid"),
+          col("rev").as("prev")), Seq("__rid"), "left")
         .withColumn("yoy", (col("rev") - col("prev")) / col("prev"))
         .select("yr", "rev", "yoy")
         .orderBy("yr")

@@ -519,17 +519,39 @@ object TextVector {
             FROM pairs) t
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** IVF ANN: KMeans-trained cells, probe 6 of 10 per query (the scale
-    * path; approximate by design — rows-only). nProbe=6 is tuned with
-    * `Similarity.measureRecall` on these near-random fixtures: recall@5
-    * 0.85/0.86 at sf0.001/sf0.01 (vs 0.73/0.69 at the old nProbe=4) —
-    * unstructured embeddings are the worst case for cell probing, so
-    * real clustered corpora reach the same recall with fewer probes. */
+  /** IVF ANN through the PRODUCTION path — kmeansCentroids (the real
+    * MLlib fit) → assignCells → ivfTopK — oracle-gated end to end via the
+    * e10 unique-optimum trick (r11 verdict task 3; this was the last
+    * rows-only operator whose own query had no oracle).
+    *
+    * Fixture: the indexed corpus replaces every vector with an exact copy
+    * of anchor vec_id % 10 — ten well-separated blobs of IDENTICAL points.
+    * On such a corpus the k=10 KMeans optimum is unique with cost 0: the
+    * ten anchors themselves. MLlib reaches it deterministically (e10's
+    * argument: k-means|| samples candidates proportional to cost, so
+    * duplicates of a chosen center are never re-sampled and the distinct
+    * anchors are the only possible centers; Lloyd then fixes them up to
+    * mean-of-N-identical-doubles ulps). The QUERY side keeps the ORIGINAL
+    * embeddings (vec_id < 30), so probe selection and the final cosines
+    * are non-degenerate. Every stage is then relational: centroids = the
+    * anchors; cell(v) = own anchor (cosine ~1.0 vs ≤0.46 cross-anchor on
+    * this corpus); probed cells = top-6 anchors by (round(cos,9) desc);
+    * top-k = members of probed cells by (round(cos,9) desc, id asc).
+    * Spark's probe tie-break is centroid_id (an MLlib internal), the
+    * oracle's is anchor id — they can differ only on a round-9 cosine
+    * collision between two distinct random anchors; none occurs at any
+    * judged SF (the e10 ulps-tolerance class of assumption). The recall
+    * claim on the REAL corpus stays judged separately by e7. */
   val e3 = QueryDef("e3_knn_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 10)
-      val cells = Similarity.assignCells(emb, centroids, "vec_id", "embedding")
+      val anchors = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+      val fixture = emb.select(col("vec_id"), (col("vec_id") % 10).as("aid"))
+        .join(broadcast(anchors), "aid")
+        .select(col("vec_id"), col("avec").as("embedding"))
+      val centroids = Similarity.kmeansCentroids(fixture, "embedding", k = 10)
+      val cells = Similarity.assignCells(fixture, centroids, "vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 30)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.ivfTopK(queries, cells, centroids, k = 5, nProbe = 6)
@@ -537,7 +559,33 @@ object TextVector {
           round(col("cosine"), 4).as("cosine_r"), col("rank"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH anchors AS (SELECT vec_id AS aid, embedding AS avec
+        FROM embeddings WHERE vec_id < 10),
+      fixture AS (SELECT e.vec_id, a.aid, a.avec
+        FROM embeddings e JOIN anchors a ON a.aid = e.vec_id % 10),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 30),
+      probes AS (SELECT q.qid, a.aid,
+        list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))))
+        AS sim
+        FROM q CROSS JOIN anchors a),
+      probed AS (SELECT qid, aid FROM (SELECT qid, aid,
+          row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, aid ASC) AS rn
+        FROM probes) WHERE rn <= 6),
+      cand AS (SELECT p.qid, f.vec_id AS nid,
+        list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(f.avec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(f.avec[i] AS DOUBLE) * CAST(f.avec[i] AS DOUBLE)))))
+        AS sim
+        FROM probed p JOIN fixture f ON f.aid = p.aid JOIN q ON q.qid = p.qid
+        WHERE f.vec_id <> p.qid)
+      SELECT qid AS query_id, nid AS neighbor_id, ROUND(sim, 4) AS cosine_r,
+        CAST(rank AS INT) AS rank
+      FROM (SELECT qid, nid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, nid ASC) AS rank
+        FROM cand) t
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** The IVF index's accuracy claim as a judged surface (the d30/d34
     * verdict pattern): e3's exact result set stays rows-only (kmeans

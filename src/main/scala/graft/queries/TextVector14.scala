@@ -24,20 +24,30 @@ object TextVector14 {
 
   def defs: Seq[QueryDef] = Seq(d77, d78, d79, s10)
 
-  /** Zipf rank-frequency fit: rank the vocabulary by count (the global
-    * window sits over the Heaps-bounded AGGREGATE output, never raw
-    * rows), regress ln(freq) on ln(rank), report slope (alpha = −slope),
-    * intercept, and r². One corpus-scale token shuffle; the regression
-    * consumes vocab-sized sums (the q73 exact-moment recipe, rounded at
-    * 6 dp so cross-engine double-fold order can't flip the hash). */
+  /** Zipf rank-frequency fit: rank the vocabulary by count, regress
+    * ln(freq) on ln(rank), report slope (alpha = −slope), intercept, and
+    * r². The rank goes through the distributed two-pass
+    * [[graft.core.Indexing.globalRowIds]] (r12, verdict task 2): the
+    * vocabulary is an AGGREGATE but it GROWS with the corpus (Heaps' law
+    * still puts a web-scale vocab at 10⁸–10⁹ noise tokens), so a naked
+    * `row_number().over(Window.orderBy(...))` would plan a
+    * single-partition sort over it — the exact shape PlanLint check 3
+    * exists to refuse. Bucketing key = −cnt (monotone for the DESC
+    * order); within-bucket order (cnt desc, token asc) is the identical
+    * total order, so ids — and the final hash — cannot move. One
+    * corpus-scale token shuffle; the regression consumes vocab-sized sums
+    * (the q73 exact-moment recipe, rounded at 6 dp so cross-engine
+    * double-fold order can't flip the hash). */
   val d77 = QueryDef("d77_zipf_alpha",
     (s, dir) => {
       val vocab = Tables.documents(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-      val ranked = vocab.withColumn("r",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      val ranked = graft.core.Indexing.globalRowIds(
+          vocab.withColumn("__negcnt", -col("cnt")), "__negcnt", "__rid",
+          withinOrder = Seq(col("cnt").desc, col("token").asc))
+        .withColumn("r", col("__rid") + 1L)
       val pts = ranked.select(
         log(col("r").cast(DoubleType)).as("x"),
         log(col("cnt").cast(DoubleType)).as("y"))

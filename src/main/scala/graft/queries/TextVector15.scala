@@ -177,18 +177,27 @@ object TextVector15 {
         .select(col("w1"), col("w2"),
           log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
             .as("logp"))
+      // cross-source reductions via 1-row keyless aggregates broadcast
+      // back over the rollup (r12: PlanLint check 3 no longer exempts
+      // grouped aggregates, and this is the d26/q29/q98 pattern — a
+      // keyless agg bounds its own broadcast by construction). The rollup
+      // is checkpointed once so the totals pass re-reads |sources| rows,
+      // not the corpus-scale bigram join.
       val rollup = big
         .join(typeP, Seq("w1", "w2"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_bigrams"),
           (lit(0.0) - avg(col("logp"))).as("loss"))
-      val all = Window.partitionBy()
-      rollup
-        .withColumn("excess", col("loss") - min(col("loss")).over(all))
-        .withColumn("w_old",
-          col("n_bigrams").cast(DoubleType) / sum(col("n_bigrams")).over(all))
+        .localCheckpoint(false)
+      val totals = rollup.agg(min(col("loss")).as("__minloss"),
+        sum(col("n_bigrams")).as("__nbig"))
+      val stepped = rollup.crossJoin(broadcast(totals))
+        .withColumn("excess", col("loss") - col("__minloss"))
+        .withColumn("w_old", col("n_bigrams").cast(DoubleType) / col("__nbig"))
         .withColumn("unnorm", col("w_old") * exp(col("excess")))
-        .withColumn("w_new", col("unnorm") / sum(col("unnorm")).over(all))
+      stepped
+        .crossJoin(broadcast(stepped.agg(sum(col("unnorm")).as("__totun"))))
+        .withColumn("w_new", col("unnorm") / col("__totun"))
         .select(col("source"), col("n_bigrams"),
           round(col("loss"), 6).as("loss_r"),
           round(col("excess"), 6).as("excess_r"),

@@ -19,7 +19,7 @@ import graft.core.Tables
   */
 object TextVector18 {
 
-  def defs: Seq[QueryDef] = Seq(m5, m6, e18)
+  def defs: Seq[QueryDef] = Seq(m5, m6, m7, e18)
 
   /** Image near-duplicate detection via perceptual average-hash — the
     * chain a 100 TB image-curation pass runs: decode (real BMP) → REAL
@@ -249,6 +249,71 @@ object TextVector18 {
       FROM agg JOIN (SELECT doc_id, w, energy FROM top WHERE rn = 1) t
         USING (doc_id)
       ORDER BY asset_id"""))
+
+  /** REAL video decode judged end to end (r11 verdict task 5 — the third
+    * self-decodable media family; uncompressed AVI is pure byte math like
+    * WAV): documents' ASCII bytes become 7×3 24-bit DIB frames inside a
+    * RIFF 'AVI ' container through
+    * [[graft.operators.Multimodal.encodeAviDib]] (real avih/strh/strf
+    * headers, one '00db' chunk per frame carrying the BMP pixel format —
+    * bottom-up BGR with 4-byte row padding, non-trivial at width 7), then
+    * [[graft.operators.Multimodal.aviFrameStats]] REALLY walks the
+    * two-level RIFF tree back and decodes every frame. Judged per
+    * (asset, frame): geometry, µs-per-frame from the avih header,
+    * per-channel means, and the frame's TOP-LEFT pixel luminance
+    * (order-SENSITIVE — a forgotten row flip, BGR swap, or frame-order
+    * scramble matches means but not the corner/frame pair). The DuckDB
+    * oracle replays the arithmetic from the SOURCE text; the spec
+    * additionally pins each decoded frame byte-identical to what the
+    * JDK's independent ImageIO reads from the same DIB bytes wrapped as
+    * a BMP. */
+  val m7 = QueryDef("m7_avi_frame_stats",
+    (s, dir) => {
+      // m3's ASCII-gate contract; 63 bytes per 7×3 frame, ≤4 frames
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(length(col("text")) >= 63)
+        .select(col("doc_id"), col("text"))
+      val schema = StructType(Seq(StructField("asset_id", LongType),
+        StructField("content", BinaryType)))
+      val assets = s.createDataFrame(docs.rdd.mapPartitions { it =>
+        it.map { row =>
+          val text = row.getString(1)
+          val nf = math.min(text.length / 63, 4)
+          val frames = (0 until nf).map(f =>
+            text.substring(63 * f, 63 * (f + 1)).getBytes("US-ASCII"))
+          org.apache.spark.sql.Row(row.getLong(0),
+            graft.operators.Multimodal.encodeAviDib(7, 3, 40000, frames))
+        }
+      }, schema)
+      graft.operators.Multimodal.aviFrameStats(assets)
+        .select(col("asset_id"), col("frame_idx"), col("width"), col("height"),
+          col("us_per_frame"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("first_luma"), 6).as("first_luma"))
+        .orderBy("asset_id", "frame_idx")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text, CAST(least(len(text) // 63, 4) AS INT) AS nf
+        FROM documents
+        WHERE regexp_full_match(text, '[\x00-\x7F]*') AND len(text) >= 63),
+      px AS (SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(p AS BIGINT) AS p,
+          ascii(substr(text, CAST(63 * f + 3 * p + 1 AS INT), 1)) AS r,
+          ascii(substr(text, CAST(63 * f + 3 * p + 2 AS INT), 1)) AS g,
+          ascii(substr(text, CAST(63 * f + 3 * p + 3 AS INT), 1)) AS b
+        FROM d, UNNEST(generate_series(0, nf - 1)) AS uf(f),
+             UNNEST(generate_series(0, 20)) AS up(p))
+      SELECT doc_id AS asset_id, frame_idx, CAST(7 AS INT) AS width,
+        CAST(3 AS INT) AS height, CAST(40000 AS INT) AS us_per_frame,
+        ROUND(AVG(r), 6) AS mean_r,
+        ROUND(AVG(g), 6) AS mean_g,
+        ROUND(AVG(b), 6) AS mean_b,
+        ROUND(MAX(CASE WHEN p = 0
+          THEN 0.299 * CAST(r AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
+             + 0.114 * CAST(b AS DOUBLE) END), 6) AS first_luma
+      FROM px GROUP BY doc_id, frame_idx ORDER BY asset_id, frame_idx"""))
 
   /** Hard-negative mining for embedding training — the pair-mining pass
     * behind every contrastive fine-tune (DPR/SimCSE-style): per query, the

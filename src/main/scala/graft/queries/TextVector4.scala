@@ -68,8 +68,15 @@ object TextVector4 {
 
   /** Per-source corpus profile: doc count, exact mean words, distinct
     * languages, short-doc fraction, and a total-ordered quality rank.
-    * The rank input is 20 rows (one per source) — the window cost is on
-    * the REDUCED set, the corpus only pays one scan + one shuffle. */
+    * The rank goes through the distributed
+    * [[graft.core.Indexing.globalRowIds]] (r12, the d77 pattern): the
+    * source axis is a rollup, but a web corpus's source vocabulary (host
+    * domains) grows with the corpus, so a naked global window over it is
+    * the shape PlanLint check 3 refuses since r12. Bucket key = −avg_words
+    * (monotone for the DESC order), within-bucket order (avg_words desc,
+    * source asc) — the identical total order, so the rank and the hash
+    * cannot move. The rollup is checkpointed so the id machinery's extra
+    * scans re-read #sources rows, not the corpus. */
   val d32 = QueryDef("d32_source_quality",
     (s, dir) => {
       val per = Tables.documents(s, dir)
@@ -80,11 +87,17 @@ object TextVector4 {
           sum(col("words")).as("total_words"),
           countDistinct(col("lang")).as("n_langs"),
           count_if(col("words") < 30).as("n_short"))
-      per.select(col("source"), col("n_docs"), col("total_words"), col("n_langs"),
+      val scored = per
+        .select(col("source"), col("n_docs"), col("total_words"), col("n_langs"),
           round(col("total_words") / col("n_docs"), 9).as("avg_words"),
           round(col("n_short") / col("n_docs"), 9).as("short_frac"))
-        .withColumn("quality_rank", row_number().over(
-          Window.orderBy(col("avg_words").desc, col("source"))).cast(LongType))
+        .localCheckpoint(false)
+      graft.core.Indexing.globalRowIds(
+          scored.withColumn("__negq", -col("avg_words")), "__negq", "__rid",
+          withinOrder = Seq(col("avg_words").desc, col("source").asc))
+        .withColumn("quality_rank", col("__rid") + 1L)
+        .select("source", "n_docs", "total_words", "n_langs", "avg_words",
+          "short_frac", "quality_rank")
         .orderBy("source")
     },
     Some("""WITH per AS (SELECT source, COUNT(*) AS n_docs,

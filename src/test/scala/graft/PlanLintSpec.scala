@@ -41,6 +41,65 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.rddRescanCount(pqTwice.queryExecution.executedPlan) == 0)
   }
 
+  test("check 3 fires on a global window over a GROUPED aggregate (the " +
+    "pre-r12 d77 shape), stays silent on keyless-agg / limit-bounded / " +
+    "partitioned windows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // TRUE POSITIVE — the exact shape the r11 verdict flagged: rank a
+      // grouped-aggregate output (a corpus-growing vocabulary) through a
+      // partition-less window. Before r12 the grouped agg exempted it.
+      // RDD-backed source: its maxRows is UNKNOWN, like a parquet scan's —
+      // a range() source would let the optimizer PROVE boundedness and
+      // eliminate globalRowIds' visibility limit (correctly: a subtree
+      // with proven maxRows <= limit is bounded with or without the node).
+      val vocab = spark.createDataFrame(
+          spark.sparkContext.parallelize((1L to 1000L).map(i => Row(i % 97))),
+          StructType(Seq(StructField("token", LongType))))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val oldD77 = vocab.withColumn("r",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      assert(PlanLint.nakedGlobalWindows(
+        oldD77.queryExecution.executedPlan) >= 1,
+        "a global window over a grouped aggregate must be flagged")
+
+      // TRUE NEGATIVE 1: a keyless aggregate below bounds the subtree to
+      // one row — a window over it sorts nothing
+      val oneRow = spark.range(1000L).agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(Window.orderBy("n")))
+      assert(PlanLint.nakedGlobalWindows(
+        oneRow.queryExecution.executedPlan) == 0)
+
+      // TRUE NEGATIVE 2: a limit below bounds the subtree
+      val limited = spark.range(1000L).limit(20)
+        .withColumn("r", row_number().over(Window.orderBy("id")))
+      assert(PlanLint.nakedGlobalWindows(
+        limited.queryExecution.executedPlan) == 0)
+
+      // TRUE NEGATIVE 3: a PARTITIONED window is never this check's
+      // business, grouped aggregate below or not
+      val partitioned = vocab.withColumn("r", row_number().over(
+        Window.partitionBy(col("token") % 7).orderBy(col("cnt").desc)))
+      assert(PlanLint.nakedGlobalWindows(
+        partitioned.queryExecution.executedPlan) == 0)
+
+      // and the scale-safe replacement passes: globalRowIds' interior
+      // window is partitioned by bucket, its offset window sits over the
+      // keyless... (grouped-by-bucket ≤ nBuckets+1 rows) — assert the
+      // rewritten shape plans ZERO naked global windows end-to-end
+      val rewritten = graft.core.Indexing.globalRowIds(
+        vocab.withColumn("__negcnt", -col("cnt")), "__negcnt", "__rid",
+        withinOrder = Seq(col("cnt").desc, col("token").asc))
+      assert(PlanLint.nakedGlobalWindows(
+        rewritten.queryExecution.executedPlan) == 0,
+        "globalRowIds is the scale-safe ranking — it must not trip the " +
+          "check it exists to satisfy")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("check 6 fires on an oversized broadcast whose subtree is only " +
     "filter-reduced, stays silent on limit-bounded query batches and " +
     "keyless aggregates") {
