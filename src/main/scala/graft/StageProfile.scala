@@ -139,6 +139,70 @@ object StageProfile {
         }
         // profiling in the same session must not double-count
         spark.sparkContext.removeSparkListener(listener)
+      case "w4trace" =>
+        // per-job attribution for the w4 drive: callsite + wall per job,
+        // so the job-count floor can be cut surgically (r11 verdict task
+        // 1 — which eager action owns each of the ~13 jobs?)
+        val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        val tracer2 = new org.apache.spark.scheduler.SparkListener {
+          private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(j.jobId, System.nanoTime())
+            val site = j.stageInfos.lastOption.map(_.details.linesIterator
+              .filter(l => l.contains("graft") && !l.contains("StageProfile"))
+              .take(1).mkString).getOrElse("")
+            jobLog.put(j.jobId, (j.stageInfos.map(_.name).lastOption.getOrElse("?") +
+              " | " + site, 0L))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = Option(starts.get(j.jobId)).getOrElse(0L)
+            val (d, _) = jobLog.getOrDefault(j.jobId, ("?", 0L))
+            jobLog.put(j.jobId, (d, System.nanoTime() - s))
+          }
+        }
+        spark.sparkContext.addSparkListener(tracer2)
+        for (r <- 1 to 2) {
+          graft.queries.DynamicRow.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          jobLog.clear()
+          val w0 = System.nanoTime()
+          graft.queries.DynamicRow.w4.fn(spark, dir).count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          Thread.sleep(500)
+          println(f"[profile] r$r w4 drive wall=$wall%.2f s, jobs:")
+          import scala.jdk.CollectionConverters._
+          jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, (desc, ns)) =>
+            println(f"[profile]   job $id%3d ${ns / 1e9}%6.2f s  $desc")
+          }
+        }
+        spark.sparkContext.removeSparkListener(tracer2)
+      case "w4plan" =>
+        // static-plan exchange inventory for the drive (AQE off): each
+        // shuffle/broadcast here is one AQE stage-materialization job in
+        // production — the job-count floor task 1 attacks
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val v = graft.queries.DynamicRow.validatedRow(spark, dir)
+        val p = v.queryExecution.executedPlan
+        val ex = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            ("shuffle  ", e.outputPartitioning.toString.take(100))
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            ("broadcast", b.child.output.map(_.name).mkString(",").take(100))
+        }
+        ex.zipWithIndex.foreach { case ((k, d), i) =>
+          println(f"[profile] EXCH $i%2d $k $d") }
+        println(s"[profile] TOTAL ${ex.size}")
+      case "w4planaqe" =>
+        // the FINAL adaptive plan after one real execution — what the
+        // production drive actually ran (AQE stage count = job count)
+        val v = graft.queries.DynamicRow.validatedRow(spark, dir)
+        v.count()
+        println(v.queryExecution.executedPlan.toString)
       case "p4" =>
         // attribution for the p4 bench median: how much is the (shared,
         // memoized) p1 feature assembly, how much the GBT fit itself, how

@@ -101,6 +101,30 @@ object RoundCheckpointer {
     } finally { owner = null; buildLock.unlock() }
   }
 
+  /** Eager localCheckpoint that PRESERVES the plan's output partitioning
+    * under AQE (r12 find, the w4/p1 job-count task). Dataset.localCheckpoint
+    * copies `physicalPlan.outputPartitioning` into the LogicalRDD leaf —
+    * but with AQE enabled the physical plan is the un-finalized
+    * AdaptiveSparkPlanExec, whose outputPartitioning is UNKNOWN, so a
+    * `repartition(key).localCheckpoint()` fold silently loses its
+    * partitioning and every downstream per-key window/distinct/join
+    * re-plans its own exchange (the w4 drive's warm AQE plan paid ~6
+    * shuffle stages — each one an AQE stage-materialization JOB — that
+    * the static plan avoids). Disabling AQE around just this
+    * materialization makes the checkpoint leaf report hashpartitioning;
+    * downstream queries (AQE on) honor leaf partitioning through
+    * EnsureRequirements. The conf flip is session-global for the duration
+    * of this one materialization — callers are the sequential drive
+    * builds, which already serialize on materializeFinal's lock. */
+  def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = sess.conf.get(key)
+    sess.conf.set(key, "false")
+    try df.localCheckpoint()
+    finally sess.conf.set(key, prev)
+  }
+
   /** Generous: real builds run minutes at sf10; only a true deadlock waits
     * this long with zero progress. */
   private val lockTimeoutSec = 1800L

@@ -103,7 +103,11 @@ object DynamicRow {
       // full-relation exchanges (and their AQE jobs) from the drive; at
       // 100 TB the returns lag alone re-shuffled the whole price series.
       .repartition(col("ticker"))
-      .localCheckpoint()
+      // checkpointPartitioned, not a bare localCheckpoint (r12): under AQE
+      // the bare form stores UnknownPartitioning in the LogicalRDD and the
+      // whole fold above silently stops working — the warm drive paid ~6
+      // re-planned exchanges (= 6 AQE stage jobs) the static plan avoids.
+      .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
     val prices = base.select(col("ticker"), col("date"),
       (lit(100.0) + col("d") * 0.05 + (col("sk") % 13).cast(DoubleType)).as("close"))
     val sectorIndex = base.select(col("ticker"), col("date"),

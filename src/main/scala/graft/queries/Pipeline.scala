@@ -41,8 +41,10 @@ object Pipeline {
       // reused by three feature blocks + the history gate: materialize once.
       // Ticker-partitioned before the checkpoint (the w4 fold, r11): the
       // returns lag and the ticker distinct reuse this exchange.
+      // checkpointPartitioned (r12): a bare localCheckpoint under AQE
+      // stores UnknownPartitioning and silently undoes the fold.
       .repartition(col("ticker"))
-      .localCheckpoint()
+      .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
     val prices = priceDiv.select("ticker", "date", "close")
     val dividends = priceDiv.filter(col("__div").isNotNull)
       .select(col("ticker"), col("date"), col("__div").as("dividend"))
@@ -85,8 +87,9 @@ object Pipeline {
         (sum(col("__spq1")) / sum(col("__n"))).as("priceToFreeCashFlowsRatio"),
         (sum(col("__sd")) / sum(col("__n")) * 10).as("payoutRatio"))
       // the aggregate feeds income/balance/ratios — without a checkpoint
-      // each block re-executes the join
-      .localCheckpoint()
+      // each block re-executes the join; partition-preserving so the
+      // (ticker, date)-keyed grouped output keeps its clustering under AQE
+      .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
     val income = yearly.select("ticker", "date", "incomeBeforeTax",
       "interestExpense", "depreciationAndAmortization", "eps")
     val balance = yearly.select(col("ticker"), col("date"),
