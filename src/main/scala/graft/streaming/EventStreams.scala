@@ -227,6 +227,32 @@ object EventStreams {
       .start()
   }
 
+  /** File-source drive of [[closedSessions]] with Trigger.AvailableNow —
+    * the restartable form: state (open sessions) lives in the checkpoint's
+    * state store, so a later run over newly-arrived files RESTORES the
+    * open sessions and closes them when the new data's watermark passes
+    * their gap deadline (MicroBatchExecution runs one extra batch after
+    * the last data batch when the watermark advanced, so event-time
+    * timeouts pending at end-of-input fire before the query stops). The
+    * r12 degenerate sweep drives this across runs and state-store
+    * providers. */
+  def closedSessionsAvailableNow(spark: SparkSession, inputDir: String,
+                                 outputDir: String, checkpoint: String,
+                                 gapMinutes: Int = 30): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[EventIn].schema
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(inputDir).as[EventIn]
+    closedSessions(stream, gapMinutes)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming keyed upsert into a parquet store via foreachBatch — the
     * incremental-maintenance sink: each micro-batch merges into the store
     * with keep-last-per-key semantics (batch rows beat stored rows on ties
