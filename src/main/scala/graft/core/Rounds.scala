@@ -24,9 +24,22 @@ import org.apache.spark.sql.DataFrame
   *
   * `freeSuperseded = false` keeps every round alive (the LCP descent
   * needs all doubling rounds) — freeing is then the caller's duty via
-  * the ids [[stepTracked]] returns. */
+  * the ids [[stepTracked]] returns.
+  *
+  * `freeShuffles = true` ALSO drops each step's interior shuffle FILES
+  * deterministically (r12, the d86 ENOSPC fix): unpersisting blocks
+  * frees memory, but a shuffle's map-output files are deleted only when
+  * the ContextCleaner notices its dependency was GC'd — an iterative
+  * build writes one corpus-sized shuffle per round and the files pile up
+  * until the disk fills. After the step's EAGER checkpoint the shuffles
+  * that appeared during it are dead by construction (retained ROUNDS are
+  * checkpointed blocks, never shuffles), so they are removed via
+  * [[org.apache.spark.graftbridge.ShuffleBridge]] — the GC path, run on
+  * time. Registry set-diff like the RDD tracking, same single-build
+  * contract: never run two diffing builds concurrently. */
 final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
-                              freeSuperseded: Boolean = true) {
+                              freeSuperseded: Boolean = true,
+                              freeShuffles: Boolean = false) {
   private var live: Set[Int] = Set.empty
   private var n = 0
 
@@ -39,9 +52,17 @@ final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
     * checkpointed frame plus the RDD ids this step persisted. */
   def stepTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val before = persistedIds
+    val shBefore = if (freeShuffles)
+      org.apache.spark.graftbridge.ShuffleBridge.activeShuffleIds(sc)
+    else Set.empty[Int]
     val out = df.localCheckpoint(true) // eager: materialize-then-free
     val fresh = persistedIds -- before
     if (freeSuperseded) free(live)
+    if (freeShuffles) {
+      val shFresh =
+        org.apache.spark.graftbridge.ShuffleBridge.activeShuffleIds(sc) -- shBefore
+      org.apache.spark.graftbridge.ShuffleBridge.removeShuffles(sc, shFresh)
+    }
     live = fresh
     n += 1
     if (n % gcEvery == 0) System.gc()
@@ -99,6 +120,24 @@ object RoundCheckpointer {
       interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       out
     } finally { owner = null; buildLock.unlock() }
+  }
+
+  /** Run `build` and then drop EVERY shuffle registered during it (r12,
+    * the d86 disk-lifecycle fix's outer bracket). The per-step diffs in
+    * [[RoundCheckpointer.stepTracked]] bound within-loop accumulation;
+    * this sweep catches the strays created BETWEEN steps (bounds scans,
+    * convergence probes, the isEmpty checks). Caller contract: the value
+    * `build` returns must not depend on interior shuffles — true when
+    * every returned relation reads only eager-checkpoint blocks and raw
+    * sources (the suffix-family boundary invariant). A swept shuffle some
+    * lazy stray still references is recomputed from lineage, never lost. */
+  def sweepShuffles[A](sc: SparkContext)(build: => A): A = {
+    import org.apache.spark.graftbridge.ShuffleBridge
+    val before = ShuffleBridge.activeShuffleIds(sc)
+    val out = build
+    ShuffleBridge.removeShuffles(sc,
+      ShuffleBridge.activeShuffleIds(sc) -- before)
+    out
   }
 
   /** Eager localCheckpoint that PRESERVES the plan's output partitioning

@@ -53,7 +53,8 @@ object Centrality {
       .agg(count(lit(1)).cast(LongType).as("deg"))
       .localCheckpoint(false)
     val base = lit(unit * 15L / 100L)
-    val rounds = new graft.core.RoundCheckpointer(nodes.sparkSession.sparkContext)
+    val rounds = new graft.core.RoundCheckpointer(nodes.sparkSession.sparkContext,
+      freeShuffles = true)
     var scores = rounds.step(n.withColumn("s", lit(unit)))
     var i = 0
     while (i < iters) {

@@ -71,11 +71,15 @@ object SuffixRanks {
     * fixed point means rank-of-2^k = rank-of-full-suffix, and
     * rank-of-L-prefix is pinched between them. */
   def suffixRanks(docs: DataFrame, maxPrefix: Long = Long.MaxValue): DataFrame =
-    buildRanks(docs, maxPrefix, retain = false) match {
-      case None => emptyRanks(docs, "rank")
-      case Some(b) =>
-        b.ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-          col("r").cast(LongType).as("rank"))
+    // sweepShuffles: every shuffle the build registers is dead once the
+    // final round is checkpointed — the returned projection reads blocks
+    graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
+      buildRanks(docs, maxPrefix, retain = false) match {
+        case None => emptyRanks(docs, "rank")
+        case Some(b) =>
+          b.ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+            col("r").cast(LongType).as("rank"))
+      }
     }
 
   /** Per-suffix longest duplicated prefix: for every (doc, pos), the
@@ -110,6 +114,10 @@ object SuffixRanks {
     * rounds no composite reads are freed before the descent starts, the
     * rest as soon as it completes. */
   def suffixLcp(docs: DataFrame): DataFrame =
+    // sweepShuffles: the build's and descent's interior shuffles are dead
+    // once `pairs` and the rounds are checkpointed; the returned tail
+    // reads only those blocks + the raw docs source
+    graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
     buildRanks(docs, Long.MaxValue, retain = true) match {
       case None => emptyRanks(docs, "lcp")
       case Some(b) =>
@@ -117,7 +125,7 @@ object SuffixRanks {
         // materialize-then-free + GC nudge: the shared round hygiene
         // (graft.core.RoundCheckpointer — the helper this loop's lessons
         // produced)
-        val rc = new graft.core.RoundCheckpointer(sc)
+        val rc = new graft.core.RoundCheckpointer(sc, freeShuffles = true)
         def step(df: DataFrame): DataFrame = rc.step(df)
         // global suffix order -> adjacent pairs (sid, sid+1). The order is
         // (rank, doc_id, pos); the tie-break never affects an LCP value
@@ -304,6 +312,7 @@ object SuffixRanks {
           .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
             coalesce(col("__m"), lit(0L)).as("lcp"))
     }
+    }
 
   /** ExactSubstr span removal DRIVEN BY THE RANK INDEX (Lee et al. 2021,
     * arXiv:2107.06499 §4 — the composition the index exists for): every
@@ -340,6 +349,12 @@ object SuffixRanks {
     * (doc_id, n_chars, chars_removed, cleaned_text). */
   def spanRemoval(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 2 && (l & (l - 1)) == 0, s"window length must be a power of two, got $l")
+    // sweepShuffles: the returned frame is itself eagerly checkpointed, so
+    // every shuffle registered inside (build rounds, the rank window, the
+    // merge/rebuild joins, and the between-step probes the per-step diffs
+    // miss) is dead at exit — the r11 sf100 ENOSPC class, closed at the
+    // operator boundary
+    graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
     val built = buildRanks(docs, maxPrefix = l.toLong, retain = false)
     if (built.isEmpty)
       // degenerate corpus (the suffixRanks contract excludes empty texts,
@@ -355,7 +370,8 @@ object SuffixRanks {
     // same checkpointer, which frees merged as superseded, and the
     // doubling rounds are freed explicitly — nothing this call persisted
     // outlives it except the returned (live) relation itself.
-    val rc = new graft.core.RoundCheckpointer(docs.sparkSession.sparkContext)
+    val rc = new graft.core.RoundCheckpointer(docs.sparkSession.sparkContext,
+      freeShuffles = true)
     val lens = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("__n"))
     // group structure among FULL windows is unaffected by computing ranks
     // over all positions first (a <l-char suffix can never tie a full
@@ -412,6 +428,7 @@ object SuffixRanks {
     // rounds are freed here (buildRanks leaves its last round persisted)
     rc.free(b.roundIds.flatten.toSet)
     out
+    }
   }
 
   private def emptyRanks(docs: DataFrame, valueCol: String): DataFrame =
@@ -523,7 +540,8 @@ object SuffixRanks {
     // rounds squeezed sf10 execution memory to zero; un-GC'd shuffle
     // files hit ENOSPC). retain = true keeps every round for the LCP
     // descent — freeing is then the caller's duty via roundIds.
-    val rc = new graft.core.RoundCheckpointer(sc, freeSuperseded = !retain)
+    val rc = new graft.core.RoundCheckpointer(sc, freeSuperseded = !retain,
+      freeShuffles = true)
     def checkpointTracked(df: DataFrame): DataFrame = {
       val (out, fresh) = rc.stepTracked(df)
       roundIds += fresh

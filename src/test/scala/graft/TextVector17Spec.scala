@@ -72,6 +72,32 @@ class TextVector17Spec extends SparkSpec {
       "the final round only)")
   }
 
+  test("shuffle-file hygiene (freeShuffles): the doubling loop drops each " +
+    "round's shuffle files deterministically instead of waiting for GC; " +
+    "results are unaffected") {
+    val sc = spark.sparkContext
+    import org.apache.spark.graftbridge.ShuffleBridge
+    // force a multi-round build: repeated text needs several doublings
+    val docs = Seq((1L, "abcabcabcabcabcabc"), (2L, "bcabcabcabcabcabca"),
+      (3L, "cabcabcabcabcabcab")).toDF("doc_id", "text")
+    val before = ShuffleBridge.activeShuffleIds(sc)
+    val out = graft.operators.SuffixRanks.spanRemoval(docs, 4).collect()
+    val leaked = ShuffleBridge.activeShuffleIds(sc) -- before
+    // every interior shuffle of the build (one+ per doubling round, plus
+    // the span/merge/rebuild phases) must be unregistered by the time the
+    // output is materialized — without freeShuffles this leaks one
+    // positions-sized shuffle per round until the ContextCleaner's next GC
+    // (the measured d86 ENOSPC class). The ORDER BY / driver-side collect
+    // of the final result may hold a trailing shuffle or two.
+    assert(leaked.size <= 2,
+      s"spanRemoval leaked ${leaked.size} registered shuffles: $leaked")
+    // and the removal is untouched by the hygiene: conservation still holds
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(3).length.toLong + r.getLong(2) == r.getLong(1))
+    }
+  }
+
   test("BMP encode/decode: round trip exact; decode matches the JDK's " +
     "independent ImageIO reader byte-for-byte (padding + bottom-up flip " +
     "both exercised by width 7)") {
