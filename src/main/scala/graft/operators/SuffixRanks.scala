@@ -373,15 +373,25 @@ object SuffixRanks {
     val rc = new graft.core.RoundCheckpointer(docs.sparkSession.sparkContext,
       freeShuffles = true)
     val lens = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("__n"))
-    // group structure among FULL windows is unaffected by computing ranks
-    // over all positions first (a <l-char suffix can never tie a full
-    // window: sentinel vs real rank — the d68 argument)
-    val full = ranks.join(lens, Seq("doc_id"))
-      .filter(col("pos") + (l - 1) <= col("__n"))
-    val dropped = full
+    // ELECTION FIRST, full-window filter second (r12 — the stage-92 disk
+    // fix): the d68 sentinel argument says a <l-char suffix can never tie
+    // a full window, so every rank group is either all-full or
+    // all-partial — electing keepers over ALL positions is therefore
+    // EXACT (all-full groups elect identically; all-partial groups' rn>1
+    // rows are discarded by the length filter below, and their keeper is
+    // irrelevant). This moves the lens join from the corpus-sized
+    // position relation to the duplicated-OCCURRENCE-sized dropped set:
+    // the removal phase pays ONE position-sized shuffle (the rank window)
+    // instead of a doc_id join shuffle plus the rank shuffle live
+    // simultaneously — the measured single-box ENOSPC at 0.66 G positions
+    // died in exactly that doubled-footprint stage.
+    val dropped = ranks
       .withColumn("__rn", row_number().over(
         Window.partitionBy("rank").orderBy(col("doc_id"), col("pos"))))
       .filter(col("__rn") > 1) // rn>1 ⟹ the rank group is a duplicate group
+      .select(col("doc_id"), col("pos"))
+      .join(lens, Seq("doc_id"))
+      .filter(col("pos") + (l - 1) <= col("__n")) // partial windows out
       .select(col("doc_id"), col("pos").as("__s"),
         (col("pos") + (l - 1)).as("__e"))
     // classic running-max interval union per doc (adjacent intervals merge
