@@ -385,7 +385,13 @@ object SuffixRanks {
     // instead of a doc_id join shuffle plus the rank shuffle live
     // simultaneously — the measured single-box ENOSPC at 0.66 G positions
     // died in exactly that doubled-footprint stage.
-    val dropped = ranks
+    // checkpointed as its OWN phase (r12): on a heavily-duplicated corpus
+    // `dropped` is position-scale, and chaining the rank election into the
+    // doc-keyed interval merge put TWO position-sized shuffles (+ their
+    // sorts + the merge's checkpoint blocks) on disk simultaneously — the
+    // 999-tile probe's second ENOSPC shape. The step boundary lets the
+    // election shuffle free before the merge shuffle writes.
+    val dropped = rc.step(ranks
       .withColumn("__rn", row_number().over(
         Window.partitionBy("rank").orderBy(col("doc_id"), col("pos"))))
       .filter(col("__rn") > 1) // rn>1 ⟹ the rank group is a duplicate group
@@ -393,7 +399,10 @@ object SuffixRanks {
       .join(lens, Seq("doc_id"))
       .filter(col("pos") + (l - 1) <= col("__n")) // partial windows out
       .select(col("doc_id"), col("pos").as("__s"),
-        (col("pos") + (l - 1)).as("__e"))
+        (col("pos") + (l - 1)).as("__e")))
+    // ranks fed ONLY the election — free the build's rounds (a
+    // position-sized block set) before the merge phase needs the room
+    rc.free(b.roundIds.flatten.toSet)
     // classic running-max interval union per doc (adjacent intervals merge
     // too — the complement is identical either way, this just keeps the
     // merged relation minimal)
@@ -435,8 +444,7 @@ object SuffixRanks {
         when(col("__removed").isNull, col("text"))
           .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text")))
     // the output step above freed `merged` as superseded; the doubling
-    // rounds are freed here (buildRanks leaves its last round persisted)
-    rc.free(b.roundIds.flatten.toSet)
+    // rounds were freed right after the election consumed them
     out
     }
   }
