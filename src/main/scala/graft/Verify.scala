@@ -15,6 +15,11 @@ object Verify {
       // Polars/DuckDB-style null-on-error semantics (x/0 -> NULL, bad cast
       // -> NULL) instead of ANSI runtime errors — parity with the oracle.
       .config("spark.sql.ansi.enabled", "false")
+      // LZ4 the SERIALIZED persist levels (r12): only MEMORY_*_SER blocks
+      // are affected — the suffix family stores position-scale phase
+      // checkpoints that way, and compressed longs are several-fold
+      // smaller on the disk the 999-tile probe exhausted.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,10 +36,20 @@ import org.apache.spark.sql.DataFrame
   * checkpointed blocks, never shuffles), so they are removed via
   * [[org.apache.spark.graftbridge.ShuffleBridge]] — the GC path, run on
   * time. Registry set-diff like the RDD tracking, same single-build
-  * contract: never run two diffing builds concurrently. */
+  * contract: never run two diffing builds concurrently.
+  *
+  * `level` sets the checkpoint storage (r12): the default MEMORY_AND_DISK
+  * stores DESERIALIZED rows and spills them through Java serialization —
+  * measured 3-5× inflated for position-scale relations (the 999-tile d86
+  * probe died writing exactly those blocks). MEMORY_AND_DISK_SER keeps
+  * blocks as compact serialized (and, with spark.rdd.compress, LZ4'd)
+  * bytes in memory AND on disk — the right level when a round relation
+  * is corpus-sized. */
 final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
                               freeSuperseded: Boolean = true,
-                              freeShuffles: Boolean = false) {
+                              freeShuffles: Boolean = false,
+                              level: org.apache.spark.storage.StorageLevel =
+                                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) {
   private var live: Set[Int] = Set.empty
   private var n = 0
 
@@ -55,7 +65,7 @@ final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
     val shBefore = if (freeShuffles)
       org.apache.spark.graftbridge.ShuffleBridge.activeShuffleIds(sc)
     else Set.empty[Int]
-    val out = df.localCheckpoint(true) // eager: materialize-then-free
+    val out = df.localCheckpoint(true, level) // eager: materialize-then-free
     val fresh = persistedIds -- before
     if (freeSuperseded) free(live)
     if (freeShuffles) {

@@ -355,7 +355,14 @@ object SuffixRanks {
     // miss) is dead at exit — the r11 sf100 ENOSPC class, closed at the
     // operator boundary
     graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
-    val built = buildRanks(docs, maxPrefix = l.toLong, retain = false)
+    // SERIALIZED round/phase storage (r12): this operator's relations are
+    // position-scale even when the output is tiny, and the deserialized
+    // default Java-serializes its disk spills 3-5x inflated — the block
+    // writes the 999-tile probe actually died in. Serialized+compressed
+    // blocks keep the phases inside a single box's disk.
+    val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val built = buildRanks(docs, maxPrefix = l.toLong, retain = false,
+      roundLevel = serLevel)
     if (built.isEmpty)
       // degenerate corpus (the suffixRanks contract excludes empty texts,
       // so this is "no docs at all"): nothing to remove
@@ -371,7 +378,7 @@ object SuffixRanks {
     // doubling rounds are freed explicitly — nothing this call persisted
     // outlives it except the returned (live) relation itself.
     val rc = new graft.core.RoundCheckpointer(docs.sparkSession.sparkContext,
-      freeShuffles = true)
+      freeShuffles = true, level = serLevel)
     val lens = docs.select(col("doc_id"), length(col("text")).cast(LongType).as("__n"))
     // ELECTION FIRST, full-window filter second (r12 — the stage-92 disk
     // fix): the d68 sentinel argument says a <l-char suffix can never tie
@@ -469,7 +476,10 @@ object SuffixRanks {
     * relation, not a crash (the PathologicalCorpusSpec contract; this
     * gate caught exactly this). */
   private def buildRanks(docs: DataFrame, maxPrefix: Long,
-                         retain: Boolean): Option[Build] = {
+                         retain: Boolean,
+                         roundLevel: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        : Option[Build] = {
     val (maxLen, nPosEst) =
       docs.agg(max(length(col("text"))), sum(length(col("text")))).head() match {
         case r if r.isNullAt(0) => (0, 0L)
@@ -559,7 +569,7 @@ object SuffixRanks {
     // files hit ENOSPC). retain = true keeps every round for the LCP
     // descent — freeing is then the caller's duty via roundIds.
     val rc = new graft.core.RoundCheckpointer(sc, freeSuperseded = !retain,
-      freeShuffles = true)
+      freeShuffles = true, level = roundLevel)
     def checkpointTracked(df: DataFrame): DataFrame = {
       val (out, fresh) = rc.stepTracked(df)
       roundIds += fresh
