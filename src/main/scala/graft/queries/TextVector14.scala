@@ -44,6 +44,9 @@ object TextVector14 {
         .select(explode(TextFns.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
+        // checkpointed so globalRowIds' extra scans (bounds + histogram)
+        // re-read the vocab-sized aggregate, not the corpus tokenization
+        .localCheckpoint(false)
       val ranked = graft.core.Indexing.globalRowIds(
           vocab.withColumn("__negcnt", -col("cnt")), "__negcnt", "__rid",
           withinOrder = Seq(col("cnt").desc, col("token").asc))
