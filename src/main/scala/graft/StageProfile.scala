@@ -181,6 +181,43 @@ object StageProfile {
           }
         }
         spark.sparkContext.removeSparkListener(tracer2)
+      case "p1trace" =>
+        // per-job attribution for the p1 store build (the one >10 s bench
+        // item after the r12 w4 job fix) — same listener as w4trace
+        val jl = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        val tr = new org.apache.spark.scheduler.SparkListener {
+          private val st = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            st.put(j.jobId, System.nanoTime())
+            jl.put(j.jobId, (j.stageInfos.map(_.name).lastOption.getOrElse("?"), 0L))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = Option(st.get(j.jobId)).getOrElse(0L)
+            val (d, _) = jl.getOrDefault(j.jobId, ("?", 0L))
+            jl.put(j.jobId, (d, System.nanoTime() - s))
+          }
+        }
+        spark.sparkContext.addSparkListener(tr)
+        for (r <- 1 to 2) {
+          graft.queries.Pipeline.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          jl.clear()
+          val w0 = System.nanoTime()
+          SparkEntry.queries("p1_ticker_pipeline")(spark, dir).count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          Thread.sleep(500)
+          println(f"[profile] r$r p1 drive wall=$wall%.2f s, jobs:")
+          import scala.jdk.CollectionConverters._
+          jl.asScala.toSeq.sortBy(_._1).foreach { case (id, (desc, ns)) =>
+            println(f"[profile]   job $id%3d ${ns / 1e9}%6.2f s  ${desc.take(110)}")
+          }
+        }
+        spark.sparkContext.removeSparkListener(tr)
       case "w4plan" =>
         // static-plan exchange inventory for the drive (AQE off): each
         // shuffle/broadcast here is one AQE stage-materialization job in

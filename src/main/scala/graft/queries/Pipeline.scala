@@ -42,7 +42,10 @@ object Pipeline {
       // Ticker-partitioned before the checkpoint (the w4 fold, r11): the
       // returns lag and the ticker distinct reuse this exchange.
       // checkpointPartitioned (r12): a bare localCheckpoint under AQE
-      // stores UnknownPartitioning and silently undoes the fold.
+      // stores UnknownPartitioning and silently undoes the fold. This
+      // build is a scan+aggregate (no join), so losing AQE for the one
+      // materialization costs nothing; yearly below keeps the plain form
+      // because ITS build contains the orders⨝liAgg join AQE converts.
       .repartition(col("ticker"))
       .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
     val prices = priceDiv.select("ticker", "date", "close")
@@ -87,9 +90,12 @@ object Pipeline {
         (sum(col("__spq1")) / sum(col("__n"))).as("priceToFreeCashFlowsRatio"),
         (sum(col("__sd")) / sum(col("__n")) * 10).as("payoutRatio"))
       // the aggregate feeds income/balance/ratios — without a checkpoint
-      // each block re-executes the join; partition-preserving so the
-      // (ticker, date)-keyed grouped output keeps its clustering under AQE
-      .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
+      // each block re-executes the join. PLAIN checkpoint, deliberately
+      // not checkpointPartitioned (r12 A/B): the AQE-off build loses the
+      // runtime broadcast conversion of the orders⨝liAgg join above, and
+      // that costs more than the preserved clustering saves downstream
+      // (p1 same-box interleaved A/B; the priceDiv build above is join-free, so IT keeps the partition-preserving form).
+      .localCheckpoint()
     val income = yearly.select("ticker", "date", "incomeBeforeTax",
       "interestExpense", "depreciationAndAmortization", "eps")
     val balance = yearly.select(col("ticker"), col("date"),
