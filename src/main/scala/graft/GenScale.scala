@@ -35,10 +35,105 @@ import org.apache.spark.sql.functions._
   * and it is the shape that flips `TickerFeatures.choosePriceForm` to
   * the replication-free series form.
   *
-  * Usage: runMain graft.GenScale [srcDir] [outDir] [tiles] [wide|deep]
+  * A fourth mode, `dupmix` (r12 verdict task 1 — the dup-HEAVY
+  * adversarial axis): every prior scale corpus was key-shifted and
+  * dup-LIGHT ("no mass to remove"), yet mass removal is what the dedup
+  * family exists for. dupmix replaces a parameterized fraction (default
+  * 45%) of each tile's documents with members of nTpl template families:
+  * member (tpl, depth) is the depth-th SLIDING WINDOW (length L words,
+  * stride S) of a long concatenated template text, so
+  *   - all docs at the same (tpl, depth) are byte-identical EXACT copies
+  *     across every tile (d1/d51 removal mass, LSH bucket occupancy,
+  *     d86 dropped-set mass grow with the corpus), and
+  *   - adjacent depths share L−S contiguous words (high Jaccard) while
+  *     depths ≥ 2 apart share none (stride ≥ L/2) — a true CHAIN graph,
+  *     so low-threshold clustering (d23) sees diameter ≈ maxDepth and
+  *     its propagation-round scaling is actually exercised.
+  * The non-dup remainder keeps the wide-mode tile prefixing (dup-light
+  * background). Documents table only, like `docs`; judged verify corpora
+  * are untouched and doc ids stay far below the 1e9 twin-injection band.
+  *
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [tiles] [wide|deep|docs|dupmix]
+  *        dupmix extra args: [fracPct=45] [nTpl=50] [maxDepth=8]
   * Defaults: /root/testdata/sf0.1 → target/testdata/sf1, 10 tiles, wide.
   */
 object GenScale {
+
+  /** Window geometry: 100-word windows at stride 55 — stride > L/2 makes
+    * non-adjacent windows share zero contiguous words (the chain
+    * property); adjacent windows share 45 words (J ≈ 0.28 on 3-shingles,
+    * above d23's 0.02 threshold, below d5/d40's 0.5 — so LSH families
+    * stay exact-copy cliques while cluster chains are real). */
+  private[graft] val WinLen = 100
+  private[graft] val WinStride = 55
+
+  /** The (tpl, depth) → window-text pool, built driver-side from a
+    * BOUNDED prefix of the base corpus (nTpl × 16 docs, ≲1 MB at any SF —
+    * templates are a SMALL pool by design, that is what makes the corpus
+    * duplicative). Deterministic: pure function of the base table. */
+  private[graft] def dupWindows(base: Seq[(Long, String, String)], nTpl: Int,
+                                maxDepth: Int): Seq[(Long, Int, String, String)] = {
+    require(base.nonEmpty, "dupmix needs a non-empty base documents table")
+    val sorted = base.sortBy(_._1)
+    val groupDocs = 16
+    for {
+      t <- 0 until nTpl
+      j <- 0 to maxDepth
+    } yield {
+      val docs = (0 until groupDocs)
+        .map(g => sorted((t * groupDocs + g) % sorted.length))
+      val words = docs.flatMap(_._2.split("\\s+")).toArray
+      val start = math.min(j * WinStride, math.max(0, words.length - WinLen))
+      val win = words.slice(start, math.min(start + WinLen, words.length))
+      (t.toLong, j, win.mkString(" "), docs.head._3)
+    }
+  }
+
+  /** The dupmix documents relation (extracted so the spec can pin the
+    * construction without running main): `tiles` tiles of `src`'s
+    * documents, `fracPct`% of each replaced by template-family members.
+    * Assignment is a pure hash of (doc_id, tile) — fully deterministic. */
+  private[graft] def dupmixDocuments(spark: SparkSession, src: String,
+                                     tiles: Int, fracPct: Int, nTpl: Int,
+                                     maxDepth: Int, tileStride: Long): DataFrame = {
+    require(fracPct >= 0 && fracPct <= 90, s"dup fraction $fracPct% out of range")
+    require(nTpl >= 1 && maxDepth >= 0, "need >=1 template, >=0 depth")
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val pool = base.orderBy("doc_id").limit(nTpl * 16)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val winDf = broadcast(
+      spark.createDataFrame(dupWindows(pool, nTpl, maxDepth))
+        .toDF("__tpl", "__depth", "__wtext", "__wlang"))
+    def tileTag(i: Int): String = {
+      val ds = Seq((i >> 8) & 15, (i >> 4) & 15, i & 15)
+      (ds :+ (ds.sum & 15)).map(Integer.toHexString).mkString
+    }
+    (0 until tiles).map { i =>
+      val marked = base.withColumn("__isdup",
+        pmod(xxhash64(lit("dupmix"), col("doc_id"), lit(i)), lit(100)) < lit(fracPct))
+      val normalBase = marked.filter(!col("__isdup")).drop("__isdup")
+      val normal = (if (i == 0) normalBase else normalBase
+          .withColumn("text", array_join(transform(split(col("text"), "\\s+"),
+            w => concat(lit(tileTag(i)), w)), " "))
+          .withColumn("source", concat(col("source"), lit(s"_t$i")))
+          .withColumn("n_chars", length(col("text")).cast("long")))
+        .withColumn("doc_id", col("doc_id") + i * tileStride)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val dup = marked.filter(col("__isdup"))
+        .withColumn("__tpl",
+          pmod(xxhash64(lit("tpl"), col("doc_id"), lit(i)), lit(nTpl.toLong)))
+        .withColumn("__depth",
+          pmod(xxhash64(lit("dep"), col("doc_id"), lit(i)), lit(maxDepth + 1L))
+            .cast("int"))
+        .join(winDf, Seq("__tpl", "__depth"))
+        .select((col("doc_id") + i * tileStride).as("doc_id"),
+          col("__wtext").as("text"), col("__wlang").as("lang"),
+          concat(lit("dupsrc"), col("__tpl")).as("source"),
+          length(col("__wtext")).cast("long").as("n_chars"))
+      normal.unionByName(dup)
+    }.reduce(_.unionByName(_))
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -90,6 +185,18 @@ object GenScale {
     // fixed dimensions
     Seq("region", "nation").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+    if (args.lift(3).contains("dupmix")) {
+      // dup-heavy adversarial documents corpus (docs-only — the dedup/
+      // suffix probes read nothing else; a full-table generation would
+      // write ~GBs the probes never touch)
+      val fracPct = args.lift(4).map(_.toInt).getOrElse(45)
+      val nTpl = args.lift(5).map(_.toInt).getOrElse(50)
+      val maxDepth = args.lift(6).map(_.toInt).getOrElse(8)
+      write(dupmixDocuments(spark, src, tiles, fracPct, nTpl, maxDepth, D),
+        "documents")
+      spark.stop()
+      return
     }
     if (deep) {
       // same entities; each tile pushes the fact dates i*7 years out

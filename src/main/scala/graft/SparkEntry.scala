@@ -19,10 +19,15 @@ object SparkEntry {
       TextVector5.defs ++ TextVector6.defs ++ TextVector7.defs ++
       TextVector8.defs ++ TextVector9.defs ++ TextVector10.defs ++ TextVector11.defs ++ TextVector12.defs ++ TextVector13.defs ++ TextVector14.defs ++ TextVector15.defs ++ TextVector16.defs ++ TextVector17.defs ++ TextVector18.defs ++
       Pipeline.defs ++ ScaleOps.defs ++ FeatureBlocks.defs ++ DynamicRow.defs
-    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
-    require(dups.isEmpty, s"duplicate query names would shadow registry entries: $dups")
+    QueryDef.validate(defs)
     defs
   }
+
+  /** rows-only query → its declared oracle-gated sandwich twins. Dumped
+    * by Verify as twins.json; the compare gate fails the rows-only query
+    * when any twin fails. */
+  def twinManifest: Map[String, Seq[String]] =
+    allDefs.filter(_.oracle.isEmpty).map(d => d.name -> d.twins).toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

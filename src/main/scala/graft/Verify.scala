@@ -75,6 +75,14 @@ object Verify {
     // above) instead of skipping them silently
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // rows-only sandwich manifest (r12 task 6): compare fails a rows-only
+    // query whose declared oracle-gated twins are missing or failing. The
+    // registry itself (allDefs, evaluated above) already refuses dangling
+    // or oracle-less twin declarations.
+    Files.writeString(Paths.get(s"$outDir/twins.json"),
+      SparkEntry.twinManifest.toSeq.sortBy(_._1)
+        .map { case (k, ts) => s"${q(k)}: ${ts.map(q).mkString("[", ",", "]")}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -60,7 +60,16 @@ final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
 
   /** Materialize `df` eagerly, free the superseded round, return the
     * checkpointed frame plus the RDD ids this step persisted. */
-  def stepTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  def stepTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    // the shuffle-registry diff below is only correct when no other
+    // diffing build runs concurrently (advisor r12): hold the JVM-wide
+    // build lock for the step so a violated contract fails loudly
+    // (reentrant when the caller's sweepShuffles bracket already holds it)
+    if (freeShuffles) RoundCheckpointer.withBuildLock("stepTracked(freeShuffles)") {
+      stepTrackedImpl(df)
+    } else stepTrackedImpl(df)
+
+  private def stepTrackedImpl(df: DataFrame): (DataFrame, Set[Int]) = {
     val before = persistedIds
     val shBefore = if (freeShuffles)
       org.apache.spark.graftbridge.ShuffleBridge.activeShuffleIds(sc)
@@ -71,6 +80,7 @@ final class RoundCheckpointer(sc: SparkContext, gcEvery: Int = 4,
     if (freeShuffles) {
       val shFresh =
         org.apache.spark.graftbridge.ShuffleBridge.activeShuffleIds(sc) -- shBefore
+      RoundCheckpointer.assertNoForeignJobs(sc, "stepTracked(freeShuffles)")
       org.apache.spark.graftbridge.ShuffleBridge.removeShuffles(sc, shFresh)
     }
     live = fresh
@@ -141,14 +151,22 @@ object RoundCheckpointer {
     * every returned relation reads only eager-checkpoint blocks and raw
     * sources (the suffix-family boundary invariant). A swept shuffle some
     * lazy stray still references is recomputed from lineage, never lost. */
-  def sweepShuffles[A](sc: SparkContext)(build: => A): A = {
-    import org.apache.spark.graftbridge.ShuffleBridge
-    val before = ShuffleBridge.activeShuffleIds(sc)
-    val out = build
-    ShuffleBridge.removeShuffles(sc,
-      ShuffleBridge.activeShuffleIds(sc) -- before)
-    out
-  }
+  def sweepShuffles[A](sc: SparkContext)(build: => A): A =
+    // serialize the whole diffing bracket on the JVM-wide build lock
+    // (advisor r12): a concurrent diffing build would see this bracket's
+    // shuffles in ITS diff and unregister them mid-execution — the
+    // documented single-build contract, now enforced loudly rather than
+    // corrupting an unrelated query's shuffle state. Reentrant, so nested
+    // brackets (spanRemoval's inner stepTracked) compose.
+    withBuildLock("sweepShuffles") {
+      import org.apache.spark.graftbridge.ShuffleBridge
+      val before = ShuffleBridge.activeShuffleIds(sc)
+      val out = build
+      assertNoForeignJobs(sc, "sweepShuffles")
+      ShuffleBridge.removeShuffles(sc,
+        ShuffleBridge.activeShuffleIds(sc) -- before)
+      out
+    }
 
   /** Eager localCheckpoint that PRESERVES the plan's output partitioning
     * under AQE (r12 find, the w4/p1 job-count task). Dataset.localCheckpoint
@@ -163,15 +181,61 @@ object RoundCheckpointer {
     * materialization makes the checkpoint leaf report hashpartitioning;
     * downstream queries (AQE on) honor leaf partitioning through
     * EnsureRequirements. The conf flip is session-global for the duration
-    * of this one materialization — callers are the sequential drive
-    * builds, which already serialize on materializeFinal's lock. */
-  def checkpointPartitioned(df: DataFrame): DataFrame = {
-    val sess = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = sess.conf.get(key)
-    sess.conf.set(key, "false")
-    try df.localCheckpoint()
-    finally sess.conf.set(key, prev)
+    * of this one materialization — enforced in code (advisor r12): the
+    * flip runs under the JVM-wide build lock via [[withBuildLock]]
+    * (reentrant, so drive builds already holding it compose), so a future
+    * caller outside any build cannot silently disable AQE for queries
+    * planned concurrently, and a thrown build restores the conf before
+    * the lock releases. */
+  def checkpointPartitioned(df: DataFrame): DataFrame =
+    withBuildLock("checkpointPartitioned") {
+      val sess = df.sparkSession
+      val key = "spark.sql.adaptive.enabled"
+      val prev = sess.conf.get(key)
+      sess.conf.set(key, "false")
+      try df.localCheckpoint()
+      finally sess.conf.set(key, prev)
+    }
+
+  /** Acquire the JVM-wide build lock (timed, loud on timeout, REENTRANT —
+    * unlike materializeFinal, which additionally forbids nesting because
+    * its RDD-registry diff cannot tolerate an inner build). All
+    * registry-diffing brackets (shuffle sweeps, per-step shuffle frees,
+    * the AQE conf flip) serialize here, so a violated single-build
+    * contract fails loudly instead of corrupting another build's state
+    * (advisor r12). */
+  private[graft] def withBuildLock[A](site: String)(f: => A): A = {
+    if (!buildLock.tryLock(lockTimeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"$site: build lock held > ${lockTimeoutSec}s by thread " +
+          s"'${Option(owner).map(_.getName).getOrElse("?")}' — a second " +
+          "diffing build is running concurrently; serialize builds at the caller")
+    owner = Thread.currentThread()
+    try f finally {
+      if (buildLock.getHoldCount == 1) owner = null
+      buildLock.unlock()
+    }
+  }
+
+  /** Loud-failure guard before unregistering a shuffle diff (advisor r12):
+    * the lock serializes diffing BUILDS, but a plain concurrent query on
+    * the shared SparkContext takes no lock — if one is mid-flight when a
+    * bracket closes, its in-progress shuffle could sit in the diff and be
+    * removed under it (fetch failures / failed registerMapOutput). This
+    * thread's own actions have returned by now, so after a short drain
+    * (the status store is fed asynchronously) any still-active job is
+    * foreign → fail before corrupting it. */
+  private[graft] def assertNoForeignJobs(sc: SparkContext, site: String): Unit = {
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    var active = sc.statusTracker.getActiveJobIds()
+    while (active.nonEmpty && System.nanoTime < deadline) {
+      Thread.sleep(25)
+      active = sc.statusTracker.getActiveJobIds()
+    }
+    if (active.nonEmpty) throw new IllegalStateException(
+      s"$site: jobs ${active.mkString(",")} still active at sweep time — " +
+        "a concurrent query is running on this SparkContext; its shuffles " +
+        "may sit in this bracket's diff. Quiesce other queries first.")
   }
 
   /** Generous: real builds run minutes at sf10; only a true deadlock waits

@@ -842,17 +842,28 @@ object Multimodal {
     * `frames` are row-major TOP-DOWN R,G,B triplets, all width×height×3. */
   def encodeAviDib(width: Int, height: Int, usPerFrame: Int,
                    frames: Seq[Array[Byte]]): Array[Byte] = {
+    val frameRgb = width.toLong * height * 3
     require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty &&
-      frames.forall(_.length == width * height * 3),
-      s"need non-empty ${width}x$height RGB frames of ${width * height * 3} bytes")
-    val rowBytes = width * 3
-    val pad = (4 - rowBytes % 4) % 4
-    val frameSize = (rowBytes + pad) * height // always 4-aligned: no pad byte
+      frames.forall(_.length.toLong == frameRgb),
+      s"need non-empty ${width}x$height RGB frames of $frameRgb bytes")
+    // sizes in Long (advisor r12): width*height*frames at curation scale
+    // silently overflows Int — negative sizes crash allocate, a
+    // wrapped-positive one writes a corrupt RIFF header (mirrors
+    // decodeAviDib's stride.toLong guard)
+    val rowBytes = width.toLong * 3
+    val pad = ((4 - rowBytes % 4) % 4).toInt
+    val frameSizeL = (rowBytes + pad) * height // always 4-aligned: no pad byte
     val n = frames.length
     val strlSize = 4 + (8 + 56) + (8 + 40)        // 'strl' + strh + strf
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)  // 'hdrl' + avih + LIST strl
-    val moviSize = 4 + n * (8 + frameSize)        // 'movi' + 00db chunks
-    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val moviSizeL = 4L + n.toLong * (8L + frameSizeL) // 'movi' + 00db chunks
+    val riffSizeL = 4L + (8 + hdrlSize) + (8 + moviSizeL)
+    require(8L + riffSizeL <= Int.MaxValue,
+      s"AVI exceeds a single in-memory buffer: ${8L + riffSizeL} bytes " +
+        s"($n ${width}x$height frames) > Int.MaxValue")
+    val frameSize = frameSizeL.toInt
+    val moviSize = moviSizeL.toInt
+    val riffSize = riffSizeL.toInt
     val b = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def cc(s: String): Unit = b.put(s.getBytes("US-ASCII"))

@@ -134,7 +134,14 @@ object Pipeline {
   /** Full pipeline: grid -> gate -> features -> validation -> round2f32. */
   val p1 = QueryDef("p1_ticker_pipeline",
     (s, dir) => p1Materialized(s, dir),
-    None)
+    None,
+    // sandwich (r12 task 6): the store's price-block VALUES are judged by
+    // p8 over p1's own materialized output; the identical feature builds
+    // are judged row-wise by w4/w5 (dynamic-row + validation stats), the
+    // static/OHE layer by p2, and the merge semantics by q40/q42.
+    twins = Seq("p8_store_price_slice", "w4_dynamic_row",
+      "w5_validation_stats", "p2_static_encoding", "q40_global_merge",
+      "q42_merge_with_existing"))
 
   private def p1Plan(s: org.apache.spark.sql.SparkSession, dir: String) = {
       val in = inputsFrom(s, dir)
@@ -369,7 +376,12 @@ object Pipeline {
           round(col("final_score"), 4).as("final_score"), col("weight"))
         .orderBy("ticker", "as_of")
     },
-    None)
+    None,
+    // sandwich (r12 task 6): p5 judges the score formula, p6 the GBT's
+    // confusion surface on a planted fixture, p7 the portfolio
+    // construction — together the full phase-3..5 chain minus the
+    // non-oracle-able ensemble fit itself.
+    twins = Seq("p5_score_math", "p6_gbt_confusion", "p7_portfolio_verdict"))
 
   /** Phases 4-5 ONLY, over a fixed deterministic `cut_prob` column —
     * ORACLE-GATED. p4's GBT fit is not an oracle surface, but the score

@@ -10,11 +10,48 @@ import org.apache.spark.sql.types._
   * values. Every query orders its output by a unique key so row order is
   * deterministic on both engines.
   */
+/** `twins`: for a query with NO oracle (rows-only by design — sketch
+  * hashes the oracle engine cannot replay, ML fits, the full-store build),
+  * the names of the ORACLE-GATED queries that sandwich its construction
+  * (an md5-basis twin of the same pipeline, or value-judges of its
+  * output). Machine-checked (r12 verdict task 6): the registry refuses a
+  * no-oracle query with no declared twins or a twin that is missing /
+  * itself oracle-less, and the compare gate fails the rows-only query
+  * when a declared twin fails — the sandwich argument stops living in
+  * prose. */
 final case class QueryDef(name: String,
                           fn: (SparkSession, String) => DataFrame,
-                          oracle: Option[String])
+                          oracle: Option[String],
+                          twins: Seq[String] = Nil)
 
 object QueryDef {
+  /** Registry invariants, enforced on every SparkEntry.allDefs evaluation
+    * (so Verify and every registry-touching spec fail loudly): unique
+    * names; every no-oracle (rows-only) query declares ≥1 sandwich twin;
+    * every declared twin exists and is itself oracle-gated (r12 verdict
+    * task 6 — the sandwich argument is machine-checked, not prose). */
+  def validate(defs: Seq[QueryDef]): Unit = {
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names would shadow registry entries: $dups")
+    val byName = defs.map(d => d.name -> d).toMap
+    defs.filter(_.oracle.isEmpty).foreach { d =>
+      require(d.twins.nonEmpty,
+        s"${d.name} has no oracle and declares no sandwich twins — " +
+          "rows-only queries must name the oracle-gated queries that judge " +
+          "their construction (QueryDef.twins)")
+    }
+    defs.filter(_.twins.nonEmpty).foreach { d =>
+      d.twins.foreach { t =>
+        val td = byName.getOrElse(t, throw new IllegalArgumentException(
+          s"requirement failed: ${d.name} declares twin '$t' which is not " +
+            "in the registry"))
+        require(td.oracle.nonEmpty,
+          s"${d.name} declares twin '$t' which has no oracle — a rows-only " +
+            "twin cannot carry the sandwich")
+      }
+    }
+  }
+
   /** Exact money arithmetic: decimal cast so sums are order-independent
     * (double sums vary with shuffle arrival order — parity hazard). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -212,7 +212,11 @@ object TextVector {
     (s, dir) => Dedup.simHashNearDuplicates(Tables.documents(s, dir),
       "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b"),
-    None)
+    None,
+    // sandwich (r12 task 6): d45 replays the identical pipeline on an
+    // md5 bit basis DuckDB can compute — only the rolling-hash basis
+    // differs, and FamilyAgreementSpec pins the selection overlap.
+    twins = Seq("d45_simhash_md5_oracle"))
 
   /** Winnowing-lite document fingerprint: min md5 over word 5-shingles. */
   val d8 = QueryDef("d8_doc_fingerprint",
@@ -254,7 +258,10 @@ object TextVector {
         .filter(col("shared_fingerprints") >= 3)
         .orderBy("id_a", "id_b")
     },
-    None)
+    None,
+    // sandwich (r12 task 6): d25 is the md5-basis winnowing twin DuckDB
+    // replays end-to-end; only the rolling-hash basis differs.
+    twins = Seq("d25_winnowing_md5_oracle"))
 
   /** Text cleaning transform: stopword removal + token re-join (the
     * corpus-normalization step before dedup/training). */

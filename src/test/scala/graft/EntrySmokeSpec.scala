@@ -35,6 +35,43 @@ class EntrySmokeSpec extends SparkSpec {
     } finally queries.Pipeline.clearMaterialized()
   }
 
+  test("rows-only sandwich manifest (r12 task 6): every no-oracle query " +
+    "declares oracle-gated twins; the manifest is machine-checked, not prose") {
+    // allDefs itself enforces the invariants (non-empty twins on
+    // no-oracle defs, twins resolve, twins carry oracles) — evaluating it
+    // IS the check; these asserts pin the current manifest's shape so a
+    // silent deletion of a twin declaration is caught by name.
+    val m = SparkEntry.twinManifest
+    assert(m.keySet == Set("d7_simhash_dedup", "d9_winnowing_pairs",
+      "p1_ticker_pipeline", "p4_score_portfolio"),
+      s"rows-only set changed: ${m.keySet} — new no-oracle queries need a " +
+        "documented sandwich")
+    m.foreach { case (name, twins) =>
+      assert(twins.nonEmpty, s"$name declares no twins")
+      twins.foreach { t =>
+        assert(SparkEntry.oracleSql.contains(t),
+          s"$name twin $t is not oracle-gated")
+      }
+    }
+    // malformed registries are refused loudly by the PRODUCTION validator:
+    // a no-oracle def without twins, a dangling twin, a rows-only twin
+    val defs = SparkEntry.allDefs
+    val orphan = graft.queries.QueryDef("zz_orphan", (_, _) => null, None)
+    assert(intercept[IllegalArgumentException] {
+      graft.queries.QueryDef.validate(defs :+ orphan)
+    }.getMessage.contains("zz_orphan"))
+    val dangling = graft.queries.QueryDef("zz_dangling", (_, _) => null, None,
+      twins = Seq("zz_nonexistent"))
+    assert(intercept[IllegalArgumentException] {
+      graft.queries.QueryDef.validate(defs :+ dangling)
+    }.getMessage.contains("zz_nonexistent"))
+    val rowsOnlyTwin = graft.queries.QueryDef("zz_weak", (_, _) => null, None,
+      twins = Seq("p1_ticker_pipeline")) // p1 itself has no oracle
+    assert(intercept[IllegalArgumentException] {
+      graft.queries.QueryDef.validate(defs :+ rowsOnlyTwin)
+    }.getMessage.contains("no oracle"))
+  }
+
   test("q2's filters and projection reach the parquet scan (pushdown regression)") {
     // the README's manual Explain audit, pinned: a plan change that stops
     // pushing filters/columns into the scan multiplies the 100 TB read

@@ -230,4 +230,62 @@ class TextVector17Spec extends SparkSpec {
         s"maxLen=$maxLen (${bad.size} mismatches): ${bad.take(5).mkString("; ")}")
     }
   }
+
+  test("spanRemoval election-first = filter-first at a mixed full/partial " +
+    "rank boundary (advisor r12): docs ending mid-window at a duplicated " +
+    "l-gram, including an all-partial duplicated suffix group, produce the " +
+    "exact kept-occurrence set of the filter-first formulation") {
+    val l = 4
+    // doc 2 ends mid-window at the duplicated "abcd" boundary (its pos-5
+    // suffix "abc" is partial and shares the gram's prefix); doc 4 is an
+    // entirely-partial duplicate of that suffix, so (2,5) and (4,1) form
+    // an ALL-PARTIAL rank group whose elected "keeper" must be discarded
+    // by the length filter, never letting a partial win over a full group
+    val fixture = Seq(
+      (1L, "abcdabcd"), // full windows at 1..5; pos5 "abcd" is a dropped twin
+      (2L, "abcdabc"),  // truncated twin: full at 1..4, partial tail at 5..7
+      (3L, "abcd"),     // exactly one full window, doc ends AT the boundary
+      (4L, "abc"),      // shorter than l: entirely partial, duplicated prefix
+      (5L, "zabcdab"),  // gram mid-doc, partial "ab" tail
+      (6L, "dabcQRST")  // duplicates doc 1's interior "dabc" window
+    )
+    val docs = fixture.toDF("doc_id", "text")
+    val texts = fixture.toMap
+
+    // filter-first reference, computed from the SAME rank index: full
+    // windows only enter the election; keeper = first (doc_id, pos)
+    val ranks = graft.operators.SuffixRanks.suffixRanks(docs, maxPrefix = l)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val droppedRef = ranks
+      .filter { case (id, pos, _) => pos + l - 1 <= texts(id).length.toLong }
+      .groupBy(_._3).values
+      .flatMap(_.sortBy(t => (t._1, t._2)).drop(1))
+      .toSeq
+    val expected = texts.map { case (id, t) =>
+      val merged = droppedRef.filter(_._1 == id)
+        .map(p => (p._2, p._2 + l - 1)).sortBy(identity)
+        .foldLeft(List.empty[(Long, Long)]) { (acc, iv) =>
+          acc match {
+            case (ps, pe) :: rest if iv._1 <= pe + 1 =>
+              (ps, math.max(pe, iv._2)) :: rest
+            case _ => iv :: acc
+          }
+        }
+      val removed = merged.map { case (s, e) => e - s + 1 }.sum
+      val cleaned = (1 to t.length)
+        .filterNot(p => merged.exists(m => p >= m._1 && p <= m._2))
+        .map(p => t.charAt(p - 1)).mkString
+      id -> ((t.length.toLong, removed, cleaned))
+    }
+
+    val out = graft.operators.SuffixRanks.spanRemoval(docs, l)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expected,
+      s"election-first diverged from filter-first: got $out, want $expected")
+    // the boundary cases specifically: the sub-l doc and the partial tails
+    // must be untouched by their partial-group "election"
+    assert(out(4L)._3 == "abc", "an all-partial group must remove nothing")
+    assert(out(3L)._2 > 0L, "the full twin ending AT the boundary is removed")
+  }
 }

@@ -82,6 +82,27 @@ def main(sf_dir, out_dir):
         for name in json.load(open(manifest_path)):
             if name not in results:
                 results[name] = "MISSING-OUTPUT (query failed in Verify)"
+    # rows-only sandwich enforcement (r12 task 6): a rows-only query is
+    # only as good as its declared oracle-gated twins — if any twin fails
+    # (or is absent from a FULL run), the rows-only query fails with it.
+    twins_path = os.path.join(out_dir, "twins.json")
+    if os.path.exists(twins_path):
+        # a subset dev run (Verify with explicit query args) legitimately
+        # omits twins; only a full-registry run demands their presence
+        partial_run = len(results) < 100
+        for name, twins in json.load(open(twins_path)).items():
+            if name not in results or not results[name].startswith("rows-only"):
+                continue
+            missing = [] if partial_run else \
+                [t for t in twins if t not in results]
+            failing = [t for t in twins
+                       if t in results and not results[t].startswith("OK")]
+            if missing or failing:
+                results[name] = (f"TWIN-FAILING: sandwich twins "
+                                 f"missing={missing} failing={failing}")
+            else:
+                n_present = sum(1 for t in twins if t in results)
+                results[name] += f" [twins OK {n_present}/{len(twins)}]"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_rows_only = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k, v in sorted(results.items()):
