@@ -128,17 +128,35 @@ object Bench {
       // per round bounds on-disk shuffle state to roughly one round's
       // worth.
       System.gc()
+      // SPARK_GRAFT_BENCH_QUERY_HYGIENE=1: ALSO drop each query's
+      // registered shuffles right after it finishes (r13 — the full
+      // 235-query sf10 sweep accumulated ~90 GB of shuffle files across
+      // queries in one JVM and one query died on ENOSPC; per-ROUND GC was
+      // not enough once the registry outgrew what a round's disk headroom
+      // holds). Uses the same deterministic ShuffleBridge path as the
+      // suffix family's step hygiene; safe because bench queries run
+      // strictly sequentially and each query's result is fully consumed
+      // (count) before the next starts. Off by default: the extra
+      // bookkeeping is per-query overhead the 3-leg sf0.1 ritual doesn't
+      // need.
+      val perQueryHygiene = sys.env.get("SPARK_GRAFT_BENCH_QUERY_HYGIENE")
+        .contains("1")
       named.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors += name
-            System.err.println(s"[bench] run $r $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            None
+        val run = { () =>
+          try {
+            fn(spark, sfDir).count()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors += name
+              System.err.println(s"[bench] run $r $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+          }
         }
+        if (perQueryHygiene)
+          graft.core.RoundCheckpointer.sweepShuffles(spark.sparkContext)(run())
+        else run()
       }.toMap
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }

@@ -218,6 +218,121 @@ object StageProfile {
           }
         }
         spark.sparkContext.removeSparkListener(tr)
+      case "m5diag" =>
+        // band-bucket occupancy for the m5 aHash LSH join: if the corpus
+        // collapses many assets into one (band, value) bucket, the
+        // candidate self-join is quadratic in bucket size
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val base = graft.core.Tables.documents(spark, dir)
+          .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+          .filter(length(col("text")) >= 63)
+          .select(col("doc_id"), col("text"), lit(0).as("shift"))
+        val schema = StructType(Seq(StructField("asset_id", LongType),
+          StructField("content", BinaryType)))
+        val assets = spark.createDataFrame(base.rdd.mapPartitions { it =>
+          it.map { row =>
+            val text = row.getString(1)
+            val h = math.min(text.length / 21, 9)
+            val rgb = text.substring(0, 21 * h).getBytes("US-ASCII")
+            org.apache.spark.sql.Row(row.getLong(0),
+              graft.operators.Multimodal.encodeBmp(7, h, rgb))
+          }
+        }, schema)
+        val hashed = graft.operators.Multimodal.ahashBands(assets)
+          .localCheckpoint()
+        val banded = hashed.select(col("asset_id"), posexplode(array(
+          (0 until 4).map(k => (col("bands")(2 * k) +
+            col("bands")(2 * k + 1) * 256L).cast(LongType)): _*))
+          .as(Seq("band", "v")))
+        val occ = banded.groupBy("band", "v").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        println("[profile] m5diag assets=" + hashed.count())
+        occ.orderBy(col("n").desc).limit(12).collect().foreach { r =>
+          println(s"[profile] m5diag band=${r.getInt(0)} v=${r.getLong(1)} n=${r.getLong(2)}")
+        }
+        val pairsEst = occ.agg(sum(col("n") * (col("n") - 1) / 2)).head.getLong(0)
+        println(s"[profile] m5diag candidate pairs (pre-distinct) = $pairsEst")
+      case "ccchain" =>
+        // r12 verdict task 1, the rounds axis in isolation: PATH graphs
+        // (worst-case diameter = n) at growing scale. The pointer-jumping
+        // claim is rounds ~ O(log diameter); a linear-rounds regression
+        // shows up as 10× rounds per decade instead of +3.3. Run with
+        // GRAFT_CC_DEBUG=1 to see per-round timings on stderr.
+        import org.apache.spark.sql.functions.col
+        for (n <- Seq(100000L, 1000000L, 10000000L)) {
+          val edges = spark.range(n - 1)
+            .select(col("id").as("a"), (col("id") + 1L).as("b"))
+          val t0 = System.nanoTime()
+          val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b",
+            maxIter = 80)
+          val nComp = cc.select("component").distinct().count()
+          val nNodes = cc.count()
+          println(f"[profile] ccchain n=$n%,d wall=${(System.nanoTime() - t0) / 1e9}%7.1f s " +
+            s"components=$nComp (expect 1) nodes=$nNodes")
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+        }
+      case "streamsf10" =>
+        // r12 verdict task 5: the s-family at scale — a REAL file-stream
+        // over the sfDir events table (every prior judged surface was a
+        // batch twin at sf0.1 or a MemoryStream spec). Drives the four
+        // AvailableNow drivers over time-ordered sliced input on BOTH
+        // state-store providers; records rows/s, micro-batch count, and
+        // state-store rows/bytes from the engine's own progress metrics.
+        import org.apache.spark.sql.functions.col
+        val events = graft.core.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        val inDir = "target/streamprobe/input"
+        // time-ordered file slices: a real feed arrives roughly in event
+        // order, and the watermark only advances usefully when it does
+        events.repartitionByRange(24, col("ts"))
+          .write.mode("overwrite").parquet(inDir)
+        val nIn = spark.read.parquet(inDir).count()
+        println(s"[profile] input rows: $nIn (24 time-ranged files)")
+        val schema = org.apache.spark.sql.Encoders
+          .product[graft.streaming.EventStreams.EventIn].schema
+        val slice = Map("maxFilesPerTrigger" -> "4") // ~6 micro-batches
+        val providers = Seq(
+          "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+          "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val drivers: Seq[(String, (String, String) => org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
+          ("s1_hourly", (out, ck) => graft.streaming.EventStreams
+            .runHourlyAvailableNow(spark, inDir, out, ck, schema, slice)),
+          ("s3_dedup", (out, ck) => graft.streaming.EventStreams
+            .firstPerKeyAvailableNow(spark, inDir, out, ck, schema, slice)),
+          ("s5_sliding", (out, ck) => graft.streaming.EventStreams
+            .slidingByTypeAvailableNow(spark, inDir, out, ck, schema, slice)),
+          ("sessions_fmgws", (out, ck) => graft.streaming.EventStreams
+            .closedSessionsAvailableNow(spark, inDir, out, ck,
+              gapMinutes = 30, readOptions = slice)))
+        for ((provName, provClass) <- providers) {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", provClass)
+          for ((name, drive) <- drivers) {
+            val base = s"target/streamprobe/$provName/$name"
+            val fs = new java.io.File(base)
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+            if (fs.exists) rm(fs)
+            val t0 = System.nanoTime()
+            val q = drive(s"$base/out", s"$base/ck")
+            q.awaitTermination()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val prog = q.recentProgress
+            val batches = prog.count(_.numInputRows > 0)
+            val inRows = prog.map(_.numInputRows).sum
+            val st = prog.reverse.find(_.stateOperators.nonEmpty)
+              .map(_.stateOperators.map(s =>
+                (s.numRowsTotal, s.memoryUsedBytes)).toSeq)
+              .getOrElse(Seq.empty)
+            val outRows = spark.read.parquet(s"$base/out").count()
+            println(f"[profile] $provName%-8s $name%-16s wall=$wall%7.1f s " +
+              f"rows/s=${inRows / math.max(wall, 1e-9)}%,.0f batches=$batches " +
+              s"in=$inRows out=$outRows state(rows,bytes)=${st.mkString(";")}")
+          }
+        }
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       case "w4plan" =>
         // static-plan exchange inventory for the drive (AQE off): each
         // shuffle/broadcast here is one AQE stage-materialization job in

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
+import graft.operators.Similarity
 
 /** Twenty-first coverage batch (round 10) — the multimodal verbs the
   * round-9 verdict left open plus embedding-training data mining:
@@ -19,7 +20,7 @@ import graft.core.Tables
   */
 object TextVector18 {
 
-  def defs: Seq[QueryDef] = Seq(m5, m6, m7, e18)
+  def defs: Seq[QueryDef] = Seq(m5, m6, m7, e18, e19)
 
   /** Image near-duplicate detection via perceptual average-hash — the
     * chain a 100 TB image-curation pass runs: decode (real BMP) → REAL
@@ -88,7 +89,23 @@ object TextVector18 {
         (0 until 4).map(k => (col("bands")(2 * k) +
           col("bands")(2 * k + 1) * 256L).cast(LongType)): _*))
         .as(Seq("band", "v")))
-      val cand = banded.as("x").join(banded.as("y"),
+      // stop-band cut (r13 — the d55 stop-shingle pattern on the visual
+      // side): the candidate join is QUADRATIC in (band, value) bucket
+      // occupancy, and occupancy is corpus-dependent — the r13 sf10 sweep
+      // found band 0 (the images' top rows) collapsing 29k assets into
+      // one bucket on the low-dynamic-range synthetic corpus, >1e9
+      // candidate pairs from one band (ENOSPC + a 10-minute hot task).
+      // Buckets past the cap are near-duplicate BOILERPLATE bands (almost
+      // no pair information, all cost); dropping them bounds the stage at
+      // O(assets × cap). Recall cost: only pairs whose EVERY exact-match
+      // band is boilerplate-hot (the planted shift-twins share all 4
+      // bands, so any one cold band keeps them paired). The occupancy
+      // join is a plain shuffle join — hot-value cardinality grows with
+      // the corpus, so no broadcast (PlanLint check 6).
+      val occ = banded.groupBy("band", "v").agg(count(lit(1)).as("__n"))
+      val cold = banded.join(occ.filter(col("__n") <= 64), Seq("band", "v"))
+        .select(col("asset_id"), col("band"), col("v"))
+      val cand = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.asset_id") < col("y.asset_id"))
         .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"))
@@ -146,8 +163,11 @@ object TextVector18 {
       b16 AS (SELECT doc_id, band // 2 AS band2,
           SUM(v * CASE WHEN band % 2 = 1 THEN 256 ELSE 1 END) AS v16
         FROM bands GROUP BY 1, 2),
+      occ AS (SELECT band2, v16, COUNT(*) AS n FROM b16 GROUP BY 1, 2),
+      cold AS (SELECT b16.doc_id, b16.band2, b16.v16
+        FROM b16 JOIN occ USING (band2, v16) WHERE occ.n <= 64),
       cand AS (SELECT x.doc_id AS a, y.doc_id AS b
-        FROM b16 x JOIN b16 y
+        FROM cold x JOIN cold y
           ON x.band2 = y.band2 AND x.v16 = y.v16 AND x.doc_id < y.doc_id
         GROUP BY 1, 2),
       pr AS (SELECT a, b, CAST(list_sum(list_transform(range(1, 9),
@@ -376,4 +396,66 @@ object TextVector18 {
         ROUND(bp.best_pos - cosine, 4) AS margin_r
       FROM ng LEFT JOIN bp ON bp.query_id = ng.query_id
       WHERE rank <= 3 ORDER BY ng.query_id, rank"""))
+
+  /** IVF recall on a CLUSTERED corpus (r12 verdict task 4): e7's ≥0.8
+    * envelope is calibrated on the near-random testdata embeddings — the
+    * documented WORST case for a space-partitioning index, where cell
+    * membership carries almost no neighbor signal. Users deploy IVF on
+    * clustered embeddings, where far fewer probes reach the same recall —
+    * this query pins that claim as a judged boolean on a deterministic
+    * planted-Gaussian-blob-style fixture: 8 anchor blobs (vector =
+    * anchor(vec_id % 8) + 0.05 × own vector — a tight deterministic
+    * "Gaussian" cloud around each anchor, no RNG) plus a 20% noise floor
+    * of untouched near-random vectors (vec_id % 10 ≥ 8). Queries are blob
+    * members; with nCells = 10 the fit places centroids on the blobs, a
+    * query's true top-5 are blob-mates in its own (or a split-blob
+    * sibling) cell, and nProbe = 2 — A THIRD of e7's 6 — already clears a
+    * HIGHER bound (recall@5 ≥ 0.9; green at all 3 judged SFs on arrival.
+    * Measured sf0.001 curves, TextVectorSpec recall-curve spec: clustered
+    * 1.000 at EVERY nProbe ∈ {1,2,4,6,8} vs near-random 0.287 / 0.487 /
+    * 0.733 / 0.847 / 0.947 — clustering buys ~4× fewer probes at equal
+    * recall, which is the deployment claim e7 alone could not judge).
+    * The oracle asserts the verdict like e7's: same query-set size, TRUE. */
+  /** The clustered-corpus fixture, shared with the TextVectorSpec recall
+    * CURVE (nProbe ∈ {1,2,4,6,8} on both corpus classes). */
+  private[graft] def e19Fixture(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("__blob"), col("embedding").as("__anchor"))
+    emb.select(col("vec_id"), (col("vec_id") % 8).as("__blob"),
+        col("embedding"))
+      .join(broadcast(anchors), Seq("__blob"))
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 >= 8, col("embedding"))
+          .otherwise(zip_with(col("__anchor"), col("embedding"),
+            (a, v) => (a + lit(0.05f) * v).cast(FloatType))).as("embedding"))
+      // multi-consumer fixture (brute both sides, kmeans, cells, queries)
+      .localCheckpoint(false)
+  }
+
+  val e19 = QueryDef("e19_ivf_recall_clustered",
+    (s, dir) => {
+      val fix = e19Fixture(s, dir)
+      val queries = fix.filter(col("vec_id") < 40 && col("vec_id") % 10 < 8)
+      val brute = Similarity.bruteForceTopK(queries, fix, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val centroids = Similarity.kmeansCentroids(fix, "embedding", k = 10)
+      val cells = Similarity.assignCells(fix, centroids, "vec_id", "embedding")
+      val ivf = Similarity.ivfTopK(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        cells, centroids, k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("__n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"),
+          (col("__n_hit").cast(DoubleType) / col("__n_exact").cast(DoubleType)
+            >= 0.9).as("recall_ok"))
+    },
+    Some("""SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id < 40 AND vec_id % 10 < 8"""))
 }

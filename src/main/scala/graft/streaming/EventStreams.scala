@@ -215,9 +215,54 @@ object EventStreams {
     * pattern that replaces the reference's mtime-staleness checks. */
   def runHourlyAvailableNow(spark: SparkSession, inputDir: String,
                             outputDir: String, checkpoint: String,
-                            schema: StructType): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+                            schema: StructType,
+                            readOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).options(readOptions)
+      .parquet(inputDir)
     hourlyByType(stream, withWatermark = true)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** File-source drive of [[firstPerKeyStream]] (the s3 transform) with
+    * Trigger.AvailableNow — dedup state lives in the checkpoint's state
+    * store and is evicted as the watermark passes (the
+    * dropDuplicatesWithinWatermark contract); `readOptions` lets a scale
+    * probe slice the input into micro-batches (maxFilesPerTrigger). */
+  def firstPerKeyAvailableNow(spark: SparkSession, inputDir: String,
+                              outputDir: String, checkpoint: String,
+                              schema: StructType,
+                              readOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).options(readOptions)
+      .parquet(inputDir)
+    firstPerKeyStream(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** File-source drive of [[slidingByType]] (the s5 transform) with
+    * Trigger.AvailableNow — every event updates 4 overlapping windows;
+    * watermark-bounded window state, Append emission on window close. */
+  def slidingByTypeAvailableNow(spark: SparkSession, inputDir: String,
+                                outputDir: String, checkpoint: String,
+                                schema: StructType,
+                                readOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).options(readOptions)
+      .parquet(inputDir)
+    slidingByType(stream, withWatermark = true)
       .writeStream
       .format("parquet")
       .option("path", outputDir)
@@ -238,11 +283,14 @@ object EventStreams {
     * providers. */
   def closedSessionsAvailableNow(spark: SparkSession, inputDir: String,
                                  outputDir: String, checkpoint: String,
-                                 gapMinutes: Int = 30): StreamingQuery = {
+                                 gapMinutes: Int = 30,
+                                 readOptions: Map[String, String] = Map.empty)
+      : StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[EventIn].schema
     val stream = spark.readStream.schema(schema)
-      .option("recursiveFileLookup", "true").parquet(inputDir).as[EventIn]
+      .option("recursiveFileLookup", "true").options(readOptions)
+      .parquet(inputDir).as[EventIn]
     closedSessions(stream, gapMinutes)
       .writeStream
       .format("parquet")

@@ -372,6 +372,43 @@ class TextVectorSpec extends SparkSpec {
     assert(atThree <= atDefault, s"recall should not fall as nProbe rises: $atThree > $atDefault")
   }
 
+  test("IVF recall curve on BOTH corpus classes (r12 verdict task 4): the " +
+    "clustered planted-blob fixture reaches the 0.9 envelope at nProbe=2 " +
+    "where the near-random corpus needs ~6 for 0.8 — the claim e19 judges") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+    val fix = graft.queries.TextVector18.e19Fixture(spark, dir)
+    val randQ = emb.filter(col("vec_id") < 30)
+    val clustQ = fix.filter(col("vec_id") < 40 && col("vec_id") % 10 < 8)
+    val probes = Seq(1, 2, 4, 6, 8)
+    val randCurve = probes.map(p => p -> Similarity.measureRecall(
+      randQ, emb, "vec_id", "embedding", k = 5, nCells = 10, nProbe = p))
+    val clustCurve = probes.map(p => p -> Similarity.measureRecall(
+      clustQ, fix, "vec_id", "embedding", k = 5, nCells = 10, nProbe = p))
+    info("recall@5 curve  nProbe: " + probes.mkString(" "))
+    info("  near-random: " + randCurve.map(c => f"${c._2}%.3f").mkString(" "))
+    info("  clustered:   " + clustCurve.map(c => f"${c._2}%.3f").mkString(" "))
+    val cMap = clustCurve.toMap; val rMap = randCurve.toMap
+    // the judged claims: e19's bound at nProbe=2 on the clustered corpus,
+    // e7's at nProbe=6 on the random one
+    assert(cMap(2) >= 0.9, s"clustered recall@5 at nProbe=2 = ${cMap(2)} < 0.9")
+    assert(rMap(6) >= 0.8, s"random recall@5 at nProbe=6 = ${rMap(6)} < 0.8")
+    // the structural claim: clustering buys probes — at EVERY probe count
+    // the clustered corpus is at least as recallable as the random one
+    probes.foreach { p =>
+      assert(cMap(p) >= rMap(p) - 0.05,
+        s"clustered recall at nProbe=$p (${cMap(p)}) below random (${rMap(p)})")
+    }
+    // curves are monotone in nProbe (within measurement exactness — all
+    // deterministic here)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(cMap(b) >= cMap(a) - 1e-9 && rMap(b) >= rMap(a) - 1e-9,
+        s"recall fell as nProbe rose: $a -> $b")
+    }
+  }
+
   test("custom expressions register as SQL functions") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql("""
