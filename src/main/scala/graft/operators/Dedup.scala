@@ -294,9 +294,13 @@ object Dedup {
                           blockCols: Seq[String], shingleK: Int = 3,
                           threshold: Double = 0.5): DataFrame = {
     // checkpoint: the shingle-set construction feeds both self-join sides
-    // (same multi-consumer class as simHashNearDuplicates — r8)
-    val sh = df.select(concat_ws("|", blockCols.map(col): _*).as("block"),
-      col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+    // (same multi-consumer class as simHashNearDuplicates — r8).
+    // fanOut BEFORE the checkpoint (r13): the probe side of the block
+    // self-join inherits the checkpoint's partitioning, and a one-split
+    // corpus would run the whole quadratic jaccard verify on ONE task.
+    val sh = graft.core.Par.fanOut(df.select(
+      concat_ws("|", blockCols.map(col): _*).as("block"),
+      col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks")))
       .withColumn("sh", TextExprs.distinctShingles(col("toks"), shingleK))
       .select(col("block"), col("id"), col("sh"), size(col("sh")).as("sz"))
       .filter(col("sz") > 0)

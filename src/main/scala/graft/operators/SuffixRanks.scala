@@ -255,8 +255,9 @@ object SuffixRanks {
         // and identical to what substring-past-end returned before.
         if (b.startG > 1L) {
           val g1 = (b.startG - 1L).toInt
-          val wins = docs
-            .select(col("doc_id").as("__wd"), col("text"),
+          val wins = graft.core.Par.fanOut(docs
+            .select(col("doc_id").as("__wd"), col("text")))
+            .select(col("__wd"), col("text"),
               explode(sequence(lit(1L), length(col("text")).cast(LongType)))
                 .as("__wp"))
             .select(col("__wd"), col("__wp"),
@@ -502,8 +503,11 @@ object SuffixRanks {
     // base position relation (doc_id, text, pos) — narrow, cheap to
     // re-derive (the d74 rule), consumed by the start-table probes and the
     // initial rank join
-    val posBase = docs
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    // fanOut (r13): a one-split corpus would run the explode + every
+    // per-position substring/hash below single-threaded; the floor is the
+    // identity once the corpus splits past the cluster's parallelism.
+    val posBase = graft.core.Par.fanOut(docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n")))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), col("n"))).as("pos"))
     // G-GRAM START (round-9 sf10 lesson): each doubling round moves the
