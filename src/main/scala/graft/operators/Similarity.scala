@@ -308,14 +308,28 @@ object Similarity {
               seed: Long = 42L, maxIter: Int = 8): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      val slices = corpus.select(array_to_vector(
-        slice(col(vecCol), s * sub + 1, sub).cast("array<double>")).as("__vec"))
-      // per-subspace seed: subspaces must not share a clustering; the
-      // guarded fit matters MORE here — low-dim subvector slices collapse
-      // to duplicate points far more readily than full vectors
-      fitCenters(slices, k, seed + s, maxIter)
-    }.toArray
+    // The m subspace fits are INDEPENDENT jobs on one SparkContext —
+    // submitted sequentially they serialize m × maxIter small stages and
+    // leave the cluster idle through every tail (opt guide §2.6: overlap
+    // independent jobs so the next fit's tasks back-fill freed executors).
+    // A bounded pool keeps a few fits in flight; each fit's input plan,
+    // partitioning and seed are untouched, so every codebook is
+    // bit-identical to the sequential build's.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until m).map { s => scala.concurrent.Future {
+        val slices = corpus.select(array_to_vector(
+          slice(col(vecCol), s * sub + 1, sub).cast("array<double>")).as("__vec"))
+        // per-subspace seed: subspaces must not share a clustering; the
+        // guarded fit matters MORE here — low-dim subvector slices collapse
+        // to duplicate points far more readily than full vectors
+        fitCenters(slices, k, seed + s, maxIter)
+      }}
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally pool.shutdown()
   }
 
   /** Encode every corpus vector to its m nearest-codeword indices.
