@@ -181,6 +181,58 @@ object StageProfile {
           }
         }
         spark.sparkContext.removeSparkListener(tracer2)
+      case "p1blocks" =>
+        // cumulative-layer attribution for the p1 store build (r13): each
+        // segment forces one more pipeline layer through the noop sink, so
+        // the deltas are per-layer costs (count() would prune columns and
+        // time plan skeletons — the w4blocks lesson)
+        import org.apache.spark.sql.functions.col
+        def forceP1(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        for (pass <- 1 to 2) {
+          graft.queries.Pipeline.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          val in = t(s"pass$pass inputs (priceDiv+yearly checkpoints)") {
+            graft.queries.Pipeline.inputsForProbe(spark, dir)
+          }
+          val tickers = in.prices.select(col("ticker")).distinct()
+          val grid = t(s"pass$pass grid (forced)") {
+            val g = graft.pipeline.TickerFeaturePipeline.grid(
+              spark, tickers, "1997-12-31", 4)
+            forceP1(g); g
+          }
+          val (tickerEtf, etfIndex) =
+            graft.queries.Pipeline.indexForProbe(spark, dir)
+          val features = t(s"pass$pass features (forced)") {
+            val f = graft.features.TickerFeatures.dynamicFeaturesSharedIndex(
+              grid, in, tickerEtf, etfIndex, minPriceRows = 5,
+              seriesPriceBlock =
+                graft.features.TickerFeatures.choosePriceForm(grid, in.prices))
+            forceP1(f); f
+          }
+          val validated = t(s"pass$pass +validate (forced)") {
+            val v = graft.pipeline.TickerValidation.validate(features)
+            forceP1(v); v
+          }
+          t(s"pass$pass +normalize+sort (forced)") {
+            forceP1(graft.pipeline.TickerFeaturePipeline.normalize(validated)
+              .orderBy("ticker", "as_of"))
+          }
+          t(s"pass$pass coalesce+ckpt of full plan") {
+            graft.core.RoundCheckpointer.materializeFinal(
+              spark.sparkContext, coalesceTo = 8)(
+              graft.pipeline.TickerFeaturePipeline.normalize(
+                graft.pipeline.TickerValidation.validate(
+                  graft.features.TickerFeatures.dynamicFeaturesSharedIndex(
+                    grid, in, tickerEtf, etfIndex, minPriceRows = 5,
+                    seriesPriceBlock = graft.features.TickerFeatures
+                      .choosePriceForm(grid, in.prices))))
+                .orderBy("ticker", "as_of")).count()
+          }
+        }
       case "p1trace" =>
         // per-job attribution for the p1 store build (the one >10 s bench
         // item after the r12 w4 job fix) — same listener as w4trace

@@ -21,7 +21,8 @@ object Pipeline {
   private[graft] def p1MaterializedForProbe(s: org.apache.spark.sql.SparkSession,
                                             dir: String) = p1Materialized(s, dir)
   private[graft] def indexForProbe(s: org.apache.spark.sql.SparkSession,
-                                   dir: String) = indexFrom(s, dir)
+                                   dir: String) =
+    indexFrom(s, dir, inputsFrom(s, dir).prices.select("ticker").distinct())
 
   private def inputsFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val orders = Tables.orders(s, dir)
@@ -30,7 +31,7 @@ object Pipeline {
     // dividend series (dividends = F-status orders only): the conditional
     // aggregate is exactly the F-only groupBy, and both land in the same
     // checkpoint (the dividend series used to re-scan orders lazily).
-    val priceDiv = orders.select(
+    val priceDivPlan = orders.select(
       col("o_custkey").cast(StringType).as("ticker"),
       col("o_orderdate").cast(DateType).as("date"),
       col("o_totalprice").as("close"),
@@ -47,10 +48,6 @@ object Pipeline {
       // materialization costs nothing; yearly below keeps the plain form
       // because ITS build contains the orders⨝liAgg join AQE converts.
       .repartition(col("ticker"))
-      .transform(graft.core.RoundCheckpointer.checkpointPartitioned)
-    val prices = priceDiv.select("ticker", "date", "close")
-    val dividends = priceDiv.filter(col("__div").isNotNull)
-      .select(col("ticker"), col("date"), col("__div").as("dividend"))
     val splits = orders.filter(lit(false))
       .select(col("o_custkey").cast(StringType).as("ticker"),
         col("o_orderdate").cast(DateType).as("date"),
@@ -72,7 +69,7 @@ object Pipeline {
       sum(col("l_extendedprice") / col("l_quantity")).as("__spq"),
       sum(col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0))).as("__spq1"),
       sum(col("l_discount")).as("__sd"))
-    val yearly = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val yearlyPlan = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .join(liAgg, col("__ok") === col("o_orderkey"))
       .groupBy(col("o_custkey").cast(StringType).as("ticker"),
         to_date(concat(year(col("o_orderdate")), lit("-12-31"))).as("date"))
@@ -89,13 +86,31 @@ object Pipeline {
         (sum(col("__spq")) / sum(col("__n"))).as("priceEarningsRatio"),
         (sum(col("__spq1")) / sum(col("__n"))).as("priceToFreeCashFlowsRatio"),
         (sum(col("__sd")) / sum(col("__n")) * 10).as("payoutRatio"))
-      // the aggregate feeds income/balance/ratios — without a checkpoint
-      // each block re-executes the join. PLAIN checkpoint, deliberately
-      // not checkpointPartitioned (r12 A/B): the AQE-off build loses the
-      // runtime broadcast conversion of the orders⨝liAgg join above, and
-      // that costs more than the preserved clustering saves downstream
-      // (p1 same-box interleaved A/B; the priceDiv build above is join-free, so IT keeps the partition-preserving form).
-      .localCheckpoint()
+    // the aggregate feeds income/balance/ratios — without a checkpoint each
+    // block re-executes the join. PLAIN checkpoint, deliberately not
+    // checkpointPartitioned (r12 A/B): the AQE-off build loses the runtime
+    // broadcast conversion of the orders⨝liAgg join above, and that costs
+    // more than the preserved clustering saves downstream (the priceDiv
+    // build is join-free, so IT keeps the partition-preserving form).
+    // OVERLAPPED (r13, guide §2.6): the two input materializations are
+    // independent jobs, and sequential submission left the cluster idle
+    // through each one's tail — yearly's plain checkpoint runs on a pool
+    // thread while priceDiv's partitioned checkpoint runs here. Values are
+    // unaffected (each build's plan and partitioning are unchanged; if
+    // yearly's planning lands inside priceDiv's brief AQE-off window it
+    // only loses the runtime broadcast conversion for that leg — a
+    // join-strategy choice, never a result change).
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val yearlyFut = scala.concurrent.Future(yearlyPlan.localCheckpoint())(
+      scala.concurrent.ExecutionContext.fromExecutor(pool))
+    val priceDiv = graft.core.RoundCheckpointer.checkpointPartitioned(priceDivPlan)
+    val yearly =
+      try scala.concurrent.Await.result(yearlyFut,
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    val prices = priceDiv.select("ticker", "date", "close")
+    val dividends = priceDiv.filter(col("__div").isNotNull)
+      .select(col("ticker"), col("date"), col("__div").as("dividend"))
     val income = yearly.select("ticker", "date", "incomeBeforeTax",
       "interestExpense", "depreciationAndAmortization", "eps")
     val balance = yearly.select(col("ticker"), col("date"),
@@ -119,15 +134,20 @@ object Pipeline {
   }
 
   /** Shared market index for the S7 flow: one series, all tickers map to
-    * it (SPY-style fallback). */
-  private def indexFrom(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    * it (SPY-style fallback). `tickers` is the caller's distinct-ticker
+    * frame (r13 fold): the ticker set in the checkpointed price series IS
+    * the distinct o_custkey set (priceDiv groups every orders row by
+    * (ticker, date)), and deriving the map from the ticker-partitioned
+    * checkpoint replaces a second orders scan + distinct exchange with a
+    * map-side-only pass. */
+  private def indexFrom(s: org.apache.spark.sql.SparkSession, dir: String,
+                        tickers: org.apache.spark.sql.DataFrame) = {
     val orders = Tables.orders(s, dir)
     val etfIndex = orders
       .groupBy(col("o_orderdate").cast(DateType).as("date"))
       .agg(avg(col("o_totalprice")).as("close"))
       .select(lit("SPY").as("etf"), col("date"), col("close"))
-    val tickerEtf = orders.select(col("o_custkey").cast(StringType).as("ticker"))
-      .distinct().withColumn("etf", lit("SPY"))
+    val tickerEtf = tickers.withColumn("etf", lit("SPY"))
     (tickerEtf, etfIndex)
   }
 
@@ -145,9 +165,12 @@ object Pipeline {
 
   private def p1Plan(s: org.apache.spark.sql.SparkSession, dir: String) = {
       val in = inputsFrom(s, dir)
-      val grid = TickerFeaturePipeline.grid(s,
-        in.prices.select("ticker").distinct(), "1997-12-31", 4)
-      val (tickerEtf, etfIndex) = indexFrom(s, dir)
+      // one distinct-tickers pass feeds BOTH the grid and the ticker→etf
+      // map: prices is ticker-partitioned (checkpointPartitioned), so the
+      // distinct is exchange-free, and the old second orders scan is gone
+      val tickers = in.prices.select("ticker").distinct()
+      val grid = TickerFeaturePipeline.grid(s, tickers, "1997-12-31", 4)
+      val (tickerEtf, etfIndex) = indexFrom(s, dir, tickers)
       // testdata customers have ~10 orders, not 260 trading days — gate at 5.
       // The gate is FUSED into the price aggregation (minPriceRows): same
       // predicate as hasEnoughPriceData, one fewer grid⨝prices shuffle.
