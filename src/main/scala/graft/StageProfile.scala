@@ -747,7 +747,67 @@ object StageProfile {
           off *= 2L
         }
         println(s"  rounds=$round converged=$converged")
-      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | d41 | e11 | d67")
+      case "qtrace" =>
+        // GENERIC per-job attribution for ANY registered query (r13): the
+        // p1trace listener, parameterized. Usage:
+        //   runMain graft.StageProfile qtrace <sfDir> <query> [reps]
+        // Prints wall + per-job (duration, #tasks, task-time, callsite) for
+        // each rep; rep 1 pays JIT/codegen, later reps are the plan.
+        val qname = args.lift(2).getOrElse(sys.error("qtrace needs a query name"))
+        val reps = args.lift(3).map(_.toInt).getOrElse(2)
+        case class J(site: String, var ns: Long, var tasks: Int, var taskMs: Long)
+        val jl = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+        val st = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+        val tr = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            st.put(j.jobId, System.nanoTime())
+            val site = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            jl.put(j.jobId, J(site, 0L, 0, 0L))
+            j.stageIds.foreach(s => stageJob.put(s, j.jobId))
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val jid = stageJob.getOrDefault(s.stageInfo.stageId, -1)
+            Option(jl.get(jid)).foreach { j =>
+              j.tasks += s.stageInfo.numTasks
+              j.taskMs += s.stageInfo.taskMetrics.executorRunTime
+            }
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s0 = Option(st.get(j.jobId)).getOrElse(0L)
+            Option(jl.get(j.jobId)).foreach(_.ns = System.nanoTime() - s0)
+          }
+        }
+        spark.sparkContext.addSparkListener(tr)
+        for (r <- 1 to reps) {
+          graft.queries.Pipeline.clearMaterialized()
+          graft.queries.DynamicRow.clearMaterialized()
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          Thread.sleep(300)
+          jl.clear(); st.clear(); stageJob.clear()
+          val w0 = System.nanoTime()
+          val n = SparkEntry.queries(qname)(spark, dir).count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          Thread.sleep(500)
+          import scala.jdk.CollectionConverters._
+          val js = jl.asScala.toSeq.sortBy(_._1)
+          val jobSum = js.map(_._2.ns).sum / 1e9
+          println(f"[profile] r$r $qname wall=$wall%.2f s rows=$n " +
+            f"jobs=${js.size} jobsum=$jobSum%.2f s")
+          js.foreach { case (id, j) =>
+            println(f"[profile]   job $id%3d ${j.ns / 1e9}%6.2f s tasks=${j.tasks}%4d " +
+              f"ttime=${j.taskMs / 1e3}%6.2f s  ${j.site.take(70)}")
+          }
+        }
+        spark.sparkContext.removeSparkListener(tr)
+      case other => sys.error(s"unknown mode '$other' — use w4 | d23 | p4 | d55 | d5 | d41 | e11 | d67 | qtrace")
     }
     spark.stop()
   }

@@ -56,6 +56,36 @@ object SuffixRanks {
     * positions, while the same machinery cut d86 3× at sf10's 66M). */
   private val AggPathMinPositions = 4000000L
 
+  /** DIRECT-form gates (r13, guide §1.2 "first-principles" + §2.4): when
+    * the corpus's suffix STRINGS comfortably fit one shuffle, the
+    * doubling loop's log(maxLen) rounds — each a multi-job materialized
+    * stage whose fixed overhead dominates at small inputs (measured: the
+    * d69 drive at sf0.1 ran 57 jobs for 9.1 s wall with no job over
+    * 0.5 s) — are strictly worse than ONE bucketed ranking pass that
+    * carries the remainder strings themselves. Both gates are
+    * DATA-derived (positions + suffix bytes), never core-count-derived:
+    * on any cluster a corpus past them takes the doubling loop
+    * unchanged. Bytes bound ≈ one modest shuffle partition set (the
+    * strings cross the network once). */
+  private val DirectMaxPositions = 2000000L
+  private val DirectMaxSuffixBytes = 256.0 * (1L << 20)
+
+  /** One-scan corpus statistics shared by the build and the direct-form
+    * gates: max doc length, EXACT position count (= Σ len: each doc
+    * contributes one suffix per character — the former per-build
+    * `ranks.count()` job re-derived this), and Σ len·(len+1)/2 — the
+    * total suffix-string bytes a direct pass would carry (as Double:
+    * gate math only, overflow-safe). */
+  private[graft] case class Stats(maxLen: Int, nPos: Long, sufBytes: Double)
+
+  private def corpusStats(docs: DataFrame): Stats =
+    docs.agg(max(length(col("text"))), sum(length(col("text"))),
+      sum((length(col("text")).cast("double") *
+        (length(col("text")) + 1)) / 2.0)).head() match {
+      case r if r.isNullAt(0) => Stats(0, 0L, 0.0)
+      case r => Stats(r.getInt(0), r.getLong(1), r.getDouble(2))
+    }
+
   /** `docs`: (doc_id, text), empty texts excluded by the caller. Returns
     * (doc_id, pos, rank) with 1-based character positions.
     *
@@ -71,10 +101,16 @@ object SuffixRanks {
     * fixed point means rank-of-2^k = rank-of-full-suffix, and
     * rank-of-L-prefix is pinched between them. */
   def suffixRanks(docs: DataFrame, maxPrefix: Long = Long.MaxValue): DataFrame =
+    suffixRanksImpl(docs, maxPrefix, allowDirect = true)
+
+  /** allowDirect = false forces the doubling loop regardless of size —
+    * spec hook so BOTH physical forms stay pinned on shared fixtures. */
+  private[graft] def suffixRanksImpl(docs: DataFrame, maxPrefix: Long,
+                                     allowDirect: Boolean): DataFrame =
     // sweepShuffles: every shuffle the build registers is dead once the
     // final round is checkpointed — the returned projection reads blocks
     graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
-      buildRanks(docs, maxPrefix, retain = false) match {
+      buildRanks(docs, maxPrefix, retain = false, allowDirect = allowDirect) match {
         case None => emptyRanks(docs, "rank")
         case Some(b) =>
           b.ranks.select(col("doc_id"), col("pos").cast(LongType).as("pos"),
@@ -114,11 +150,33 @@ object SuffixRanks {
     * rounds no composite reads are freed before the descent starts, the
     * rest as soon as it completes. */
   def suffixLcp(docs: DataFrame): DataFrame =
+    suffixLcpImpl(docs, allowDirect = true)
+
+  /** allowDirect = false forces the doubling build + composite descent —
+    * the spec hook mirroring [[suffixRanksImpl]]. */
+  private[graft] def suffixLcpImpl(docs: DataFrame,
+                                   allowDirect: Boolean): DataFrame =
     // sweepShuffles: the build's and descent's interior shuffles are dead
     // once `pairs` and the rounds are checkpointed; the returned tail
     // reads only those blocks + the raw docs source
     graft.core.RoundCheckpointer.sweepShuffles(docs.sparkSession.sparkContext) {
-    buildRanks(docs, Long.MaxValue, retain = true) match {
+    val st = corpusStats(docs)
+    if (st.maxLen < 1) emptyRanks(docs, "lcp")
+    // DIRECT form (r13): same gates as the rank build — when every
+    // suffix string fits one shuffle, the LCP of suffix-order neighbors
+    // is one character-wise compare of the two strings, so the retained
+    // doubling rounds + composite descent (each a checkpointed multi-job
+    // stage whose fixed overhead dominates small builds: 57 jobs / 9.1 s
+    // wall measured on the sf0.1 d69 drive) collapse into: one bucketed
+    // global ordering, one adjacent-pair join, one zip_with compare.
+    // Values are identical by the suffix-array property the descent
+    // itself rests on (nearest sorted neighbors realize the maximal
+    // common prefix); specs pin direct ≡ descent on shared fixtures.
+    else if (allowDirect && st.nPos <= DirectMaxPositions &&
+        st.sufBytes <= DirectMaxSuffixBytes)
+      directLcp(docs, st)
+    else
+    buildRanks(docs, Long.MaxValue, retain = true, pre = Some(st)) match {
       case None => emptyRanks(docs, "lcp")
       case Some(b) =>
         val sc = docs.sparkSession.sparkContext
@@ -457,6 +515,63 @@ object SuffixRanks {
     }
   }
 
+  /** Small-corpus LCP: order the suffix STRINGS with the bucketed
+    * machinery (char-rank buckets — exact, alphabet-bounded, the
+    * buildRanks initial-rank shape), join each suffix to its successor
+    * in that order, and read the LCP off a single zip_with character
+    * compare (padding makes a strict-prefix pair mismatch exactly at
+    * min-length — the sentinel rule for free). Only reachable under the
+    * Direct* gates, so the strings the pairs carry are bounded by
+    * construction. BMP corpus contract as everywhere in this file
+    * (split('') yields UTF-16 units; within the BMP, unit order ≡
+    * code-point order ≡ the binary order every other path uses). */
+  private def directLcp(docs: DataFrame, st: Stats): DataFrame = {
+    val posBase = graft.core.Par.fanOut(docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n")))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("n"))).as("pos"))
+    val positions = posBase.select(col("doc_id"), col("pos"),
+      expr("substring(text, pos, 1)").as("ch"),
+      expr("substring(text, pos)").as("__suf"))
+    val charRanks = positions.groupBy("ch").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", coalesce(sum("cnt").over(
+        Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L)
+      .select("ch", "r")
+    // global suffix order: (char rank, suffix, doc, pos) — the same total
+    // order the descent path uses ((rank, doc, pos)); char rank is a
+    // prefix-function of the suffix so the bucket key is order-aligned
+    val sel = graft.core.Indexing.globalRowIds(
+        positions.join(broadcast(charRanks), Seq("ch")), "r", "__sid",
+        withinOrder = Seq(col("r").asc, col("__suf").asc,
+          col("doc_id").asc, col("pos").asc),
+        knownBounds = Some((1.0, math.max(1L, st.nPos).toDouble)))
+      .select(col("doc_id"), col("pos"), col("__suf"), col("__sid"))
+      .localCheckpoint(true) // three consumers: both pair sides + the tail
+    val lcpPair = sel.select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        col("__suf").as("__sa"), col("__sid"))
+      .join(sel.select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("__suf").as("__sb"), (col("__sid") - 1L).as("__sid")), Seq("__sid"))
+      // first mismatching character position (padding → false at the
+      // shorter string's end); 0 = no mismatch = identical suffixes
+      .withColumn("__p", expr("array_position(zip_with(split(__sa, ''), " +
+        "split(__sb, ''), (x, y) -> coalesce(x <=> y, false)), false)"))
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        when(col("__p") === 0L,
+          least(length(col("__sa")), length(col("__sb"))).cast(LongType))
+          .otherwise(col("__p") - 1L).as("__lcp"))
+      .localCheckpoint(true) // both endpoint projections consume it
+    val contrib = lcpPair
+      .select(col("a_doc").as("doc_id"), col("a_pos").as("pos"), col("__lcp"))
+      .unionByName(lcpPair.select(col("b_doc").as("doc_id"),
+        col("b_pos").as("pos"), col("__lcp")))
+      .groupBy("doc_id", "pos").agg(max("__lcp").as("__m"))
+    sel.select("doc_id", "pos")
+      .join(contrib, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        coalesce(col("__m"), lit(0L)).as("lcp"))
+  }
+
   private def emptyRanks(docs: DataFrame, valueCol: String): DataFrame =
     docs.select(col("doc_id"), lit(0L).as("pos"), lit(0L).as(valueCol))
       .limit(0)
@@ -479,13 +594,12 @@ object SuffixRanks {
   private def buildRanks(docs: DataFrame, maxPrefix: Long,
                          retain: Boolean,
                          roundLevel: org.apache.spark.storage.StorageLevel =
-                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                         pre: Option[Stats] = None,
+                         allowDirect: Boolean = true)
                         : Option[Build] = {
-    val (maxLen, nPosEst) =
-      docs.agg(max(length(col("text"))), sum(length(col("text")))).head() match {
-        case r if r.isNullAt(0) => (0, 0L)
-        case r => (r.getInt(0), r.getLong(1))
-      }
+    val st = pre.getOrElse(corpusStats(docs))
+    val (maxLen, nPosEst) = (st.maxLen, st.nPos)
     if (maxLen < 1) return None
     // Int-typed round relations (r10 verdict task 5): ranks are
     // strictly-smaller counts + 1 ≤ nPos, and pos ≤ maxDocLen, so both
@@ -580,14 +694,59 @@ object SuffixRanks {
       out
     }
     def record(df: DataFrame): DataFrame = { rounds += df; df }
-    var ranks = record(checkpointTracked(startTable match {
-      case Some(tbl) =>
-        // exclusive prefix sum over the bounded aggregate output (the
-        // intervalPrefixAgg-sanctioned global-window shape)
-        val ranked = tbl.withColumn("r",
-            coalesce(sum("__w").over(Window.orderBy("__g")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
-          .select("__g", "r")
+    // exclusive prefix sum over the bounded aggregate output (the
+    // intervalPrefixAgg-sanctioned global-window shape)
+    val startRanked = startTable.map(tbl => tbl.withColumn("r",
+        coalesce(sum("__w").over(Window.orderBy("__g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      .select("__g", "r"))
+    // rank values are strictly-smaller COUNTS + 1, so every round's ranks
+    // live in [1, nPositions] — known bounds let each round's globalRowIds
+    // skip its min/max pre-scan (one full pass saved per doubling round).
+    // nPos is EXACT from the input scan (Σ len ≡ one suffix per char) —
+    // the former `ranks.count()` job re-derived a number already in hand.
+    val nPos = nPosEst
+    val rankBounds = Some((1.0, math.max(1L, nPos).toDouble))
+    // DIRECT single-pass completion (r13): when the remainder strings fit
+    // one shuffle (see the gate scaladoc), rank-of-(r_start, remainder)
+    // IS the capped suffix rank — the same group semantics every doubling
+    // round maintains (binary string order over the remainder ≡ the
+    // sentinel shorter-suffix-first rule, exactly the start table's own
+    // ordering argument) — so ALL remaining rounds collapse into one
+    // bucketed group-rank pass over strings the gate proved small. The
+    // loop below stays byte-identical for corpora past the gate; specs
+    // pin direct ≡ loop on shared fixtures (allowDirect = false forces
+    // the loop).
+    val directBytes =
+      if (effMaxPre < maxLen.toLong) nPosEst.toDouble * effMaxPre
+      else st.sufBytes
+    if (allowDirect && !retain && startG < effMaxPre &&
+        nPosEst <= DirectMaxPositions && directBytes <= DirectMaxSuffixBytes) {
+      val remLen = (effMaxPre - startG).toInt
+      val base0 = startRanked match {
+        case Some(ranked) =>
+          posBase.select(col("doc_id"), col("pos"), col("text"),
+              expr(s"substring(text, pos, $startG)").as("__g"))
+            .join(broadcast(ranked), Seq("__g"))
+        case None =>
+          posBase.select(col("doc_id"), col("pos"), col("text"),
+              expr("substring(text, pos, 1)").as("ch"))
+            .join(broadcast(charRanks), Seq("ch"))
+      }
+      val ck = checkpointTracked(base0.select(col("doc_id"), col("pos"),
+        col("r").cast(IntegerType).as("r"),
+        expr(s"substring(text, pos + $startG, $remLen)").as("__rem")))
+      startTable.foreach(_.unpersist(false))
+      val fin = graft.core.Indexing.globalGroupRank(ck, "r",
+          Seq(col("r").asc, col("__rem").asc),
+          Seq(col("r"), col("__rem")), "__rf", knownBounds = rankBounds)
+        .select(col("doc_id"), col("pos"),
+          col("__rf").cast(IntegerType).as("r"))
+      return Some(Build(fin, IndexedSeq.empty, roundIds.toIndexedSeq, maxLen,
+        nPos, startG))
+    }
+    var ranks = record(checkpointTracked(startRanked match {
+      case Some(ranked) =>
         posBase
           .select(col("doc_id"), col("pos"),
             expr(s"substring(text, pos, $startG)").as("__g"))
@@ -600,12 +759,6 @@ object SuffixRanks {
             col("r").cast(IntegerType).as("r"))
     }))
     startTable.foreach(_.unpersist(false))
-    // rank values are strictly-smaller COUNTS + 1, so every round's ranks
-    // live in [1, nPositions] — known bounds let each round's globalRowIds
-    // skip its min/max pre-scan (one full pass saved per doubling round);
-    // the count itself reads the just-materialized checkpoint blocks once
-    val nPos = ranks.count()
-    val rankBounds = Some((1.0, math.max(1L, nPos).toDouble))
     var off = startG
     // convergence early-exit: if a doubling round splits no group, no
     // longer round can either (an unsplit group's members have
@@ -698,7 +851,12 @@ object SuffixRanks {
       val next = checkpointTracked(next0) // eager: pc+paired fully consumed after
       pcOpt.foreach(_.unpersist(false))
       if (bigBuild) paired.unpersist(false)
-      converged = next.filter(col("r") =!= col("__r_old")).isEmpty
+      // the convergence probe only steers the NEXT iteration — when the
+      // cap/maxLen bound already ends the loop after this round, the scan
+      // is a pure no-op job (one saved per build, r13)
+      converged = if (off * 2L < effMax)
+        next.filter(col("r") =!= col("__r_old")).isEmpty
+      else false
       ranks = next.select("doc_id", "pos", "r")
       // retained rounds keep the composite columns (rp = previous round's
       // rank at pos, rpn = previous round's rank at pos + 2·off) for the

@@ -207,4 +207,31 @@ class TextVector10Spec extends SparkSpec {
     assert(out.join(docs, Seq("doc_id"))
       .filter(col("n_bpe_tokens") < col("init_syms")).count() > 0L)
   }
+
+  test("suffix family: the size-gated DIRECT form is row-identical to " +
+    "the doubling loop / composite descent on the same corpus (r13 — " +
+    "the small-corpus physical-form choice must never change a value)") {
+    // ties, shorter-first sentinels, cross-doc twins, a strict-prefix
+    // adjacent pair, and a 1-char doc — every branch both forms own
+    val fixture = Seq((1L, "banana"), (2L, "bandana"), (3L, "aaa"),
+      (4L, "ana"), (5L, "ana"), (6L, "z"), (7L, "ban"), (8L, "banana"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // uncapped ranks
+    assert(rows(graft.operators.SuffixRanks
+        .suffixRanksImpl(fixture, Long.MaxValue, allowDirect = true)) ==
+      rows(graft.operators.SuffixRanks
+        .suffixRanksImpl(fixture, Long.MaxValue, allowDirect = false)))
+    // capped ranks (L=4 exercises the capped remainder arithmetic)
+    assert(rows(graft.operators.SuffixRanks
+        .suffixRanksImpl(fixture, 4L, allowDirect = true)) ==
+      rows(graft.operators.SuffixRanks
+        .suffixRanksImpl(fixture, 4L, allowDirect = false)))
+    // LCP: zip_with compare vs the retained-round descent
+    assert(rows(graft.operators.SuffixRanks
+        .suffixLcpImpl(fixture, allowDirect = true)) ==
+      rows(graft.operators.SuffixRanks
+        .suffixLcpImpl(fixture, allowDirect = false)))
+  }
 }
