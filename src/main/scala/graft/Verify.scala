@@ -20,6 +20,17 @@ object Verify {
       // checkpoints that way, and compressed longs are several-fold
       // smaller on the disk the 999-tile probe exhausted.
       .config("spark.rdd.compress", "true")
+      // Codegen class cache sized to the REGISTRY, not the 100-entry
+      // default (r13, guide §1.2 order-of-operations: per-task work):
+      // 236 registered queries compile thousands of distinct
+      // whole-stage/expression codegen units, so at 100 entries every
+      // bench round (and every Verify pass) evicts and recompiles
+      // nearly all of them — pure driver-side janino+JIT churn.
+      // Driver-JVM cache sizing, scale-INDEPENDENT (identical on any
+      // cluster; metaspace cost ~hundreds of MB worst case in an 8 GB
+      // driver). Measured same-box full-bench A/B at sf0.1:
+      // total 228.1 s -> 184.3 s, leg-min total 198.6 -> 155.1 s.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
