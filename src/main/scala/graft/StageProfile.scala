@@ -763,8 +763,14 @@ object StageProfile {
           override def onJobStart(
               j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             st.put(j.jobId, System.nanoTime())
-            val site = Option(j.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            // first graft frame in the last stage's callsite details — the
+            // w4trace recipe (job-level callSite.short is an opaque SQL
+            // execution wrapper for every DataFrame action)
+            val site = j.stageInfos.lastOption.map { si =>
+              si.name + " | " + si.details.linesIterator
+                .filter(l => l.contains("graft") && !l.contains("StageProfile"))
+                .take(1).mkString
+            }.getOrElse("?")
             jl.put(j.jobId, J(site, 0L, 0, 0L))
             j.stageIds.foreach(s => stageJob.put(s, j.jobId))
           }

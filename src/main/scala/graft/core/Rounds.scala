@@ -134,10 +134,32 @@ object RoundCheckpointer {
     owner = Thread.currentThread()
     try {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val built = build // interior eager checkpoints materialize here
-      val interior = sc.getPersistentRDDs.keySet.toSet -- before
-      val out = built.coalesce(coalesceTo).localCheckpoint(true)
-      interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // COMPUTE-BOUND coalescing floor for the drive (r13, the Par.fanOut
+      // rationale applied to AQE): partition sizing is BYTES-based, but a
+      // feature drive's post-shuffle stages are cheap-bytes/heavy-CPU
+      // (hundreds of window/when columns per row) — AQE's 1 MB
+      // minPartitionSize coalesced p1's final stages to 5 tasks carrying
+      // ~14 s of task-time on a 32-core box. A smaller floor keeps those
+      // stages wide; scoped to THIS build's action (restored in finally,
+      // under the build lock), so small tail queries keep the default
+      // coalescing. Scale-adaptive: the floor only matters when stage
+      // bytes are tiny; real-scale stages blow past either value.
+      val sess = org.apache.spark.sql.SparkSession.active
+      val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+      val prevMin = sess.conf.getOption(minKey)
+      sess.conf.set(minKey, "64k")
+      val out = try {
+        val built = build // interior eager checkpoints materialize here
+        val interior = sc.getPersistentRDDs.keySet.toSet -- before
+        val o = built.coalesce(coalesceTo).localCheckpoint(true)
+        interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        o
+      } finally {
+        prevMin match {
+          case Some(v) => sess.conf.set(minKey, v)
+          case None => sess.conf.unset(minKey)
+        }
+      }
       out
     } finally { owner = null; buildLock.unlock() }
   }
