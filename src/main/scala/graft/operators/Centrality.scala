@@ -28,13 +28,15 @@ import org.apache.spark.sql.types.LongType
   * and checkpointed; each of the CONSTANT-many iterations is one
   * edge-keyed shuffle join + one destination-keyed rollup + a left join
   * back to the node set (the textbook distributed PageRank round), with
-  * the node-sized score relation checkpointed per round — un-checkpointed,
-  * round i's lazy plan would re-run every earlier round per consumer
-  * (the repo's multi-consumer rule, the BPE loop's O(k²) trap). Round
-  * hygiene rides [[graft.core.RoundCheckpointer]] (the d67 lesson:
-  * eager materialize-then-free, superseded rounds unpersisted, live
-  * storage bounded at two rounds — at 100 TB node sets the accumulated
-  * lazy blocks of the naive form are real memory). */
+  * the node-sized score relation checkpointed on a CADENCE (every 3rd
+  * round + the last): a round's scores have exactly one consumer, so a
+  * short lazy chain replays nothing (the multi-consumer O(k²) trap
+  * needs a second consumer), while the cadence still bounds lineage
+  * depth, live blocks and on-disk shuffle accumulation at a constant
+  * round count — at 100 TB node sets the accumulated lazy blocks of
+  * the never-checkpointing form are real memory. Round hygiene rides
+  * [[graft.core.RoundCheckpointer]] (the d67 lesson: eager
+  * materialize-then-free, superseded rounds unpersisted). */
 object Centrality {
 
   /** `edges` = one row per UNDIRECTED edge (src, dst) — symmetrized
@@ -55,7 +57,16 @@ object Centrality {
     val base = lit(unit * 15L / 100L)
     val rounds = new graft.core.RoundCheckpointer(nodes.sparkSession.sparkContext,
       freeShuffles = true)
-    var scores = rounds.step(n.withColumn("s", lit(unit)))
+    // Checkpoint CADENCE, not every round (r13): each round's score
+    // relation has exactly ONE consumer (the next round — the 3-way join
+    // references `scores` once), so the multi-consumer O(k²) replay trap
+    // does not bite a lazy chain here. Rounds stay lazy and one eager
+    // checkpoint every `ckptEvery` rounds (plus the last) bounds lineage
+    // depth, live blocks and on-disk shuffle accumulation at a constant
+    // number of rounds — the same hygiene at scale, a third of the
+    // materialization jobs. (Same-box A/B at sf0.1: see OPTIMIZATION_r13.)
+    val ckptEvery = 3
+    var scores = n.withColumn("s", lit(unit))
     var i = 0
     while (i < iters) {
       val contrib = scores
@@ -63,11 +74,12 @@ object Centrality {
         .join(sym, scores("id") === sym("src"))
         .select(col("dst").as("id"), expr("s div deg").as("c"))
         .groupBy("id").agg(sum("c").as("m"))
-      scores = rounds.step(n
+      val next = n
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (base + expr("(85 * coalesce(m, 0L)) div 100")).as("s")))
+          (base + expr("(85 * coalesce(m, 0L)) div 100")).as("s"))
       i += 1
+      scores = if (i == iters || i % ckptEvery == 0) rounds.step(next) else next
     }
     scores
       .join(deg, Seq("id"), "left")
