@@ -41,6 +41,7 @@ object PlanLint {
     "d43_dsir_weights" -> (1, "bucket model x broadcast(1-row totals) for the smoothing denominators - the d26 IDF pattern"),
     "d81_doremi_step" -> (3, "source rollup x broadcast(1-row totals) twice (min-loss + weight-sum, then the normalizing unnorm sum) - the d26 pattern, moved off global windows by the r12 check-3 tightening; 3 plan occurrences because the second totals aggregate replays the first crossJoin over the un-materialized 20-row stepped relation"),
     "e7_ivf_recall_check" -> (5, "composes e2's baseline + e3's two + two 1-row count aggregates for the recall verdict"),
+    "e19_ivf_recall_clustered" -> (4, "e7's composition on the clustered fixture: e2's brute baseline + ivfTopK's bounded-query-batch probe + two 1-row count aggregates for the recall verdict (the kmeans assignment path carries no BNLJ)"),
     "d26_tfidf" -> (1, "term counts x broadcast(1-row corpus doc-count) for the IDF denominator"),
     "d48_quality_pareto" -> (1, "bucket model x broadcast(1-row doc totals) for the NB smoothing denominators - the d26 pattern"),
     "d54_curation_pipeline" -> (1, "the composed classifier stage carries d48's 1-row doc-totals broadcast - same justification"),
