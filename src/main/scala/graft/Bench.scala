@@ -67,9 +67,17 @@ object Bench {
     // p1 + GBT + scoring). Different dataset — only JIT state is reused.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
+      // r14 additions (verdict task 6): one suffix-family query (d67 — the
+      // direct groupRank pass), one iterative-graph query (d66 — the
+      // PageRank round machinery), and w4 (the ~500-column feature+
+      // validation codegen, distinct classes from p4's p1 pull). The r13
+      // run_totals [309, 266, 241] showed round 1 absorbing exactly these
+      // families' first-call JIT; warming them at sf0.001 makes the
+      // measured rounds time the plan, not classloading.
       (Seq("__entry" -> null) ++ Seq("d5_minhash_dedup", "d6_ngram_jaccard",
         "d11_clean_corpus", "e2_knn_brute", "e3_knn_ivf", "m1_macro_pipeline",
-        "p4_score_portfolio").map(q => q -> q)).foreach { case (label, q) =>
+        "p4_score_portfolio", "d67_suffix_ranks", "d66_template_pagerank",
+        "w4_dynamic_row").map(q => q -> q)).foreach { case (label, q) =>
         try {
           if (q == null) SparkEntry.entry(spark).count()
           else SparkEntry.queries(q)(spark, warmDir).count()

@@ -134,32 +134,19 @@ object RoundCheckpointer {
     owner = Thread.currentThread()
     try {
       val before = sc.getPersistentRDDs.keySet.toSet
-      // COMPUTE-BOUND coalescing floor for the drive (r13, the Par.fanOut
-      // rationale applied to AQE): partition sizing is BYTES-based, but a
-      // feature drive's post-shuffle stages are cheap-bytes/heavy-CPU
-      // (hundreds of window/when columns per row) — AQE's 1 MB
-      // minPartitionSize coalesced p1's final stages to 5 tasks carrying
-      // ~14 s of task-time on a 32-core box. A smaller floor keeps those
-      // stages wide; scoped to THIS build's action (restored in finally,
-      // under the build lock), so small tail queries keep the default
-      // coalescing. Scale-adaptive: the floor only matters when stage
-      // bytes are tiny; real-scale stages blow past either value.
-      val sess = org.apache.spark.sql.SparkSession.active
-      val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-      val prevMin = sess.conf.getOption(minKey)
-      sess.conf.set(minKey, "64k")
-      val out = try {
-        val built = build // interior eager checkpoints materialize here
-        val interior = sc.getPersistentRDDs.keySet.toSet -- before
-        val o = built.coalesce(coalesceTo).localCheckpoint(true)
-        interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        o
-      } finally {
-        prevMin match {
-          case Some(v) => sess.conf.set(minKey, v)
-          case None => sess.conf.unset(minKey)
-        }
-      }
+      // NOTE (r14): r13 set a 64k AQE coalescing floor
+      // (spark.sql.adaptive.coalescePartitions.minPartitionSize) here to
+      // widen the drive's cheap-bytes/heavy-CPU final stages. The warm
+      // interleaved A/Bs it was justified by did not survive the
+      // deployment condition: under the driver's cold-JVM full-registry
+      // protocol the wide stages of ~500-column codegen'd projections pay
+      // per-task first-call JIT + GC contention, and p1/w4 regressed 2-3x
+      // (p1 10.7 -> 30.4 s, w4 6.7 -> 15.5 s vs r12). Reverted; the
+      // default 1 MB floor's narrow-but-warm stages win cold.
+      val built = build // interior eager checkpoints materialize here
+      val interior = sc.getPersistentRDDs.keySet.toSet -- before
+      val out = built.coalesce(coalesceTo).localCheckpoint(true)
+      interior.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       out
     } finally { owner = null; buildLock.unlock() }
   }
