@@ -79,22 +79,28 @@ object TextVector16 {
       // divisor is CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END — the engines
       // agree on a DEFINED output for the fully degenerate corpus instead
       // of Spark emitting 0.0 and DuckDB NULL (advisor r8).
+      // MATERIALIZED on every CTE (r14): DuckDB inlines single-use CTEs and
+      // can replay multiply-referenced ones; with pts consumed 10 times and
+      // each v_i feeding the next step, the inlined twin re-ran the whole
+      // power iteration per reference — 166 s of the driver's 201 s oracle
+      // budget at the correctness SF. Forcing materialization evaluates
+      // each CTE once: measured 165 s -> 0.10 s at sf0.01, rows identical.
       val steps = (1 to ITERS).map { i =>
-        s"""s$i AS (SELECT vec_id, SUM(xc * val) AS s
+        s"""s$i AS MATERIALIZED (SELECT vec_id, SUM(xc * val) AS s
            |    FROM pts JOIN v${i - 1} USING (dim) GROUP BY 1),
-           |w$i AS (SELECT dim, SUM(pts.xc * s$i.s) AS w
+           |w$i AS MATERIALIZED (SELECT dim, SUM(pts.xc * s$i.s) AS w
            |    FROM pts JOIN s$i USING (vec_id) GROUP BY 1),
-           |n$i AS (SELECT CASE WHEN coalesce(sqrt(SUM(w * w)), 0.0) > 0
+           |n$i AS MATERIALIZED (SELECT CASE WHEN coalesce(sqrt(SUM(w * w)), 0.0) > 0
            |    THEN sqrt(SUM(w * w)) ELSE 1.0 END AS nrm FROM w$i),
-           |v$i AS (SELECT dim, w / (SELECT nrm FROM n$i) AS val FROM w$i)"""
+           |v$i AS MATERIALIZED (SELECT dim, w / (SELECT nrm FROM n$i) AS val FROM w$i)"""
           .stripMargin
       }.mkString(",\n      ")
-      s"""WITH base AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      s"""WITH base AS MATERIALIZED (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
         WHERE embedding IS NOT NULL),
-      mu AS (SELECT dim, SUM(x) / COUNT(*) AS mu FROM base GROUP BY 1),
-      pts AS (SELECT vec_id, base.dim, x - mu AS xc FROM base JOIN mu USING (dim)),
-      v0 AS (SELECT dim, CASE WHEN dim = 1 THEN 1.0 ELSE 0.0 END AS val FROM mu),
+      mu AS MATERIALIZED (SELECT dim, SUM(x) / COUNT(*) AS mu FROM base GROUP BY 1),
+      pts AS MATERIALIZED (SELECT vec_id, base.dim, x - mu AS xc FROM base JOIN mu USING (dim)),
+      v0 AS MATERIALIZED (SELECT dim, CASE WHEN dim = 1 THEN 1.0 ELSE 0.0 END AS val FROM mu),
       $steps
       SELECT CAST(mu.dim AS BIGINT) AS dim, ROUND(mu.mu, 6) AS mu_r,
         ROUND(v$ITERS.val, 6) AS v1_r,
