@@ -527,6 +527,165 @@ case class NearestCells(child: Expression, ids: Array[Long],
     copy(child = newChild)
 }
 
+/** All m PQ codes in ONE expression node (r14, guide §1.2 per-task work +
+  * §7.3 planning cost): the column form built, per subspace, an array of k
+  * `aggregate(zip_with(slice(vec), lit(cw)))` trees — m·k interpreted
+  * higher-order folds allocating a zipped array per (row, codeword), and
+  * an expression forest of thousands of Catalyst nodes that dominated
+  * e8/e12's wall as pure driver-side planning (TreeNode.transformUpWithPruning
+  * in stack samples). One node plans in O(1) and evals as a tight loop.
+  *
+  * Semantics are EXACTLY the replaced column form (pinned by spec):
+  *   - code_s = array_position(dists, array_min(dists)) − 1: the FIRST
+  *     index of the exact minimum under Spark's double ordering (NaN
+  *     greatest, NaN ≡ NaN), left-fold Σ (x−cw)² in index order from 0.0;
+  *   - a missing or NULL element anywhere in subspace s (vector shorter
+  *     than (s+1)·sub, or a null element) nulls every dist of s —
+  *     zip_with's null padding — so code_s is NULL;
+  *   - a NULL input vector yields an array of m NULL codes (the column
+  *     `array(...)` of per-subspace NULLs), not a NULL array.
+  *
+  * CodegenFallback like [[NearestCells]]: the per-row work is the m·k·sub
+  * inner loop, amortizing expression dispatch; the codebook matrix is
+  * embedded in the expression (bounded: m·k·sub doubles — the same
+  * driver-collect contract as the broadcast it replaces). */
+case class PqEncodeCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "empty codebook")
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val read = VecRead.reader(child.dataType)
+  @transient private lazy val nullCodes =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](m)(null))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) nullCodes else nullSafeEval(value)
+  }
+
+  /** Spark's double ordering (SQLOrderingUtil.compareDoubles): equal
+    * doubles (incl. ±0.0) compare 0, otherwise java.lang.Double.compare —
+    * NaN greatest and NaN ≡ NaN, the array_min/array_position rules. */
+  private def lt(a: Double, b: Double): Boolean =
+    !(a == b) && java.lang.Double.compare(a, b) < 0
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      // subspace validity: all `sub` elements present and non-null —
+      // otherwise every dist of this subspace is NULL in the column form
+      var ok = off + sub <= n
+      var i = 0
+      while (ok && i < sub) { if (v.isNullAt(off + i)) ok = false; i += 1 }
+      if (!ok) out(s) = null
+      else {
+        val xs = new Array[Double](sub)
+        i = 0
+        while (i < sub) { xs(i) = read(v, off + i); i += 1 }
+        val cws = codebooks(s)
+        var best = 0.0
+        var bestJ = -1
+        var j = 0
+        while (j < cws.length) {
+          val cw = cws(j)
+          var acc = 0.0
+          i = 0
+          while (i < sub) { val d = xs(i) - cw(i); acc += d * d; i += 1 }
+          if (bestJ < 0 || lt(acc, best)) { best = acc; bestJ = j }
+          j += 1
+        }
+        out(s) = bestJ
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** The per-query ADC lookup table (m×k exact subspace distances) in ONE
+  * expression node — the [[PqEncodeCodes]] rationale applied to the
+  * query-side `array(array(sqDist...))` forest. Same left-fold order and
+  * zip_with null rules: an invalid subspace yields k NULL entries (the
+  * inner array survives, positions kept — [[PqAdcSum]] then nulls any
+  * candidate probing them); a NULL input vector yields m inner arrays of
+  * k NULLs, exactly the column form. */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "empty codebook")
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val read = VecRead.reader(child.dataType)
+  @transient private lazy val nullLut =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](m)(s =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill[Any](codebooks(s).length)(null))))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) nullLut else nullSafeEval(value)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      val cws = codebooks(s)
+      var ok = off + sub <= n
+      var i = 0
+      while (ok && i < sub) { if (v.isNullAt(off + i)) ok = false; i += 1 }
+      if (!ok)
+        out(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill[Any](cws.length)(null))
+      else {
+        val xs = new Array[Double](sub)
+        i = 0
+        while (i < sub) { xs(i) = read(v, off + i); i += 1 }
+        val dists = new Array[Any](cws.length)
+        var j = 0
+        while (j < cws.length) {
+          val cw = cws(j)
+          var acc = 0.0
+          i = 0
+          while (i < sub) { val d = xs(i) - cw(i); acc += d * d; i += 1 }
+          dists(j) = acc
+          j += 1
+        }
+        out(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(dists)
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -543,4 +702,10 @@ object VectorExprs {
   def nearestCells(vec: Column, ids: Array[Long], mat: Array[Array[Double]],
                    k: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), ids, mat, k))
+
+  def pqEncodeCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(vec), codebooks))
+
+  def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(vec), codebooks))
 }

@@ -340,7 +340,24 @@ object Similarity {
     * file IS (cell, id, codes)). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]],
-               keep: Seq[String] = Nil): DataFrame = {
+               keep: Seq[String] = Nil): DataFrame =
+    // ONE expression node (r14): the m·k sqDist column forest below
+    // ([[pqEncodeColumnForm]], kept as the readable reference and spec
+    // twin) was interpreted per (row, codeword) AND cost seconds of
+    // Catalyst planning per query — the e8/e12 wall was mostly the
+    // driver walking thousands of expression nodes.
+    corpus.select((col(idCol).as("id") +: keep.map(col)) :+
+      graft.functions.VectorExprs.pqEncodeCodes(col(vecCol), codebooks)
+        .as("codes"): _*)
+
+  /** The replaced column form of the code construction — the readable
+    * reference [[PqEncodeCodes]] must stay bit-identical to (argmin =
+    * first position of the exact minimum, zip_with null padding); pinned
+    * by TextVectorSpec on value/null/short-vector fixtures. */
+  private[graft] def pqEncodeColumnForm(corpus: DataFrame, idCol: String,
+                                        vecCol: String,
+                                        codebooks: Array[Array[Array[Double]]])
+                                       : DataFrame = {
     val sub = codebooks(0)(0).length
     val codes = array(codebooks.indices.map { s =>
       val subv = slice(col(vecCol), s * sub + 1, sub)
@@ -349,7 +366,7 @@ object Similarity {
       // first position of the exact minimum = argmin with lowest-index ties
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    corpus.select((col(idCol).as("id") +: keep.map(col)) :+ codes.as("codes"): _*)
+    corpus.select(col(idCol).as("id"), codes.as("codes"))
   }
 
   /** The per-query ADC lookup table: m×k exact subspace distances from
@@ -357,7 +374,13 @@ object Similarity {
     * expression. Tabulated ONCE per (query[, probed cell]) row BEFORE any
     * join — the pair scan then never touches the raw vector. */
   private def pqLut(vec: org.apache.spark.sql.Column,
-                    codebooks: Array[Array[Array[Double]]]) = {
+                    codebooks: Array[Array[Array[Double]]]) =
+    // one expression node (r14) — see pqEncode; column twin below for spec
+    graft.functions.VectorExprs.pqLut(vec, codebooks)
+
+  /** The replaced column form of the LUT — spec twin of [[PqLutExpr]]. */
+  private[graft] def pqLutColumnForm(vec: org.apache.spark.sql.Column,
+                                     codebooks: Array[Array[Array[Double]]]) = {
     val sub = codebooks(0)(0).length
     array(codebooks.indices.map { s =>
       val subv = slice(vec, s * sub + 1, sub)

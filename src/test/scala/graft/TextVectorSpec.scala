@@ -222,6 +222,56 @@ class TextVectorSpec extends SparkSpec {
     intercept[Exception] { neg.select(adcCol).collect() }
   }
 
+  test("PqEncodeCodes and PqLutExpr agree row-for-row with the replaced " +
+    "column forms — values, argmin ties, NaN, short/null-element/NULL " +
+    "vectors (r14: the one-node plan must be a pure physical change)") {
+    // m=2 subspaces x sub=2 dims x k=3 codewords; cw 0 and 2 of subspace 0
+    // are IDENTICAL so the argmin tie must resolve to the first index
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 2.0), Array(0.5, -1.0), Array(1.0, 2.0)),
+      Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(-2.0, 0.25)))
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1f, 2f, 3f, 4f)),      // plain
+      (2L, Array[java.lang.Float](0.6f, -0.9f, -2f, 0f)), // near cw1/cw2
+      (3L, Array[java.lang.Float](1f, 2f, 3f)),           // short: subspace 1 invalid
+      (4L, Array[java.lang.Float](1f, null, 3f, 4f)),     // null elem in subspace 0
+      (5L, Array[java.lang.Float](Float.NaN, 2f, 3f, 4f)), // NaN dists in subspace 0
+      (6L, null))                                          // NULL vector
+      .toDF("vec_id", "embedding")
+    // codes: custom expression vs column form
+    val native = graft.operators.Similarity
+      .pqEncode(vecs, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val column = graft.operators.Similarity
+      .pqEncodeColumnForm(vecs, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(native == column, s"codes diverge: $native vs $column")
+    // the tie row really exercises the first-index rule
+    assert(native(1L).head == 0)
+    // lut: custom expression vs column form (same null classes)
+    def lutRows(c: org.apache.spark.sql.Column) = vecs
+      .select(col("vec_id"), c.as("lut")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Any]](1)
+        .map(_.toList).toList).toMap
+    val nLut = lutRows(graft.functions.VectorExprs.pqLut(col("embedding"), cb))
+    val cLut = lutRows(graft.operators.Similarity
+      .pqLutColumnForm(col("embedding"), cb))
+    assert(nLut.keySet == cLut.keySet)
+    for (k <- nLut.keySet) {
+      val (a, b) = (nLut(k), cLut(k))
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (sa, sb) =>
+        assert(sa.length == sb.length)
+        sa.zip(sb).foreach {
+          case (null, null) =>
+          case (x: Double, y: Double) =>
+            assert(java.lang.Double.compare(x, y) == 0, s"row $k: $x vs $y")
+          case (x, y) => fail(s"row $k: $x vs $y")
+        }
+      }
+    }
+  }
+
   test("DotProductLong and PqAdcSum reject unsupported element types at " +
     "ANALYSIS time (advisor r10: a float-backed lut would misread bytes " +
     "silently on the interpreted path, not error)") {
