@@ -383,6 +383,10 @@ object Relational2 {
       val spend = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(moneySum(col("o_totalprice")).as("ltv"))
+        // globalNtile's three passes (count, histogram, pick) re-ran the
+        // orders scan+aggregate each time (r14 — the d49/d83 rule);
+        // customer-sized relation, cheap to hold once
+        .localCheckpoint(false)
       graft.core.Indexing.globalNtile(spend, 10, "ltv", "decile",
         descending = true, tieBreak = Seq("o_custkey"))
         .select("o_custkey", "ltv", "decile")

@@ -179,6 +179,12 @@ object TextVector6 {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))), 6)
             .as("logp_r"))
+        // globalNtile consumes its input THREE times (count, bucket
+        // histogram, pick) — un-checkpointed, the whole bigram-LM scoring
+        // (tokenize + explode + two vocabulary joins) re-ran per pass
+        // (r14; the d83 call site had the checkpoint, this one missed it).
+        // Doc-count-sized relation, same contract as d83's.
+        .localCheckpoint(false)
       graft.core.Indexing.globalNtile(scored, 3, "logp_r", "tercile",
           descending = true, tieBreak = Seq("doc_id"))
         .select(col("doc_id"), col("n_bigrams"), col("logp_r"),
