@@ -234,4 +234,43 @@ class TextVector10Spec extends SparkSpec {
       rows(graft.operators.SuffixRanks
         .suffixLcpImpl(fixture, allowDirect = false)))
   }
+
+  test("suffix family: a corpus PAST the direct-form gates takes the " +
+    "doubling loop and matches the direct form's rows (r14 — pins the " +
+    "gate boundary itself, not just the allowDirect spec hook)") {
+    val SR = graft.operators.SuffixRanks
+    val fixture = Seq((1L, "banana"), (2L, "bandana"), (3L, "aaa"),
+      (4L, "ana"), (5L, "ana"), (6L, "z"), (7L, "ban"), (8L, "banana"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // direct path with production gates (the fixture is tiny)
+    val directRanks = rows(SR.suffixRanks(fixture))
+    assert(SR.lastPathDirect.contains(true))
+    val directLcp = rows(SR.suffixLcp(fixture))
+    assert(SR.lastPathDirect.contains(true))
+    val (savedPos, savedBytes) = (SR.DirectMaxPositions, SR.DirectMaxSuffixBytes)
+    try {
+      // fixture holds 32 positions (Σ len): a 31-position gate puts it
+      // PAST the boundary, so the PUBLIC entry points (allowDirect = true
+      // — the production call) must route to the loop/descent on their own
+      SR.DirectMaxPositions = 31L
+      val loopRanks = rows(SR.suffixRanks(fixture))
+      assert(SR.lastPathDirect.contains(false),
+        "positions gate exceeded but the direct form still ran")
+      assert(loopRanks == directRanks)
+      val loopLcp = rows(SR.suffixLcp(fixture))
+      assert(SR.lastPathDirect.contains(false))
+      assert(loopLcp == directLcp)
+      // same for the BYTES gate alone
+      SR.DirectMaxPositions = savedPos
+      SR.DirectMaxSuffixBytes = 1.0
+      rows(SR.suffixRanks(fixture))
+      assert(SR.lastPathDirect.contains(false),
+        "bytes gate exceeded but the direct form still ran")
+    } finally {
+      SR.DirectMaxPositions = savedPos
+      SR.DirectMaxSuffixBytes = savedBytes
+    }
+  }
 }
