@@ -13,8 +13,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per parquet path, cached for the JVM's life (r14,
+    * guide §1.2 fixed per-query work): every `spark.read.parquet` call
+    * re-reads the file footer to infer the schema, and a bench round
+    * issues ~700 table loads — pure repeated driver I/O for a value that
+    * never changes (testdata under a path is immutable, the same
+    * contract the p1 store documents). The cached schema IS the inferred
+    * one, passed back via `read.schema(...)`, so plans and results are
+    * byte-identical; only the per-call footer read disappears. Keyed on
+    * (path, nanosAsLong conf) because the events table's inferred type
+    * depends on that session conf. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val confKey = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("")
+    val sch = schemaCache.computeIfAbsent((path, confKey),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
