@@ -80,4 +80,26 @@ class DynamicRowSpec extends SparkSpec {
     assert(leaked2 <= 1, s"p1 build left $leaked2 persisted RDDs " +
       "(want <=1: the memoized feature table only)")
   }
+
+  test("materializeFinal composes with an outer sweepShuffles bracket " +
+    "(the bench hygiene mode wraps every query in one — r14 sf10 sweep " +
+    "failed all six materializeFinal queries) but still refuses to nest " +
+    "inside another materializeFinal") {
+    val sc = spark.sparkContext
+    graft.queries.DynamicRow.clearMaterialized()
+    // the hygiene-mode shape: sweepShuffles(query that materializes)
+    val n = graft.core.RoundCheckpointer.sweepShuffles(sc) {
+      graft.queries.DynamicRow.defs.head.fn(spark, "/root/testdata/sf0.001").count()
+    }
+    assert(n > 0L)
+    // self-nesting stays a loud failure
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.RoundCheckpointer.materializeFinal(sc, 1) {
+        graft.core.RoundCheckpointer.materializeFinal(sc, 1) {
+          spark.range(3).toDF("x")
+        }
+      }
+    }
+    assert(ex.getMessage.contains("must not nest"))
+  }
 }
